@@ -1,0 +1,26 @@
+"""openmvs_tpu — a TPU-native dense multi-view-stereo framework.
+
+A ground-up JAX/XLA/Pallas re-design of the photogrammetry tail implemented by
+the reference OpenMVS project (posed images + sparse cloud -> dense cloud ->
+mesh -> refined mesh -> textured mesh), built TPU-first:
+
+- dense per-pixel estimation (PatchMatch, SGM) as block-synchronous
+  checkerboard sweeps over whole depth maps (vectorized XLA / Pallas kernels)
+  instead of sequential zig-zag pixel loops;
+- multi-view work sharded over a ``jax.sharding.Mesh`` (views x tile axes)
+  with ICI collectives instead of event-queue worker threads;
+- irreducibly pointer-chasing stages (Delaunay tetrahedralization, s-t
+  min-cut, mesh decimation) in native C++ behind an array-in/array-out
+  boundary (``openmvs_tpu.native``);
+- bit-compatible ``.mvs`` (Interface v7), ``.dmap``, and PLY codecs so SfM
+  frontends (COLMAP/OpenMVG) and existing data work unchanged.
+
+Reference behavior contract: cdcseacave/openMVS (see SURVEY.md).
+"""
+
+__version__ = "0.1.0"
+
+from openmvs_tpu.config import DenseOptions
+from openmvs_tpu.scene import Scene
+
+__all__ = ["DenseOptions", "Scene", "__version__"]

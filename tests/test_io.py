@@ -1,0 +1,174 @@
+"""IO codec tests: .mvs round-trip vs the bundled scene, .dmap round-trip, PLY."""
+
+import os
+
+import numpy as np
+import pytest
+
+from openmvs_tpu.io import dmap as dmapio
+from openmvs_tpu.io import mvs as mvsio
+from openmvs_tpu.io import ply as plyio
+from openmvs_tpu.scene import Scene
+
+
+def test_load_bundled_scene(test_scene_path):
+    itf = mvsio.load(test_scene_path)
+    assert itf.version == 6
+    assert len(itf.platforms) == 1
+    assert len(itf.platforms[0].cameras) == 1
+    cam = itf.platforms[0].cameras[0]
+    assert (cam.width, cam.height) == (640, 479)
+    np.testing.assert_allclose(cam.K[0, 0], 672.62, atol=1e-6)
+    assert len(itf.platforms[0].poses) == 4
+    assert len(itf.images) == 4
+    assert len(itf.points) == 2663
+    assert len(itf.colors) == 2663
+    # every sparse point sees >= 2 views
+    assert min(len(v) for v in itf.point_views) >= 2
+
+
+def test_mvs_roundtrip(test_scene_path, tmp_path):
+    itf = mvsio.load(test_scene_path)
+    out = str(tmp_path / "roundtrip.mvs")
+    mvsio.save(itf, out)
+    itf2 = mvsio.load(out)
+    assert itf2.version == mvsio.VERSION
+    assert len(itf2.images) == len(itf.images)
+    np.testing.assert_array_equal(itf2.points, itf.points)
+    np.testing.assert_array_equal(itf2.colors, itf.colors)
+    for a, b in zip(itf.point_views, itf2.point_views):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(itf2.platforms[0].cameras[0].K, itf.platforms[0].cameras[0].K)
+    for p1, p2 in zip(itf.platforms[0].poses, itf2.platforms[0].poses):
+        np.testing.assert_allclose(p1.R, p2.R)
+        np.testing.assert_allclose(p1.C, p2.C)
+
+
+def test_mvs_roundtrip_matches_reference_reader(test_scene_path, tmp_path):
+    """Our v7 writer must be parseable by the reference's own numpy loader."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/scripts/python")
+    try:
+        from MvsUtils import loadMVSInterface
+    except ImportError:
+        pytest.skip("reference MvsUtils not importable")
+    itf = mvsio.load(test_scene_path)
+    out = str(tmp_path / "v7.mvs")
+    mvsio.save(itf, out)
+    ref = loadMVSInterface(out)
+    assert ref["project_stream_version"] == 7
+    assert len(ref["images"]) == 4
+    assert len(ref["vertices"]) == 2663
+    np.testing.assert_allclose(
+        np.array(ref["platforms"][0]["cameras"][0]["K"]),
+        itf.platforms[0].cameras[0].K,
+    )
+
+
+def test_dmap_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    h, w = 37, 53
+    dd = dmapio.DepthData(
+        depth=rng.uniform(1, 10, (h, w)).astype(np.float32),
+        image_width=w * 2,
+        image_height=h * 2,
+        depth_min=1.0,
+        depth_max=10.0,
+        file_name="images/00000.jpg",
+        view_ids=np.array([0, 1, 3], np.uint32),
+        K=np.diag([100.0, 100.0, 1.0]),
+        R=np.eye(3),
+        C=np.array([0.5, -0.25, 1.0]),
+        normal=rng.normal(size=(h, w, 3)).astype(np.float32),
+        conf=rng.uniform(0, 1, (h, w)).astype(np.float32),
+    )
+    path = str(tmp_path / "depth0000.dmap")
+    dmapio.save(dd, path)
+    dd2 = dmapio.load(path)
+    np.testing.assert_array_equal(dd2.depth, dd.depth)
+    np.testing.assert_array_equal(dd2.normal, dd.normal)
+    np.testing.assert_array_equal(dd2.conf, dd.conf)
+    np.testing.assert_array_equal(dd2.view_ids, dd.view_ids)
+    np.testing.assert_allclose(dd2.K, dd.K)
+    assert dd2.file_name == dd.file_name
+    assert dd2.views is None
+
+
+def test_dmap_matches_reference_reader(tmp_path):
+    """Our .dmap writer must be parseable by the reference's loadDMAP."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/scripts/python")
+    try:
+        from MvsUtils import loadDMAP
+    except ImportError:
+        pytest.skip("reference MvsUtils not importable")
+    h, w = 24, 31
+    dd = dmapio.DepthData(
+        depth=np.full((h, w), 2.5, np.float32),
+        image_width=62,
+        image_height=48,
+        depth_min=1.0,
+        depth_max=5.0,
+        file_name="img.jpg",
+        view_ids=np.array([2, 0, 1], np.uint32),
+        K=np.diag([50.0, 50.0, 1.0]),
+        R=np.eye(3),
+        C=np.zeros(3),
+        normal=np.tile(np.array([0, 0, -1], np.float32), (h, w, 1)),
+        conf=np.ones((h, w), np.float32),
+    )
+    path = str(tmp_path / "d.dmap")
+    dmapio.save(dd, path)
+    ref = loadDMAP(path)
+    assert ref is not None
+    assert ref["depth_width"] == w and ref["depth_height"] == h
+    assert ref["reference_view_id"] == 2
+    np.testing.assert_array_equal(ref["depth_map"], dd.depth)
+    np.testing.assert_allclose(ref["K"], dd.K)
+    assert ref["has_normal"] and ref["has_conf"] and not ref["has_views"]
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    normals = rng.normal(size=(100, 3)).astype(np.float32)
+    colors = rng.integers(0, 255, (100, 3)).astype(np.uint8)
+    path = str(tmp_path / "cloud.ply")
+    plyio.save_point_cloud(path, pts, normals=normals, colors=colors)
+    data = plyio.load(path)
+    np.testing.assert_allclose(data.vertices, pts)
+    np.testing.assert_array_equal(data.elements["vertex"]["red"], colors[:, 0])
+
+    faces = rng.integers(0, 100, (50, 3)).astype(np.int32)
+    mpath = str(tmp_path / "mesh.ply")
+    plyio.save_mesh(mpath, pts, faces)
+    mdata = plyio.load(mpath)
+    np.testing.assert_allclose(mdata.vertices, pts)
+    np.testing.assert_array_equal(mdata.faces, faces)
+
+
+def test_scene_load_save(test_scene_path, tmp_path):
+    scene = Scene.load(test_scene_path)
+    assert scene.n_views == 4
+    assert len(scene.pointcloud) == 2663
+    cam = scene.images[0].camera
+    # all sparse points should project inside (or near) every viewing image
+    pts = scene.pointcloud.points
+    for img in scene.images:
+        sel = [i for i, v in enumerate(scene.pointcloud.views) if img.meta.id in v]
+        proj = img.camera.project(pts[sel].astype(np.float64))
+        inside = (
+            (proj[:, 0] >= -1) & (proj[:, 0] <= img.width) &
+            (proj[:, 1] >= -1) & (proj[:, 1] <= img.height)
+        )
+        assert inside.mean() > 0.95
+        depth = img.camera.point_depth(pts[sel].astype(np.float64))
+        assert (depth > 0).all()
+    out = str(tmp_path / "scene_out.mvs")
+    scene.save(out)
+    scene2 = Scene.load(out)
+    assert scene2.n_views == 4
+    np.testing.assert_allclose(scene2.images[0].camera.K, cam.K)
+    np.testing.assert_array_equal(scene2.pointcloud.points, scene.pointcloud.points)
