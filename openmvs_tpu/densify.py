@@ -1,0 +1,398 @@
+"""Dense reconstruction driver: Scene -> dense point cloud.
+
+Equivalent of Scene::DenseReconstruction / DepthMapsData::ComputeDepthMaps
+(libs/MVS/SceneDensify.cpp:1683-1980): per-view PatchMatch with a
+sub-resolution pyramid, geometric-consistency re-estimation passes,
+cross-view filtering, and fusion into one point cloud.
+
+The reference pipelines images through an event state machine with worker
+threads; here each stage is a pure function and per-view estimation is a
+batched JAX computation (multi-chip: one view shard per device, see
+openmvs_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmvs_tpu.config import DenseOptions
+from openmvs_tpu.geometry.camera import Camera
+from openmvs_tpu.io import dmap as dmapio
+from openmvs_tpu.io import images as imio
+from openmvs_tpu.ops import filters, fusion, patchmatch, seed
+from openmvs_tpu.scene import PointCloud, Scene, SceneImage
+from openmvs_tpu.utils.log import get_logger, timed
+from openmvs_tpu.view_selection import select_views_for_scene
+
+log = get_logger("densify")
+
+
+@dataclass
+class DepthMapResult:
+    image_idx: int
+    depth: np.ndarray
+    normal: np.ndarray
+    conf: np.ndarray
+    d_min: float
+    d_max: float
+    neighbor_ids: List[int]
+    camera: Camera          # camera at depth-map resolution
+
+
+def _resize_gray(gray: np.ndarray, scale: float) -> np.ndarray:
+    if scale == 1.0:
+        return gray
+    h, w = gray.shape
+    return imio.resize_area(gray, max(1, round(w * scale)), max(1, round(h * scale)))
+
+
+def _build_pm_data(
+    ref_gray: np.ndarray,
+    ref_cam: Camera,
+    nbr_grays: List[np.ndarray],
+    nbr_cams: List[Camera],
+    opts: DenseOptions,
+    d_min: float,
+    d_max: float,
+    lowres_prior: Optional[np.ndarray],
+    nbr_depths: Optional[List[np.ndarray]] = None,
+) -> patchmatch.PMData:
+    """Assemble the static per-view arrays consumed by the PatchMatch sweep."""
+    H, W = ref_gray.shape
+    V = len(nbr_grays)
+    Hp = max(g.shape[0] for g in nbr_grays)
+    Wp = max(g.shape[1] for g in nbr_grays)
+
+    images = np.zeros((V, Hp, Wp), np.float32)
+    sizes = np.zeros((V, 2), np.float32)
+    Hl = np.zeros((V, 3, 3), np.float32)
+    Hm = np.zeros((V, 3), np.float32)
+    depths = np.zeros((V, Hp, Wp), np.float32)
+    Tl = np.zeros((V, 3, 3), np.float32)
+    Tm = np.zeros((V, 3), np.float32)
+    Tr = np.zeros((V, 3, 3), np.float32)
+    Tn = np.zeros((V, 3), np.float32)
+
+    Ri, Ci, Ki = ref_cam.R, ref_cam.C, ref_cam.K
+    for j, (g, cam) in enumerate(zip(nbr_grays, nbr_cams)):
+        h, w = g.shape
+        images[j, :h, :w] = g
+        sizes[j] = (h, w)
+        # homography constants (DepthMap.h:175-185): Hl = Kj Rj Ri^T,
+        # Hm = Kj Rj (Ci - Cj); Hr = Ki^-1 is folded into X0/goff.
+        Hl[j] = cam.K @ cam.R @ Ri.T
+        Hm[j] = cam.K @ cam.R @ (Ci - cam.C)
+        if nbr_depths is not None:
+            dmap = nbr_depths[j]
+            depths[j, : dmap.shape[0], : dmap.shape[1]] = dmap
+            # geometric-consistency constants (DepthMap.h:170-173)
+            Tl[j] = cam.K @ cam.R @ Ri.T
+            Tm[j] = cam.K @ cam.R @ (Ci - cam.C)
+            Tr[j] = Ki @ Ri @ cam.R.T @ np.linalg.inv(cam.K)
+            Tn[j] = Ki @ Ri @ (cam.C - Ci)
+
+    # per-pixel back-projected rays
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    Kinv = ref_cam.Kinv
+    ones = np.ones_like(uu)
+    X0 = np.stack([uu, vv, ones], axis=-1) @ Kinv.T
+    offs = patchmatch.texel_offsets(opts)
+    goff = np.concatenate([offs, np.zeros((len(offs), 1), np.float32)], axis=-1) @ Kinv.T
+
+    ref_j = jnp.asarray(ref_gray, jnp.float32)
+    w_, wtm, sum_w, norm_sq0 = patchmatch.compute_patch_weights(ref_j, opts)
+
+    # valid: full window inside + textured (or has a low-res prior)
+    b = opts.window_half
+    inside = np.zeros((H, W), bool)
+    inside[b : H - b, b : W - b] = True
+    th_mag_sq = opts.descriptor_min_magnitude ** 2 if opts.descriptor_min_magnitude > 0 else -1.0
+    textured = np.asarray(norm_sq0) >= th_mag_sq
+    lowres = lowres_prior if lowres_prior is not None else np.zeros((H, W), np.float32)
+    valid = inside & (textured | (lowres > 0))
+
+    views = patchmatch.PMViews(
+        image=jnp.asarray(images),
+        size=jnp.asarray(sizes),
+        Hl=jnp.asarray(Hl),
+        Hm=jnp.asarray(Hm),
+        depth=jnp.asarray(depths),
+        Tl=jnp.asarray(Tl),
+        Tm=jnp.asarray(Tm),
+        Tr=jnp.asarray(Tr),
+        Tn=jnp.asarray(Tn),
+    )
+    return patchmatch.PMData(
+        ref=ref_j,
+        X0=jnp.asarray(X0, jnp.float32),
+        goff=jnp.asarray(goff, jnp.float32),
+        w=w_,
+        wtm=wtm,
+        sum_w=sum_w,
+        norm_sq0=norm_sq0,
+        views=views,
+        d_min=jnp.float32(d_min),
+        d_max=jnp.float32(d_max),
+        lowres=jnp.asarray(lowres, jnp.float32),
+        valid=jnp.asarray(valid),
+    )
+
+
+def estimate_depth_map(
+    scene: Scene,
+    ref_idx: int,
+    opts: DenseOptions,
+    prev: Optional[DepthMapResult] = None,
+    neighbor_results: Optional[Dict[int, DepthMapResult]] = None,
+    geometric_iter: int = -1,
+    rng_seed: int = 0,
+) -> Optional[DepthMapResult]:
+    """PatchMatch depth estimation for one reference view.
+
+    geometric_iter < 0: photometric pass with the sub-resolution pyramid
+    (EstimateDepthMap, SceneDensify.cpp:616-805); otherwise one
+    geometric-consistency iteration at full resolution using the neighbors'
+    current depth maps.
+    """
+    img = scene.images[ref_idx]
+    neighbors = img.meta.view_scores
+    if not neighbors:
+        return None
+    num = opts.num_views if opts.num_views > 0 else len(neighbors)
+    nbr_ids = [vs.id for vs in neighbors[:num]]
+    id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
+    nbr_imgs = [scene.images[id_to_idx[i]] for i in nbr_ids if i in id_to_idx]
+
+    # sparse seeds at full working resolution
+    pts_sel = []
+    trusted = []
+    for i, v in enumerate(scene.pointcloud.views):
+        if img.meta.id in v:
+            pts_sel.append(scene.pointcloud.points[i])
+            trusted.append(len(v) >= opts.min_views_trust_point)
+    pts_sel = np.asarray(pts_sel, np.float64).reshape(-1, 3)
+    trusted = np.asarray(trusted, bool)
+
+    ref_cam_full = img.working_camera()
+    H, W = img.gray.shape
+    seed_depth_full, seed_normal_full, d_min, d_max = seed.seed_depth_normal(
+        ref_cam_full, W, H, pts_sel, trusted
+    )
+    if prev is not None:
+        d_min, d_max = prev.d_min, prev.d_max
+    if d_max <= d_min:
+        return None
+
+    is_geometric = geometric_iter >= 0
+    levels = 0 if is_geometric else opts.sub_resolution_levels
+    n_iters = 1 if is_geometric else opts.estimation_iters
+
+    state_np: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    lowres_prior = None
+    result_state = None
+    data = None
+    for level in range(levels, -1, -1):
+        s = 1.0 / (2 ** level)
+        ref_gray = _resize_gray(img.gray, s)
+        ref_cam = ref_cam_full.scaled(ref_gray.shape[1] / W) if s != 1.0 else ref_cam_full
+        nbr_grays = [_resize_gray(n.gray, s) for n in nbr_imgs]
+        nbr_cams = [
+            n.working_camera().scaled(g.shape[1] / n.gray.shape[1]) if s != 1.0 else n.working_camera()
+            for n, g in zip(nbr_imgs, nbr_grays)
+        ]
+        nbr_depths = None
+        if is_geometric and neighbor_results:
+            nbr_depths = []
+            for i in nbr_ids:
+                r = neighbor_results.get(i)
+                nbr_depths.append(r.depth if r is not None else np.zeros((8, 8), np.float32))
+
+        h, w = ref_gray.shape
+        if state_np is None:
+            if s != 1.0:
+                sd = np.zeros((h, w), np.float32)
+                sn = np.zeros((h, w, 3), np.float32)
+                ys, xs = np.nonzero(seed_depth_full > 0)
+                sd[np.clip((ys * s).astype(int), 0, h - 1), np.clip((xs * s).astype(int), 0, w - 1)] = (
+                    seed_depth_full[ys, xs]
+                )
+                sn[np.clip((ys * s).astype(int), 0, h - 1), np.clip((xs * s).astype(int), 0, w - 1)] = (
+                    seed_normal_full[ys, xs]
+                )
+            else:
+                sd, sn = seed_depth_full, seed_normal_full
+            if prev is not None and is_geometric:
+                sd, sn = prev.depth, prev.normal
+        else:
+            # upscale previous level's estimate as seed + low-res prior
+            import cv2
+
+            sd = cv2.resize(state_np[0], (w, h), interpolation=cv2.INTER_LINEAR)
+            sn = cv2.resize(state_np[1], (w, h), interpolation=cv2.INTER_NEAREST)
+            lowres_prior = sd.copy()
+
+        data = _build_pm_data(
+            ref_gray, ref_cam, nbr_grays, nbr_cams, opts, d_min, d_max, lowres_prior, nbr_depths
+        )
+        key = jax.random.PRNGKey(rng_seed * 7919 + ref_idx * 131 + level + 1000 * max(geometric_iter, 0))
+        nV = len(nbr_grays)
+        state = patchmatch.init_state(
+            data, opts, key, jnp.asarray(sd), jnp.asarray(sn), nV, is_geometric
+        )
+        for it in range(n_iters):
+            state = patchmatch.sweep(
+                state, data, opts, jax.random.fold_in(key, it + 1), nV, is_geometric
+            )
+        state_np = (np.asarray(state.depth), np.asarray(state.normal))
+        result_state, result_cam = state, ref_cam
+
+    geometric_follows = (not is_geometric) and opts.estimation_geometric_iters > 0
+    final = patchmatch.finalize(result_state, data, opts, geometric_follows)
+    depth = np.asarray(final.depth).copy()
+    normal = np.asarray(final.normal).copy()
+    conf = np.asarray(final.conf).copy()
+    return DepthMapResult(
+        image_idx=ref_idx,
+        depth=depth,
+        normal=normal,
+        conf=conf,
+        d_min=d_min,
+        d_max=d_max,
+        neighbor_ids=nbr_ids,
+        camera=result_cam,
+    )
+
+
+def optimize_depth_map(res: DepthMapResult, opts: DenseOptions) -> None:
+    """Speckle removal + gap interpolation (EVT_OPTIMIZEDEPTHMAP stage)."""
+    if opts.optimize & 1:
+        filters.remove_small_segments(res.depth, res.normal, res.conf, opts)
+    if opts.optimize & 2:
+        filters.gap_interpolation(res.depth, res.normal, res.conf, opts)
+
+
+def dense_reconstruction(
+    scene: Scene,
+    opts: DenseOptions = DenseOptions(),
+    max_dim: Optional[int] = None,
+    save_dmaps_to: Optional[str] = None,
+) -> PointCloud:
+    """Full dense pipeline: estimate all depth maps, filter, fuse."""
+    if max_dim is None:
+        w0 = max(im.width for im in scene.images)
+        h0 = max(im.height for im in scene.images)
+        max_dim = imio.compute_max_resolution(
+            w0, h0, opts.resolution_level, opts.min_resolution, opts.max_resolution
+        )
+
+    with timed(log, "load images"):
+        for img in scene.images:
+            if img.gray is None:
+                img.load(max_dim=max_dim)
+
+    with timed(log, "select views"):
+        select_views_for_scene(scene, opts)
+
+    # pass 1: photometric estimation
+    results: Dict[int, DepthMapResult] = {}
+    for i in range(scene.n_views):
+        with timed(log, f"photometric depth map {i}"):
+            r = estimate_depth_map(scene, i, opts)
+        if r is not None:
+            results[scene.images[i].meta.id] = r
+
+    # pass 2: geometric-consistency re-estimation
+    for gi in range(opts.estimation_geometric_iters):
+        new_results: Dict[int, DepthMapResult] = {}
+        for i in range(scene.n_views):
+            rid = scene.images[i].meta.id
+            if rid not in results:
+                continue
+            with timed(log, f"geometric({gi}) depth map {i}"):
+                r = estimate_depth_map(
+                    scene, i, opts, prev=results[rid], neighbor_results=results, geometric_iter=gi
+                )
+            if r is not None:
+                new_results[rid] = r
+        results = new_results
+
+    # optimize: speckle + gaps
+    for r in results.values():
+        optimize_depth_map(r, opts)
+
+    # pass 3: cross-view filtering (adjust mode)
+    if opts.optimize & 4:
+        filtered: Dict[int, DepthMapResult] = {}
+        for rid, r in results.items():
+            projected = []
+            for nb_id in r.neighbor_ids:
+                nb = results.get(nb_id)
+                if nb is None:
+                    continue
+                projected.append(
+                    filters.project_depth_to_view(
+                        nb.depth, nb.conf, nb.camera, r.camera, r.depth.shape
+                    )
+                )
+            if len(projected) < opts.min_views_filter:
+                filtered[rid] = r
+                continue
+            nd, nc = filters.filter_depth_adjust(
+                r.depth, r.conf, projected, opts, r.d_min, r.d_max
+            )
+            filtered[rid] = dataclasses.replace(r, depth=nd, conf=nc)
+        results = filtered
+
+    if save_dmaps_to:
+        os.makedirs(save_dmaps_to, exist_ok=True)
+        for rid, r in results.items():
+            dd = dmapio.DepthData(
+                depth=r.depth,
+                image_width=scene.images[r.image_idx].width,
+                image_height=scene.images[r.image_idx].height,
+                depth_min=r.d_min,
+                depth_max=r.d_max,
+                file_name=scene.images[r.image_idx].meta.name,
+                view_ids=np.array([rid] + list(r.neighbor_ids), np.uint32),
+                K=r.camera.K,
+                R=r.camera.R,
+                C=r.camera.C,
+                normal=r.normal,
+                conf=r.conf,
+            )
+            dmapio.save(dd, os.path.join(save_dmaps_to, f"depth{rid:04d}.dmap"))
+
+    # fusion
+    with timed(log, "fuse depth maps"):
+        id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
+        vdd = []
+        for rid, r in results.items():
+            img = scene.images[id_to_idx[rid]]
+            color = img.color
+            if color is not None and color.shape[:2] != r.depth.shape:
+                color = imio.resize_area(color, r.depth.shape[1], r.depth.shape[0])
+            vdd.append(
+                fusion.ViewDepthData(
+                    image_idx=r.image_idx,
+                    image_id=rid,
+                    camera=r.camera,
+                    depth=r.depth,
+                    normal=r.normal,
+                    conf=r.conf,
+                    color=color,
+                    neighbor_ids=r.neighbor_ids,
+                )
+            )
+        pc = fusion.fuse_depth_maps(
+            vdd, opts, estimate_color=opts.estimate_colors > 0, estimate_normal=opts.estimate_normals > 0
+        )
+    log.info("dense point cloud: %d points", len(pc))
+    return pc

@@ -1,0 +1,312 @@
+// Graph-cut surface extraction over a Delaunay tetrahedralization.
+//
+// Native equivalent of the reference's visibility-weighting + s-t cut stage
+// (libs/MVS/SceneReconstruct.cpp:916-1119, Labatut-Pons'07): for every
+// (point, view) ray, walk the tetrahedra crossed by the camera-point segment
+// accumulating directed facet weights alpha*(1-exp(-d^2/2sigma^2)), add a
+// t-edge at the cell just behind the point, tie camera cells to the source,
+// add the facet quality term, then solve min-cut (maxflow.cpp).
+//
+// The tetrahedralization itself comes from the host (scipy.spatial.Delaunay,
+// i.e. Qhull): vertices, tets (4 ids), tet neighbors (scipy convention:
+// neighbor[t][j] opposite vertex j, -1 on the hull).  All infinite cells are
+// merged into a single "outside" node, which is topologically equivalent
+// (the outside of the convex hull is one connected region).
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+#include "maxflow.h"
+
+namespace {
+
+struct V3 {
+  double x, y, z;
+};
+inline V3 operator-(const V3& a, const V3& b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+inline V3 operator+(const V3& a, const V3& b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+inline V3 operator*(const V3& a, double s) { return {a.x * s, a.y * s, a.z * s}; }
+inline double dot(const V3& a, const V3& b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+inline V3 cross(const V3& a, const V3& b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+inline double norm(const V3& a) { return std::sqrt(dot(a, a)); }
+
+struct TetMesh {
+  const double* verts;
+  const int32_t* tets;    // (nt, 4)
+  const int32_t* neigh;   // (nt, 4)
+  int64_t nv, nt;
+
+  V3 vert(int64_t i) const { return {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]}; }
+  // outward-oriented plane of facet j of tet t (normal away from vertex j)
+  void facet_plane(int64_t t, int j, V3& n, double& d) const {
+    const int32_t* tv = tets + 4 * t;
+    int a = (j + 1) & 3, b = (j + 2) & 3, c = (j + 3) & 3;
+    V3 A = vert(tv[a]), B = vert(tv[b]), C = vert(tv[c]);
+    n = cross(B - A, C - A);
+    d = dot(n, A);
+    if (dot(n, vert(tv[j])) > d) {  // flip so vertex j is on negative side
+      n = n * -1.0;
+      d = -d;
+    }
+  }
+  // circumcenter of tet t
+  V3 circumcenter(int64_t t) const {
+    const int32_t* tv = tets + 4 * t;
+    V3 a = vert(tv[0]), b = vert(tv[1]), c = vert(tv[2]), d4 = vert(tv[3]);
+    V3 ba = b - a, ca = c - a, da = d4 - a;
+    double l1 = dot(ba, ba), l2 = dot(ca, ca), l3 = dot(da, da);
+    V3 c1 = cross(ca, da), c2 = cross(da, ba), c3 = cross(ba, ca);
+    double denom = 2.0 * dot(ba, c1);
+    if (std::fabs(denom) < 1e-30) return a;
+    return a + (c1 * l1 + c2 * l2 + c3 * l3) * (1.0 / denom);
+  }
+  int facet_index_of_neighbor(int64_t t, int64_t nb) const {
+    const int32_t* nn = neigh + 4 * t;
+    for (int j = 0; j < 4; ++j)
+      if (nn[j] == nb) return j;
+    return -1;
+  }
+  bool contains(int64_t t, const V3& p, double eps) const {
+    for (int j = 0; j < 4; ++j) {
+      V3 n;
+      double d;
+      facet_plane(t, j, n, d);
+      double nl = norm(n);
+      if (nl < 1e-300) continue;
+      if ((dot(n, p) - d) / nl > eps) return false;
+    }
+    return true;
+  }
+};
+
+// walk from tet `start` to the tet containing point q; returns -1 if q is
+// outside the hull (and sets exit_tet/exit_facet to the hull crossing)
+int64_t locate(const TetMesh& m, int64_t start, const V3& q, int64_t* exit_tet, int* exit_facet,
+               int64_t max_steps = 1 << 20) {
+  int64_t t = start;
+  int64_t prev = -1;
+  for (int64_t step = 0; step < max_steps; ++step) {
+    int best_j = -1;
+    double best_viol = 1e-12;
+    for (int j = 0; j < 4; ++j) {
+      if (m.neigh[4 * t + j] == prev && prev >= 0) continue;
+      V3 n;
+      double d;
+      m.facet_plane(t, j, n, d);
+      double nl = norm(n);
+      if (nl < 1e-300) continue;
+      double viol = (dot(n, q) - d) / nl;
+      if (viol > best_viol) {
+        best_viol = viol;
+        best_j = j;
+      }
+    }
+    if (best_j < 0) return t;  // inside
+    int64_t nb = m.neigh[4 * t + best_j];
+    if (nb < 0) {
+      if (exit_tet) *exit_tet = t;
+      if (exit_facet) *exit_facet = best_j;
+      return -1;
+    }
+    prev = t;
+    t = nb;
+  }
+  return t;  // give up; good enough
+}
+
+}  // namespace
+
+extern "C" {
+
+// inside_out: (nt + 1) bytes; [nt] = outside node.  Returns 0 on success.
+int omvs_delaunay_graph_cut(
+    const double* verts, int64_t nv,
+    const int32_t* tets, const int32_t* neigh, int64_t nt,
+    const int32_t* vert_tet,
+    const double* cam_centers, int64_t ncam,
+    const int64_t* view_indptr, const int32_t* view_cam, const float* view_weight,
+    double sigma, double kqual, double kinf,
+    uint8_t* inside_out) {
+  TetMesh m{verts, tets, neigh, nv, nt};
+  const int64_t OUT = nt;
+  const double inv2s2 = 0.5 / (sigma * sigma);
+
+  std::vector<float> f(4 * nt, 0.f);   // capacity tet -> neighbor_j
+  std::vector<float> g(4 * nt, 0.f);   // capacity outside -> tet (hull facets)
+  std::vector<float> s_cap(nt + 1, 0.f), t_cap(nt + 1, 0.f);
+
+  // locate cameras once: cell containing each camera (or outside)
+  std::vector<int64_t> cam_cell(ncam, -1);
+  for (int64_t c = 0; c < ncam; ++c) {
+    V3 q{cam_centers[3 * c], cam_centers[3 * c + 1], cam_centers[3 * c + 2]};
+    cam_cell[c] = locate(m, 0, q, nullptr, nullptr);
+  }
+
+  for (int64_t v = 0; v < nv; ++v) {
+    int64_t beg = view_indptr[v], end = view_indptr[v + 1];
+    if (beg >= end) continue;
+    V3 p = m.vert(v);
+    for (int64_t k = beg; k < end; ++k) {
+      int32_t cam = view_cam[k];
+      float alpha = view_weight[k];
+      V3 c{cam_centers[3 * cam], cam_centers[3 * cam + 1], cam_centers[3 * cam + 2]};
+      V3 dirv = c - p;
+      double len = norm(dirv);
+      if (len < 1e-12) continue;
+      V3 u = dirv * (1.0 / len);
+
+      // --- forward walk: point -> camera ---
+      // start just off the vertex toward the camera
+      double eps = 1e-6 * len;
+      V3 q0 = p + u * eps;
+      int64_t t = locate(m, vert_tet[v], q0, nullptr, nullptr, 4096);
+      if (t >= 0) {
+        V3 a = p;  // segment p -> c
+        int64_t prev = -1;
+        double t_cur = 0.0;
+        bool reached = false;
+        for (int step = 0; step < 1 << 16; ++step) {
+          // find exit facet of tet t for segment a + s*(c-a), s in (t_cur, 1]
+          int best_j = -1;
+          double best_s = 1e30;
+          for (int j = 0; j < 4; ++j) {
+            if (m.neigh[4 * t + j] == prev && prev >= 0) continue;
+            V3 n;
+            double d;
+            m.facet_plane(t, j, n, d);
+            double denom = dot(n, dirv);
+            if (denom <= 1e-300) continue;  // not exiting through this facet
+            double s = (d - dot(n, p)) / denom;
+            if (s > t_cur - 1e-12 && s < best_s) {
+              best_s = s;
+              best_j = j;
+            }
+          }
+          if (best_j < 0 || best_s >= 1.0) {
+            reached = true;  // camera inside tet t
+            s_cap[t] = (float)kinf;
+            break;
+          }
+          int64_t nb = m.neigh[4 * t + best_j];
+          double dist = best_s * len;  // distance from the point to crossing
+          float w = alpha * (float)(1.0 - std::exp(-dist * dist * inv2s2));
+          if (nb < 0) {
+            // exits the hull: weight goes on outside->tet direction
+            g[4 * t + best_j] += w;
+            s_cap[OUT] = (float)kinf;
+            reached = true;
+            break;
+          }
+          // reference direction camera->point: capacity nb -> t
+          int j_nb = m.facet_index_of_neighbor(nb, t);
+          if (j_nb >= 0) f[4 * nb + j_nb] += w;
+          prev = t;
+          t = nb;
+          t_cur = best_s;
+        }
+        (void)reached;
+      }
+
+      // --- backward walk: point -> endpoint behind the surface ---
+      V3 e = p - u * sigma;  // endpoint sigma behind the point
+      V3 dirb = e - p;
+      double lenb = sigma;
+      V3 q1 = p - u * eps;
+      int64_t tb = locate(m, vert_tet[v], q1, nullptr, nullptr, 4096);
+      if (tb < 0) {
+        t_cap[OUT] += alpha;
+        continue;
+      }
+      {
+        int64_t prev = -1;
+        double t_cur = 0.0;
+        int64_t t2 = tb;
+        bool ended = false;
+        for (int step = 0; step < 1 << 12; ++step) {
+          int best_j = -1;
+          double best_s = 1e30;
+          for (int j = 0; j < 4; ++j) {
+            if (m.neigh[4 * t2 + j] == prev && prev >= 0) continue;
+            V3 n;
+            double d;
+            m.facet_plane(t2, j, n, d);
+            double denom = dot(n, dirb);
+            if (denom <= 1e-300) continue;
+            double s = (d - dot(n, p)) / denom;
+            if (s > t_cur - 1e-12 && s < best_s) {
+              best_s = s;
+              best_j = j;
+            }
+          }
+          if (best_j < 0 || best_s >= 1.0) {
+            t_cap[t2] += alpha;  // endpoint cell gets the t-edge
+            ended = true;
+            break;
+          }
+          int64_t nb = m.neigh[4 * t2 + best_j];
+          double dist = best_s * lenb;
+          float w = alpha * (float)(1.0 - std::exp(-dist * dist * inv2s2));
+          // direction point-side -> behind-side: capacity t2 -> nb
+          f[4 * t2 + best_j] += w;
+          if (nb < 0) {
+            t_cap[OUT] += alpha;
+            ended = true;
+            break;
+          }
+          prev = t2;
+          t2 = nb;
+          t_cur = best_s;
+        }
+        (void)ended;
+      }
+    }
+  }
+
+  // --- build graph & solve ---
+  omvs::MaxFlow mf(nt + 1);
+  constexpr double kMaxCap = 3.4e34;
+  for (int64_t t = 0; t < nt + 1; ++t)
+    mf.add_terminal(t, s_cap[t], std::min((double)t_cap[t], kMaxCap));
+
+  // facet quality: cos angle between facet plane and vector to circumcenter
+  auto plane_sphere_cos = [&](int64_t t, int j) -> double {
+    const int32_t* tv = tets + 4 * t;
+    int a = (j + 1) & 3, b = (j + 2) & 3, cc = (j + 3) & 3;
+    V3 A = m.vert(tv[a]), B = m.vert(tv[b]), C = m.vert(tv[cc]);
+    V3 fn = cross(B - A, C - A);
+    double fl = dot(fn, fn);
+    if (fl == 0) return 0.5;
+    V3 ct = m.circumcenter(t) - A;
+    double cl = dot(ct, ct);
+    if (cl == 0) return 0.5;
+    double v = dot(fn, ct) / std::sqrt(fl * cl);
+    return v < -1 ? -1 : (v > 1 ? 1 : v);
+  };
+
+  for (int64_t t = 0; t < nt; ++t) {
+    for (int j = 0; j < 4; ++j) {
+      int64_t nb = m.neigh[4 * t + j];
+      if (nb < 0) {
+        double q = (1.0 - plane_sphere_cos(t, j)) * kqual;  // infinite side cos=1 -> min is finite
+        // min(cos_t, 1) = cos_t
+        mf.add_edge(t, OUT, f[4 * t + j] + q, g[4 * t + j] + q);
+      } else if (nb > t) {
+        int j_nb = m.facet_index_of_neighbor(nb, t);
+        double q = (1.0 - std::min(plane_sphere_cos(t, j), plane_sphere_cos(nb, j_nb))) * kqual;
+        mf.add_edge(t, nb, f[4 * t + j] + q, f[4 * nb + j_nb] + q);
+      }
+    }
+  }
+
+  mf.compute();
+  for (int64_t t = 0; t < nt + 1; ++t) inside_out[t] = mf.is_source_side(t) ? 0 : 1;
+  return 0;
+}
+
+}  // extern "C"

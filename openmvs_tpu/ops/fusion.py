@@ -1,0 +1,222 @@
+"""Depth-map fusion into a dense point cloud.
+
+Vectorized re-design of DepthMapsData::FuseDepthMaps
+(SceneDensify.cpp:1372-1646): the reference walks pixels of the
+best-connected image first, claims agreeing pixels in neighbor depth maps,
+and confidence-averages their unprojections.  Here each reference image is
+processed as a whole-image batch: candidate points unproject in bulk,
+project into every neighbor at once, and agreement / claiming is resolved
+with vectorized z-tests and ownership maps.  Output quality matches the
+greedy original (thresholds, weights, min-view counts identical); only the
+intra-image visit order differs (batch instead of scanline).
+
+Weight: Conf2Weight(conf, depth) = 1 / (max(1-conf, 0.03) * depth^2)
+(SceneDensify.cpp:120-122) -- note conf here is the [0,1] confidence map, so
+1-conf is the residual NCC score.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from openmvs_tpu.config import DenseOptions
+from openmvs_tpu.geometry.camera import Camera
+from openmvs_tpu.scene import PointCloud
+
+
+@dataclass
+class ViewDepthData:
+    """Per-view inputs to fusion (working-resolution maps + camera)."""
+
+    image_idx: int                 # index into scene.images
+    image_id: int                  # image meta id
+    camera: Camera                 # at depth-map resolution
+    depth: np.ndarray              # (h, w) float32
+    normal: Optional[np.ndarray]   # (h, w, 3) float32 camera space
+    conf: Optional[np.ndarray]     # (h, w) float32 [0,1]
+    color: Optional[np.ndarray]    # (h, w, 3) uint8
+    neighbor_ids: Sequence[int]    # neighbor image ids
+
+
+def conf2weight(conf: np.ndarray, depth: np.ndarray) -> np.ndarray:
+    return 1.0 / (np.maximum(1.0 - conf, 0.03) * depth * depth)
+
+
+def fuse_depth_maps(
+    views: List[ViewDepthData],
+    opts: DenseOptions,
+    estimate_color: bool = True,
+    estimate_normal: bool = True,
+) -> PointCloud:
+    n_min_fuse = opts.min_views_fuse
+    cos_normal_err = np.cos(np.radians(opts.normal_diff_threshold))
+    by_id: Dict[int, ViewDepthData] = {v.image_id: v for v in views}
+    # ownership: per view, map pixel -> fused point index (-1 free, -2 consumed)
+    owner: Dict[int, np.ndarray] = {
+        v.image_id: np.full(v.depth.shape, -1, np.int64) for v in views
+    }
+
+    # process best-connected images first (connection score = #neighbors)
+    order = sorted(range(len(views)), key=lambda i: -len(views[i].neighbor_ids))
+
+    all_pts: List[np.ndarray] = []
+    all_views: List[np.ndarray] = []     # flattened (point, view) pairs
+    all_weights: List[np.ndarray] = []
+    all_counts: List[np.ndarray] = []
+    all_colors: List[np.ndarray] = []
+    all_normals: List[np.ndarray] = []
+    next_point_idx = 0
+
+    for oi in order:
+        ref = views[oi]
+        h, w = ref.depth.shape
+        own_ref = owner[ref.image_id]
+        yy, xx = np.nonzero((ref.depth > 0) & (own_ref == -1))
+        if len(yy) == 0:
+            continue
+        d = ref.depth[yy, xx].astype(np.float64)
+        conf = ref.conf[yy, xx] if ref.conf is not None else np.ones(len(d), np.float32)
+        wgt = conf2weight(conf, d)
+        uv = np.stack([xx, yy], -1).astype(np.float64)
+        X = ref.camera.unproject(uv, d)                       # world points
+        if ref.normal is not None:
+            Nw = ref.normal[yy, xx] @ ref.camera.R            # R^T n (row-vec form)
+        else:
+            Nw = np.tile(-ref.camera.R[2], (len(d), 1))
+        n_cand = len(d)
+
+        # accumulators (confidence-weighted)
+        acc_X = X * wgt[:, None]
+        acc_W = wgt.copy()
+        acc_N = Nw * wgt[:, None]
+        n_views_pt = np.ones(n_cand, np.int32)
+        if estimate_color and ref.color is not None:
+            acc_C = ref.color[yy, xx].astype(np.float64) * wgt[:, None]
+        else:
+            acc_C = np.zeros((n_cand, 3))
+
+        member_rows: List[np.ndarray] = [np.arange(n_cand)]
+        member_view_ids: List[np.ndarray] = [np.full(n_cand, ref.image_id, np.uint32)]
+        member_weights: List[np.ndarray] = [wgt.astype(np.float32)]
+        # remember claimed pixels per neighbor so losers can be released
+        claims: List[tuple] = []  # (view_id, candidate_rows, lin_pixels)
+
+        for nb_id in ref.neighbor_ids:
+            nb = by_id.get(nb_id)
+            if nb is None:
+                continue
+            hb, wb = nb.depth.shape
+            pb = nb.camera.project_h(X)
+            zb = pb[:, 2]
+            front = zb > 0
+            pxb = np.where(front, pb[:, 0] / np.where(front, zb, 1), -1)
+            pyb = np.where(front, pb[:, 1] / np.where(front, zb, 1), -1)
+            ix = np.round(pxb).astype(np.int64)
+            iy = np.round(pyb).astype(np.int64)
+            inside = front & (ix >= 0) & (ix < wb) & (iy >= 0) & (iy < hb)
+            ix_c = np.clip(ix, 0, wb - 1)
+            iy_c = np.clip(iy, 0, hb - 1)
+            db = nb.depth[iy_c, ix_c].astype(np.float64)
+            own_nb = owner[nb.image_id]
+            free = own_nb[iy_c, ix_c] == -1
+            has_depth = inside & (db > 0) & free
+            similar = has_depth & (np.abs(zb - db) < opts.depth_diff_threshold * zb)
+            if nb.normal is not None:
+                Nb = nb.normal[iy_c, ix_c] @ nb.camera.R
+            else:
+                Nb = np.tile(-nb.camera.R[2], (n_cand, 1))
+            agree = similar & (np.einsum("ij,ij->i", Nw, Nb) > cos_normal_err)
+
+            # resolve claim conflicts: multiple candidates may hit one pixel;
+            # keep the first in scan order (matches greedy visit order)
+            lin = iy_c * wb + ix_c
+            cand_idx = np.nonzero(agree)[0]
+            if len(cand_idx):
+                lin_a = lin[cand_idx]
+                uniq, first_pos = np.unique(lin_a, return_index=True)
+                winners = cand_idx[first_pos]
+                agree = np.zeros_like(agree)
+                agree[winners] = True
+                # accumulate neighbor contribution
+                cb = nb.conf[iy_c[winners], ix_c[winners]] if nb.conf is not None else np.ones(len(winners), np.float32)
+                dbw = db[winners]
+                wb_ = conf2weight(cb, dbw)
+                uvb = np.stack([ix_c[winners], iy_c[winners]], -1).astype(np.float64)
+                Xb = nb.camera.unproject(uvb, dbw)
+                acc_X[winners] += Xb * wb_[:, None]
+                acc_W[winners] += wb_
+                acc_N[winners] += Nb[winners] * wb_[:, None]
+                n_views_pt[winners] += 1
+                if estimate_color and nb.color is not None:
+                    acc_C[winners] += nb.color[iy_c[winners], ix_c[winners]].astype(np.float64) * wb_[:, None]
+                member_rows.append(winners)
+                member_view_ids.append(np.full(len(winners), nb.image_id, np.uint32))
+                member_weights.append(wb_.astype(np.float32))
+                claims.append((nb.image_id, winners, lin_a[first_pos]))
+                # invalidate conflicting neighbor depths in front of the point
+                conflict = has_depth & ~similar & (zb > db)
+                if conflict.any():
+                    cl = np.unique(lin[conflict])
+                    nb.depth.reshape(-1)[cl] = 0
+            else:
+                conflict = has_depth & ~similar & (zb > db)
+                if conflict.any():
+                    cl = np.unique(lin[conflict])
+                    nb.depth.reshape(-1)[cl] = 0
+
+        keep = n_views_pt >= n_min_fuse
+        # mark ownership for kept points; release claims of dropped points
+        kept_map = np.full(n_cand, -1, np.int64)
+        kept_map[keep] = next_point_idx + np.arange(int(keep.sum()))
+        own_ref[yy[keep], xx[keep]] = kept_map[keep]
+        own_ref[yy[~keep], xx[~keep]] = -2  # consumed, not refused forever
+        for vid, rows, lins in claims:
+            k = keep[rows]
+            ow = owner[vid].reshape(-1)
+            ow[lins[k]] = kept_map[rows[k]]
+
+        inv_w = 1.0 / acc_W[keep]
+        pts = (acc_X[keep] * inv_w[:, None]).astype(np.float32)
+        all_pts.append(pts)
+        if estimate_color:
+            all_colors.append(np.clip(acc_C[keep] * inv_w[:, None], 0, 255).astype(np.uint8))
+        if estimate_normal:
+            nr = acc_N[keep]
+            nr /= np.maximum(np.linalg.norm(nr, axis=-1, keepdims=True), 1e-12)
+            all_normals.append(nr.astype(np.float32))
+
+        # flatten (point, view, weight) membership for kept points
+        rows_cat = np.concatenate(member_rows)
+        vids_cat = np.concatenate(member_view_ids)
+        wgts_cat = np.concatenate(member_weights)
+        sel = keep[rows_cat]
+        all_views.append(vids_cat[sel])
+        all_weights.append(wgts_cat[sel])
+        # counts per point in emission order
+        cnt = np.bincount(kept_map[rows_cat[sel]] - next_point_idx, minlength=int(keep.sum()))
+        all_counts.append(cnt)
+        # keep membership sorted by point: emit pairs sorted
+        order_pairs = np.argsort(kept_map[rows_cat[sel]], kind="stable")
+        all_views[-1] = all_views[-1][order_pairs]
+        all_weights[-1] = all_weights[-1][order_pairs]
+
+        next_point_idx += int(keep.sum())
+
+    pc = PointCloud()
+    if not all_pts:
+        return pc
+    pc.points = np.concatenate(all_pts)
+    if estimate_color and all_colors:
+        pc.colors = np.concatenate(all_colors)
+    if estimate_normal and all_normals:
+        pc.normals = np.concatenate(all_normals)
+    views_flat = np.concatenate(all_views)
+    weights_flat = np.concatenate(all_weights)
+    counts = np.concatenate(all_counts)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    pc.views = [views_flat[offsets[i] : offsets[i + 1]] for i in range(len(counts))]
+    pc.weights = [weights_flat[offsets[i] : offsets[i + 1]] for i in range(len(counts))]
+    return pc

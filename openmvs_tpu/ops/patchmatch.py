@@ -1,0 +1,492 @@
+"""PatchMatch multi-view stereo — TPU-native block-synchronous design.
+
+Re-designs the reference's sequential zig-zag PatchMatch estimator
+(DepthEstimator::ProcessPixel, libs/MVS/DepthMap.cpp:630-912, scoring
+DepthMap.cpp:465-626) as *whole-image vectorized checkerboard sweeps*: every
+half-iteration scores a fixed candidate set (current estimate, multi-distance
+neighbor propagations, random refinements) for all pixels of one parity at
+once.  This is the same convergence strategy as the reference's CUDA path
+(red/black kernels, PatchMatchCUDA.cu:597-655) but expressed as dense XLA ops
+so it runs on the MXU/VPU with no data-dependent control flow.
+
+Scoring matches the reference exactly:
+  - 9x9 window sampled every 2 px -> 25 texels (DepthMap.h:277-281)
+  - bilaterally weighted ZNCC (spatial+color Gaussian, DepthMap.h:403-411)
+  - plane-induced homography via the cached Hl/Hm/Hr decomposition
+    (DepthMap.h:414-423); we further hoist Hl@X0 per pixel since
+    vh . X0 == 1/depth
+  - min-mean aggregation over views (DepthMap.cpp:594-609)
+  - plane-smoothness bonus from the 4-neighborhood (DepthMap.cpp:522-534)
+  - forward-backward geometric-consistency term (DepthMap.cpp:535-551)
+  - low-resolution prior blend for textureless areas (DepthMap.cpp:552-561)
+
+Randomness is counter-based (threefry via jax.random.fold_in) so results are
+reproducible across shardings and reruns.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmvs_tpu.config import DenseOptions
+
+# progressive shrink factors for random refinement
+# (reference DepthEstimator::scaleRanges, DepthMap.cpp:359)
+SCALE_RANGES = tuple(0.5 ** i for i in range(12))
+
+
+class PMViews(NamedTuple):
+    """Per-neighbor-view constants, stacked on axis 0 (V views)."""
+
+    image: jnp.ndarray      # (V, Hp, Wp) gray [0,1], zero padded
+    size: jnp.ndarray       # (V, 2) float32: (h, w) valid extent
+    Hl: jnp.ndarray         # (V, 3, 3)  Kj Rj Ri^T
+    Hm: jnp.ndarray         # (V, 3)     Kj Rj (Ci - Cj)
+    # geometric-consistency constants (all zeros when disabled)
+    depth: jnp.ndarray      # (V, Hp, Wp) neighbor depth maps
+    Tl: jnp.ndarray         # (V, 3, 3)
+    Tm: jnp.ndarray         # (V, 3)
+    Tr: jnp.ndarray         # (V, 3, 3)
+    Tn: jnp.ndarray         # (V, 3)
+
+
+class PMData(NamedTuple):
+    """Static (per reference view) inputs to the sweep."""
+
+    ref: jnp.ndarray        # (H, W) gray
+    X0: jnp.ndarray         # (H, W, 3) Kinv @ (u, v, 1)
+    goff: jnp.ndarray       # (T, 3)    Kinv @ (dx, dy, 0) per texel offset
+    w: jnp.ndarray          # (T, H, W) bilateral weights
+    wtm: jnp.ndarray        # (T, H, W) w * (texel - weighted mean)
+    sum_w: jnp.ndarray      # (H, W)
+    norm_sq0: jnp.ndarray   # (H, W) weighted self-variance
+    views: PMViews
+    d_min: jnp.ndarray      # scalar
+    d_max: jnp.ndarray      # scalar
+    lowres: jnp.ndarray     # (H, W) low-res prior depth (0 = none)
+    valid: jnp.ndarray      # (H, W) bool: textured + full window inside
+
+
+class PMState(NamedTuple):
+    depth: jnp.ndarray      # (H, W)
+    normal: jnp.ndarray     # (H, W, 3) camera space, unit, n . X0 < 0
+    conf: jnp.ndarray       # (H, W) current aggregated score (0 best, 2 worst)
+
+
+# ------------------------------------------------------------- precompute
+
+
+def texel_offsets(opts: DenseOptions) -> np.ndarray:
+    """(T, 2) patch sample offsets (dx, dy)."""
+    r = np.arange(-opts.window_half, opts.window_half + 1, opts.window_step)
+    dy, dx = np.meshgrid(r, r, indexing="ij")
+    return np.stack([dx.ravel(), dy.ravel()], axis=-1).astype(np.float32)
+
+
+def compute_patch_weights(ref: jnp.ndarray, opts: DenseOptions):
+    """Bilateral patch weights and weighted texel stats for every pixel.
+
+    Matches DepthEstimator::GetWeight + FillPixelPatch (DepthMap.cpp:423-459):
+      weight  = exp(-(I_k - I_c)^2/(2*0.1^2) - |o_k|^2/(2*(hw-1)^2))
+      tm      = sum(w I) / sum(w)
+      wtm_k   = w_k (I_k - tm)
+      normSq0 = sum(wtm_k (I_k - tm))
+    """
+    offs = texel_offsets(opts)
+    T = len(offs)
+    sigma_color = -1.0 / (2.0 * 0.1 ** 2)
+    sigma_spatial = -1.0 / (2.0 * float(opts.window_half - 1) ** 2)
+    H, W = ref.shape
+    pad = opts.window_half
+    refp = jnp.pad(ref, pad, mode="edge")
+
+    texels = []
+    for dx, dy in offs:
+        texels.append(
+            jax.lax.dynamic_slice(refp, (int(dy) + pad, int(dx) + pad), (H, W))
+        )
+    texels = jnp.stack(texels)  # (T, H, W)
+    center = ref[None]
+    w_color = (texels - center) ** 2 * sigma_color
+    w_spatial = (offs[:, 0] ** 2 + offs[:, 1] ** 2)[:, None, None] * sigma_spatial
+    w = jnp.exp(w_color + w_spatial)
+    sum_w = jnp.sum(w, axis=0)
+    tm = jnp.sum(w * texels, axis=0) / sum_w
+    t_centered = texels - tm[None]
+    wtm = w * t_centered
+    norm_sq0 = jnp.sum(wtm * t_centered, axis=0)
+    return w, wtm, sum_w, norm_sq0
+
+
+# ------------------------------------------------------------- sampling
+
+
+def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample a 2D image at float coords (clamped gather)."""
+    Hp, Wp = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xi = jnp.clip(x0.astype(jnp.int32), 0, Wp - 2)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, Hp - 2)
+    flat = img.reshape(-1)
+    idx = yi * Wp + xi
+    v00 = jnp.take(flat, idx, mode="clip")
+    v01 = jnp.take(flat, idx + 1, mode="clip")
+    v10 = jnp.take(flat, idx + Wp, mode="clip")
+    v11 = jnp.take(flat, idx + Wp + 1, mode="clip")
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+
+
+# ------------------------------------------------------------- scoring
+
+
+def _score_one_view(
+    data: PMData,
+    opts: DenseOptions,
+    depth: jnp.ndarray,
+    normal: jnp.ndarray,
+    inv_nd: jnp.ndarray,
+    view_idx: int,
+) -> jnp.ndarray:
+    """Weighted-ZNCC score (0..2-ish) of hypothesis (depth, normal) in view j."""
+    v = data.views
+    Hl = v.Hl[view_idx]
+    Hm = v.Hm[view_idx]
+    img = v.image[view_idx]
+    h_j = v.size[view_idx, 0]
+    w_j = v.size[view_idx, 1]
+    th_robust = opts.th_robust
+
+    # s_k = Hl @ (X0 + goff_k) + Hm * (1/d + (n . goff_k) * inv_nd)
+    SX0 = jnp.einsum("ab,hwb->ahw", Hl, data.X0)          # (3, H, W)
+    Sg = jnp.einsum("ab,tb->ta", Hl, data.goff)           # (T, 3)
+    n_goff = jnp.einsum("hwb,tb->thw", normal, data.goff)  # (T, H, W)
+    inv_d = 1.0 / depth
+
+    num = jnp.zeros_like(depth)
+    ssum = jnp.zeros_like(depth)
+    ssq = jnp.zeros_like(depth)
+    inb = jnp.ones(depth.shape, bool)
+    T = data.goff.shape[0]
+    for k in range(T):
+        scale = inv_d + n_goff[k] * inv_nd                # (H, W)
+        sx = SX0[0] + Sg[k, 0] + Hm[0] * scale
+        sy = SX0[1] + Sg[k, 1] + Hm[1] * scale
+        sz = SX0[2] + Sg[k, 2] + Hm[2] * scale
+        zok = sz > 1e-8
+        izs = jnp.where(zok, 1.0 / jnp.where(zok, sz, 1.0), 0.0)
+        px = sx * izs
+        py = sy * izs
+        inb = inb & zok & (px >= 1) & (px <= w_j - 2) & (py >= 1) & (py <= h_j - 2)
+        val = _bilinear(img, px, py)
+        num = num + val * data.wtm[k]
+        ssum = ssum + val * data.w[k]
+        ssq = ssq + val * val * data.w[k]
+
+    norm_sq1 = ssq - ssum * ssum / data.sum_w
+    nrm_sq = data.norm_sq0 * norm_sq1
+    ncc = jnp.clip(num * jax.lax.rsqrt(jnp.maximum(nrm_sq, 1e-30)), -1.0, 1.0)
+    score = 1.0 - ncc
+    score = jnp.where((nrm_sq <= 1e-16) | ~inb, th_robust, score)
+    return score, inb
+
+
+def _geometric_term(
+    data: PMData, opts: DenseOptions, depth: jnp.ndarray, view_idx: int
+) -> jnp.ndarray:
+    """Forward-backward reprojection consistency (DepthMap.cpp:535-551)."""
+    v = data.views
+    Tl, Tm = v.Tl[view_idx], v.Tm[view_idx]
+    Tr, Tn = v.Tr[view_idx], v.Tn[view_idx]
+    dm = v.depth[view_idx]
+    h_j = v.size[view_idx, 0]
+    w_j = v.size[view_idx, 1]
+    X = data.X0 * depth[..., None]                        # (H, W, 3) cam-i space
+    X1 = jnp.einsum("ab,hwb->hwa", Tl, X) + Tm            # homogeneous in view j
+    z1 = X1[..., 2]
+    zok = z1 > 1e-8
+    iz = jnp.where(zok, 1.0 / jnp.where(zok, z1, 1.0), 0.0)
+    x1 = X1[..., 0] * iz
+    y1 = X1[..., 1] * iz
+    inside = zok & (x1 >= 1) & (x1 <= w_j - 2) & (y1 >= 1) & (y1 <= h_j - 2)
+    d1 = _bilinear(dm, x1, y1)
+    similar = inside & (d1 > 0) & (jnp.abs(z1 - d1) < 0.03 * z1)
+    Xb = jnp.stack([x1 * d1, y1 * d1, d1], axis=-1)
+    XB = jnp.einsum("ab,hwb->hwa", Tr, Xb) + Tn
+    zb = XB[..., 2]
+    izb = jnp.where(zb > 1e-8, 1.0 / jnp.where(zb > 1e-8, zb, 1.0), 0.0)
+    # pixel grid coords of this reference image
+    H, W = depth.shape
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    dist = jnp.sqrt((uu - XB[..., 0] * izb) ** 2 + (vv - XB[..., 1] * izb) ** 2)
+    cons = jnp.minimum(jnp.sqrt(dist * (dist + 2.0)), 4.0)
+    cons = jnp.where(similar & (zb > 1e-8), cons, 4.0)
+    return cons
+
+
+def _smoothness_bonus(
+    data: PMData, opts: DenseOptions, state: PMState, depth: jnp.ndarray, normal: jnp.ndarray
+) -> jnp.ndarray:
+    """Plane-smoothness bonus factor vs the current 4-neighborhood estimates.
+
+    Matches the DENSE_SMOOTHNESS_PLANE branch of ScorePixelImage
+    (DepthMap.cpp:522-534): each valid neighbor multiplies the score by
+    (1 - bonusD*exp((dist(plane, X_nb)/d)^2 sD)) (1 - bonusN*exp(acos(n.n_nb)^2 sN)).
+    """
+    plane_d = depth * jnp.einsum("hwc,hwc->hw", normal, data.X0)  # n . (X0 d)
+    P3 = data.X0 * state.depth[..., None]                          # neighbor 3D points
+    bonus = jnp.ones_like(depth)
+    bd, bn = opts.smooth_bonus_depth, opts.smooth_bonus_normal
+    sd, sn = opts.smooth_sigma_depth, opts.smooth_sigma_normal
+    for shift, axis in (((0, 1), 1), ((0, -1), 1), ((1, 0), 0), ((-1, 0), 0)):
+        dy, dx = shift
+        nb_d = _shift2d(state.depth, dy, dx)
+        nb_n = _shift2d_vec(state.normal, dy, dx)
+        nb_P = _shift2d_vec(P3, dy, dx)
+        valid = nb_d > 0
+        dist = jnp.einsum("hwc,hwc->hw", nb_P, normal) - plane_d
+        f_depth = jnp.exp((dist / depth) ** 2 * sd)
+        cosang = jnp.clip(jnp.einsum("hwc,hwc->hw", normal, nb_n), -1.0, 1.0)
+        f_norm = jnp.exp(jnp.arccos(cosang) ** 2 * sn)
+        factor = (1.0 - bd * f_depth) * (1.0 - bn * f_norm)
+        bonus = bonus * jnp.where(valid, factor, 1.0)
+    return bonus
+
+
+def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift with zero fill: out[y, x] = a[y+dy, x+dx]."""
+    return _shift2d_vec(a[..., None], dy, dx)[..., 0]
+
+
+def _shift2d_vec(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    H, W = a.shape[:2]
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
+    padded = jnp.pad(a, (pad_y, pad_x, (0, 0)))
+    y0, x0 = max(dy, 0), max(dx, 0)
+    return padded[y0 : y0 + H, x0 : x0 + W]
+
+
+def score_hypothesis(
+    data: PMData,
+    opts: DenseOptions,
+    state: PMState,
+    depth: jnp.ndarray,
+    normal: jnp.ndarray,
+    n_views: int,
+    use_geom: bool,
+) -> jnp.ndarray:
+    """Aggregated multi-view score of a (depth, normal) hypothesis map."""
+    inv_nd_den = jnp.einsum("hwc,hwc->hw", normal, data.X0) * depth
+    safe = jnp.abs(inv_nd_den) > 1e-12
+    inv_nd = jnp.where(safe, 1.0 / jnp.where(safe, inv_nd_den, 1.0), 0.0)
+
+    bonus = _smoothness_bonus(data, opts, state, depth, normal)
+
+    scores = []
+    for j in range(n_views):
+        s, _ = _score_one_view(data, opts, depth, normal, inv_nd, j)
+        s = s * bonus
+        if use_geom:
+            s = s + opts.estimation_geometric_weight * _geometric_term(data, opts, depth, j)
+        # low-res prior blend (DepthMap.cpp:552-561)
+        d0 = data.lowres
+        delta = jnp.minimum(jnp.abs(d0 - depth) / jnp.maximum(d0, 1e-12), 0.5)
+        f = jnp.exp(data.norm_sq0 * (-1.0 / 0.02))
+        s_blend = (1.0 - f) * s + f * delta
+        s = jnp.where(d0 > 0, s_blend, s)
+        scores.append(jnp.minimum(s, 2.0))
+    V = len(scores)
+    if V == 1:
+        return scores[0]
+    st = jnp.sort(jnp.stack(scores), axis=0)
+    s0, s1 = st[0], st[1]
+    # min-mean: average the best two unless the 2nd is already robust-clipped
+    return jnp.where(s1 < opts.th_robust, 0.5 * (s0 + s1), s0)
+
+
+# ------------------------------------------------------------- candidates
+
+
+def _normal_to_dir(n: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    theta = jnp.arctan2(n[..., 1], n[..., 0])
+    phi = jnp.arccos(jnp.clip(n[..., 2], -1.0, 1.0))
+    return theta, phi
+
+
+def _dir_to_normal(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+    sp = jnp.sin(phi)
+    return jnp.stack([jnp.cos(theta) * sp, jnp.sin(theta) * sp, jnp.cos(phi)], axis=-1)
+
+
+def _random_normal(key, shape, view_dir):
+    """Random camera-facing normal (DepthMap.h:439-444)."""
+    k1, k2 = jax.random.split(key)
+    theta = jax.random.uniform(k1, shape, minval=0.0, maxval=math.pi)
+    phi = jax.random.uniform(k2, shape, minval=math.pi / 2, maxval=math.pi)
+    n = _dir_to_normal(theta, phi)
+    flip = jnp.einsum("hwc,hwc->hw", n, view_dir) > 0
+    return jnp.where(flip[..., None], -n, n)
+
+
+def _random_depth(key, shape, d_min, d_max):
+    """sqrt-space uniform random depth (DepthMap.h:435-438)."""
+    u = jax.random.uniform(key, shape)
+    r = jnp.sqrt(d_min) + u * (jnp.sqrt(d_max) - jnp.sqrt(d_min))
+    return r * r
+
+
+def _propagate_candidate(data: PMData, state: PMState, opts: DenseOptions, dy: int, dx: int):
+    """Neighbor estimate re-interpolated to this pixel via its plane.
+
+    Ray-plane intersection form of DepthEstimator::InterpolatePixel
+    (DepthMap.cpp:916-960): d' = (n_nb . X_nb) / (n_nb . X0).
+    """
+    nb_d = _shift2d(state.depth, dy, dx)
+    nb_n = _shift2d_vec(state.normal, dy, dx)
+    nb_conf = _shift2d(state.conf, dy, dx)
+    nb_X0 = _shift2d_vec(data.X0, dy, dx)
+    plane_d = nb_d * jnp.einsum("hwc,hwc->hw", nb_n, nb_X0)
+    den = jnp.einsum("hwc,hwc->hw", nb_n, data.X0)
+    safe = jnp.abs(den) > 1e-12
+    d_new = jnp.where(safe, plane_d / jnp.where(safe, den, 1.0), nb_d)
+    d_new = jnp.where((d_new >= data.d_min) & (d_new <= data.d_max), d_new, nb_d)
+    # only propagate from valid, confident neighbors facing the camera
+    facing = jnp.einsum("hwc,hwc->hw", nb_n, data.X0) < 0
+    ok = (nb_d > 0) & (nb_conf < opts.ncc_threshold_keep) & facing
+    return d_new, nb_n, ok
+
+
+def _perturb_candidate(data: PMData, state: PMState, opts: DenseOptions, key, extra_scale: float):
+    """Random refinement around the current estimate (DepthMap.cpp:800-852).
+
+    The per-pixel search range shrinks with the current confidence, mirroring
+    the reference's idxScaleRange schedule.
+    """
+    conf = state.conf
+    idx_scale = jnp.where(
+        conf <= opts.th_conf_small, 2, jnp.where(conf <= opts.th_conf_big, 1, 0)
+    ).astype(jnp.float32)
+    scale = (0.5 ** idx_scale) * extra_scale
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    depth_range = state.depth * opts.random_depth_ratio
+    d_new = state.depth + (jax.random.uniform(k1, conf.shape) * 2 - 1) * depth_range * scale
+    theta, phi = _normal_to_dir(state.normal)
+    a1 = math.radians(opts.random_angle1_range)
+    a2 = math.radians(opts.random_angle2_range)
+    theta = theta + (jax.random.uniform(k2, conf.shape) * 2 - 1) * a1 * scale
+    phi = phi + (jax.random.uniform(k3, conf.shape) * 2 - 1) * a2 * scale
+    n_new = _dir_to_normal(theta, phi)
+
+    # fully random restart where the current estimate is hopeless
+    rand_d = _random_depth(k4, conf.shape, data.d_min, data.d_max)
+    rand_n = _random_normal(k5, conf.shape, data.X0)
+    hopeless = conf >= opts.th_conf_rand
+    d_new = jnp.where(hopeless, rand_d, d_new)
+    n_new = jnp.where(hopeless[..., None], rand_n, n_new)
+
+    ok = (
+        (d_new >= data.d_min)
+        & (d_new <= data.d_max)
+        & (jnp.einsum("hwc,hwc->hw", n_new, data.X0) < 0)
+    )
+    return d_new, n_new, ok
+
+
+# propagation neighborhood: 4-adjacent plus 4 longer-range samples so
+# information travels faster than one pixel per half-iteration
+# (the reference's adaptive checkerboard uses near+far samples similarly,
+# PatchMatchCUDA.cu:389-548)
+PROP_OFFSETS = ((0, 1), (0, -1), (1, 0), (-1, 0), (0, 5), (0, -5), (5, 0), (-5, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb"))
+def sweep(
+    state: PMState,
+    data: PMData,
+    opts: DenseOptions,
+    key: jnp.ndarray,
+    n_views: int,
+    use_geom: bool = False,
+    n_perturb: int = 3,
+) -> PMState:
+    """One full PatchMatch iteration = two checkerboard half-steps."""
+    H, W = state.depth.shape
+    uu = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    vv = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    parity_map = (uu + vv) % 2
+
+    for parity in (0, 1):
+        active = (parity_map == parity) & data.valid
+        best_d, best_n, best_c = state.depth, state.normal, state.conf
+
+        candidates = []
+        for dy, dx in PROP_OFFSETS:
+            candidates.append(_propagate_candidate(data, state, opts, dy, dx))
+        for r in range(n_perturb):
+            ck = jax.random.fold_in(key, parity * 131 + r)
+            candidates.append(_perturb_candidate(data, state, opts, ck, SCALE_RANGES[r]))
+
+        for cd, cn, cok in candidates:
+            s = score_hypothesis(data, opts, state, cd, cn, n_views, use_geom)
+            s = jnp.where(cok, s, jnp.inf)
+            take = active & (s < best_c)
+            best_d = jnp.where(take, cd, best_d)
+            best_n = jnp.where(take[..., None], cn, best_n)
+            best_c = jnp.where(take, s, best_c)
+        state = PMState(depth=best_d, normal=best_n, conf=best_c)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom"))
+def init_state(
+    data: PMData,
+    opts: DenseOptions,
+    key: jnp.ndarray,
+    seed_depth,
+    seed_normal,
+    n_views: int,
+    use_geom: bool = False,
+) -> PMState:
+    """Initialize state from seeds; random where seeds are missing.
+
+    Mirrors ScoreDepthMapTmp (SceneDensify.cpp:490-517).
+    """
+    shape = data.ref.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    rand_d = _random_depth(k1, shape, data.d_min, data.d_max)
+    rand_n = _random_normal(k2, shape, data.X0)
+    has_seed = (seed_depth >= data.d_min) & (seed_depth <= data.d_max)
+    depth = jnp.where(has_seed, seed_depth, rand_d)
+    nrm = jnp.linalg.norm(seed_normal, axis=-1)
+    facing = jnp.einsum("hwc,hwc->hw", seed_normal, data.X0) < 0
+    seed_n_ok = has_seed & (nrm > 0.5) & facing
+    normal = jnp.where(seed_n_ok[..., None], seed_normal, rand_n)
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+    state0 = PMState(depth=depth, normal=normal, conf=jnp.full(shape, 2.0))
+    conf = score_hypothesis(data, opts, state0, depth, normal, n_views, use_geom)
+    conf = jnp.where(data.valid, conf, 2.0)
+    depth = jnp.where(data.valid, depth, 0.0)
+    return PMState(depth=depth, normal=normal, conf=conf)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "geometric_follows"))
+def finalize(state: PMState, data: PMData, opts: DenseOptions, geometric_follows: bool) -> PMState:
+    """Threshold scores and convert to [0,1] confidence (EndDepthMapTmp,
+    SceneDensify.cpp:530-575)."""
+    keep = opts.ncc_threshold_keep * (1.333 if geometric_follows else 1.0)
+    bad = (state.depth <= 0) | (state.conf >= keep) | ~data.valid
+    conf = jnp.where(state.conf >= 1.0, 0.0, 1.0 - state.conf)
+    conf = jnp.where(bad, 0.0, conf)
+    depth = jnp.where(bad, 0.0, state.depth)
+    normal = jnp.where(bad[..., None], 0.0, state.normal)
+    return PMState(depth=depth, normal=normal, conf=conf)

@@ -1,0 +1,186 @@
+"""Neighbor-view selection and scoring.
+
+Behavioral equivalent of the reference's Scene::SelectNeighborViews
+(libs/MVS/Scene.cpp:801-968) and FilterNeighborViews (Scene.cpp:952-968),
+fully vectorized over (point, view) pairs with numpy instead of per-point
+loops.
+
+Score for a candidate neighbor B of reference A accumulates over shared
+sparse points:  max(wAngle, 0.1) * wScale * wROI, where
+  wAngle = exp((angle-optim)^2 * sigma)   (two-sided Gaussian around 12 deg)
+  wScale = footprint ratio penalty (prefer same-or-finer resolution)
+and is finally multiplied by the covered-area fraction of shared
+projections on a 16x16 grid.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from openmvs_tpu.config import DenseOptions
+from openmvs_tpu.io.mvs import ViewScore
+from openmvs_tpu.scene import Scene
+
+
+def _covered_area(proj: np.ndarray, width: int, height: int, grid: int = 16) -> float:
+    """Fraction of a grid x grid raster covered by the projections."""
+    if len(proj) == 0:
+        return 0.0
+    ix = np.clip((proj[:, 0] * grid / width).astype(np.int32), 0, grid - 1)
+    iy = np.clip((proj[:, 1] * grid / height).astype(np.int32), 0, grid - 1)
+    return len(np.unique(ix * grid + iy)) / float(grid * grid)
+
+
+def select_neighbor_views(
+    scene: Scene,
+    ref_idx: int,
+    opts: DenseOptions,
+    min_views: int = 2,
+    min_point_views: int = 3,
+) -> List[ViewScore]:
+    """Score all other views as stereo neighbors for image ``ref_idx``.
+
+    Returns ViewScores sorted best-first and writes avg depth onto the image
+    meta (as Scene::SelectNeighborViews does).
+    """
+    imgA = scene.images[ref_idx]
+    idA = imgA.meta.id
+    pts_all = scene.pointcloud.points.astype(np.float64)
+    views = scene.pointcloud.views
+
+    # (point, view) pair lists for points seen by A
+    pair_pt: List[int] = []
+    pair_view: List[int] = []
+    sel_pts: List[int] = []
+    for i, v in enumerate(views):
+        if idA in v:
+            sel_pts.append(i)
+            for b in v:
+                if b != idA:
+                    pair_pt.append(i)
+                    pair_view.append(int(b))
+    if not sel_pts:
+        return []
+    sel_pts_arr = np.array(sel_pts)
+    X = pts_all[sel_pts_arr]
+    depthA = imgA.camera.point_depth(X)
+    valid_depth = depthA > 0
+    imgA.meta.avg_depth = float(depthA[valid_depth].mean()) if valid_depth.any() else 0.0
+    imgA.meta.min_depth = float(depthA[valid_depth].min()) if valid_depth.any() else 0.0
+    imgA.meta.max_depth = float(depthA[valid_depth].max()) if valid_depth.any() else 0.0
+
+    if not pair_pt:
+        return []
+    pair_pt = np.array(pair_pt)
+    pair_view = np.array(pair_view)
+    P = pts_all[pair_pt]
+
+    id_to_idx = {img.meta.id: i for i, img in enumerate(scene.images)}
+    n_images = len(scene.images)
+
+    # angle between viewing rays
+    V1 = imgA.camera.C[None, :] - P
+    f1 = imgA.camera.footprint_image(P)
+    camsB = [scene.images[id_to_idx[b]].camera if b in id_to_idx else None for b in range(max(id_to_idx) + 1)]
+    CB = np.stack([camsB[b].C if camsB[b] is not None else np.zeros(3) for b in pair_view])
+    V2 = CB - P
+    cosang = np.einsum("ij,ij->i", V1, V2) / (
+        np.linalg.norm(V1, axis=1) * np.linalg.norm(V2, axis=1) + 1e-30
+    )
+    ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+    optim = opts.optim_angle
+    sigma_small = -1.0 / (2.0 * (optim * 0.38) ** 2)
+    sigma_large = -1.0 / (2.0 * (optim * 0.7) ** 2)
+    w_angle = np.exp((ang - optim) ** 2 * np.where(ang < optim, sigma_small, sigma_large))
+
+    # footprint scale ratio
+    fB = np.array([camsB[b].focal_length for b in pair_view])
+    dB = np.einsum("ij,ij->i", P - CB, np.stack([camsB[b].R[2] for b in pair_view]))
+    f2 = fB / np.maximum(dB, 1e-30)
+    ratio = f1 / np.maximum(f2, 1e-30)
+    w_scale = np.where(ratio > 1.6, (1.6 / ratio) ** 2, np.where(ratio >= 1.0, 1.0, ratio ** 2))
+    w_scale = np.where(dB <= 0, 0.0, w_scale)
+
+    contrib = np.maximum(w_angle, 0.1) * w_scale
+    max_id = int(pair_view.max()) + 1
+    score_acc = np.bincount(pair_view, weights=contrib, minlength=max_id)
+    scale_acc = np.bincount(pair_view, weights=ratio, minlength=max_id)
+    angle_acc = np.bincount(pair_view, weights=ang, minlength=max_id)
+    count_acc = np.bincount(pair_view, minlength=max_id)
+
+    # points eligible for area computation: those with enough views
+    n_point_views = np.array([len(views[i]) for i in pair_pt])
+    eligible = n_point_views >= min(min_point_views, n_images)
+
+    result: List[ViewScore] = []
+    projA_all = imgA.camera.project(P)
+    boundsA = (imgA.width, imgA.height)
+    for b in np.nonzero(count_acc >= 3)[0]:
+        if b not in id_to_idx:
+            continue
+        imgB = scene.images[id_to_idx[b]]
+        mask = (pair_view == b) & eligible
+        if not mask.any():
+            continue
+        projA = projA_all[mask]
+        projB = imgB.camera.project(P[mask])
+        insideA = (
+            (projA[:, 0] >= 0) & (projA[:, 0] < boundsA[0]) & (projA[:, 1] >= 0) & (projA[:, 1] < boundsA[1])
+        )
+        insideB = (
+            (projB[:, 0] >= 0) & (projB[:, 0] < imgB.width) & (projB[:, 1] >= 0) & (projB[:, 1] < imgB.height)
+        )
+        area = _covered_area(projA[insideA & insideB], imgA.width, imgA.height)
+        vs = ViewScore(
+            id=int(b),
+            points=int(count_acc[b]),
+            scale=float(scale_acc[b] / count_acc[b]),
+            angle=float(math.radians(angle_acc[b] / count_acc[b])),
+            area=area,
+            score=float(score_acc[b] * max(area, 0.01)),
+        )
+        result.append(vs)
+    result.sort(key=lambda v: -v.score)
+    return result
+
+
+def filter_neighbor_views(
+    neighbors: List[ViewScore],
+    opts: DenseOptions,
+    min_area: float = 0.1,
+    min_scale: float = 0.2,
+    max_scale: float = 3.2,
+    min_angle: float = 3.0,
+    max_angle: float = 45.0,
+    max_views: int = 12,
+) -> List[ViewScore]:
+    """Keep only usable neighbors (reference Scene::FilterNeighborViews)."""
+    min_keep = max(4, max_views * 3 // 4)
+    out = list(neighbors)
+    for vs in sorted(neighbors, key=lambda v: v.score):
+        if len(out) <= min_keep:
+            break
+        angle_deg = math.degrees(vs.angle)
+        if vs.area < min_area or not (min_scale <= vs.scale <= max_scale) or not (
+            min_angle <= angle_deg <= max_angle
+        ):
+            out.remove(vs)
+    out.sort(key=lambda v: -v.score)
+    return out[:max_views]
+
+
+def select_views_for_scene(scene: Scene, opts: DenseOptions) -> None:
+    """Populate meta.view_scores for every image."""
+    for i in range(scene.n_views):
+        neighbors = select_neighbor_views(scene, i, opts)
+        # drop weak absolute/relative scores (SceneDensify.cpp InitViews policy)
+        if neighbors:
+            best = neighbors[0].score
+            th = max(opts.view_min_score, best * opts.view_min_score_ratio)
+            neighbors = [v for v in neighbors if v.score >= th] or neighbors[:1]
+        neighbors = filter_neighbor_views(neighbors, opts, max_views=opts.max_views)
+        scene.images[i].meta.view_scores = neighbors
