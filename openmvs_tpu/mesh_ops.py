@@ -1,0 +1,259 @@
+"""Mesh geometry operations: adjacency, cleaning, decimation, smoothing.
+
+Role-equivalent of the reference's ``Mesh`` geometry toolbox
+(libs/MVS/Mesh.h:124-260 — Clean = decimate + remove spurious/spikes + close
+holes + smooth; FixNonManifold).  Decimation runs natively (quadric
+edge-collapse, openmvs_tpu/native/src/decimate.cpp); connectivity analysis is
+vectorized numpy; smoothing is a dense Taubin pass.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from openmvs_tpu.scene import Mesh
+from openmvs_tpu.utils.log import get_logger
+
+log = get_logger("mesh")
+
+
+# --------------------------------------------------------------------- basics
+def face_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    a = vertices[faces[:, 0]]
+    e1 = vertices[faces[:, 1]] - a
+    e2 = vertices[faces[:, 2]] - a
+    n = np.cross(e1, e2)
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    return n / np.maximum(ln, 1e-30)
+
+
+def vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals."""
+    a = vertices[faces[:, 0]]
+    fn = np.cross(vertices[faces[:, 1]] - a, vertices[faces[:, 2]] - a)
+    vn = np.zeros_like(vertices, dtype=np.float64)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    ln = np.linalg.norm(vn, axis=1, keepdims=True)
+    return (vn / np.maximum(ln, 1e-30)).astype(np.float32)
+
+
+def edges_of_faces(faces: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (sorted) edges, one row per face-edge: returns (edges(nf*3,2),
+    unique_edges, inverse index mapping face-edge -> unique edge)."""
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0)
+    e_sorted = np.sort(e, axis=1)
+    uniq, inv = np.unique(e_sorted, axis=0, return_inverse=True)
+    return e_sorted, uniq, inv
+
+
+def remove_unreferenced(vertices: np.ndarray, faces: np.ndarray):
+    used = np.zeros(len(vertices), bool)
+    used[faces.ravel()] = True
+    remap = np.cumsum(used) - 1
+    return vertices[used], remap[faces].astype(np.int32)
+
+
+def remove_degenerate_faces(faces: np.ndarray) -> np.ndarray:
+    ok = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 2] != faces[:, 0])
+    )
+    return faces[ok]
+
+
+def remove_duplicate_faces(faces: np.ndarray) -> np.ndarray:
+    key = np.sort(faces, axis=1)
+    _, idx = np.unique(key, axis=0, return_index=True)
+    return faces[np.sort(idx)]
+
+
+# --------------------------------------------------------- non-manifold fixes
+def fix_non_manifold(vertices: np.ndarray, faces: np.ndarray):
+    """Drop faces on edges shared by >2 faces (keeping the first two), then
+    remove duplicates/degenerates (reference Mesh::FixNonManifold role,
+    SceneReconstruct.cpp:1159)."""
+    faces = remove_degenerate_faces(faces)
+    faces = remove_duplicate_faces(faces)
+    for _ in range(4):
+        _, uniq, inv = edges_of_faces(faces)
+        counts = np.bincount(inv, minlength=len(uniq))
+        bad_edges = counts > 2
+        if not bad_edges.any():
+            break
+        nf = len(faces)
+        face_bad = np.zeros(nf, bool)
+        # order face-edges per unique edge; keep first 2 incident faces
+        order = np.argsort(inv, kind="stable")
+        inv_sorted = inv[order]
+        # rank within group
+        group_start = np.searchsorted(inv_sorted, np.arange(len(uniq)))
+        rank = np.arange(len(inv_sorted)) - group_start[inv_sorted]
+        drop = (rank >= 2) & bad_edges[inv_sorted]
+        face_bad[order[drop] % nf] = True
+        faces = faces[~face_bad]
+    return remove_unreferenced(vertices, faces)
+
+
+def connected_components(faces: np.ndarray, n_vertices: int) -> np.ndarray:
+    """Face component ids via union-find over shared edges."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as cc
+
+    _, uniq, inv = edges_of_faces(faces)
+    nf = len(faces)
+    fidx = np.arange(3 * nf) % nf
+    order = np.argsort(inv, kind="stable")
+    inv_s, f_s = inv[order], fidx[order]
+    # adjacent faces: consecutive entries with same edge id
+    same = inv_s[1:] == inv_s[:-1]
+    rows, cols = f_s[:-1][same], f_s[1:][same]
+    g = coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(nf, nf))
+    _, labels = cc(g, directed=False)
+    return labels
+
+
+def remove_spurious(vertices: np.ndarray, faces: np.ndarray, percent: float = 20.0):
+    """Remove small connected components (< percent% of the largest)."""
+    if len(faces) == 0:
+        return vertices, faces
+    labels = connected_components(faces, len(vertices))
+    counts = np.bincount(labels)
+    keep_threshold = counts.max() * percent / 100.0
+    keep = counts[labels] >= keep_threshold
+    return remove_unreferenced(vertices, faces[keep])
+
+
+def remove_spikes(vertices: np.ndarray, faces: np.ndarray, iters: int = 2):
+    """Remove spike vertices: a vertex whose every incident face is nearly
+    degenerate in the normal sense (very long thin triangles)."""
+    for _ in range(iters):
+        a = vertices[faces[:, 0]]
+        e1 = vertices[faces[:, 1]] - a
+        e2 = vertices[faces[:, 2]] - a
+        area2 = np.linalg.norm(np.cross(e1, e2), axis=1)
+        per = (
+            np.linalg.norm(e1, axis=1)
+            + np.linalg.norm(e2, axis=1)
+            + np.linalg.norm(vertices[faces[:, 2]] - vertices[faces[:, 1]], axis=1)
+        )
+        # compactness ~ 0 for needle triangles
+        q = area2 / np.maximum(per * per, 1e-30)
+        bad = q < 1e-5
+        if not bad.any():
+            break
+        faces = faces[~bad]
+    return remove_unreferenced(vertices, faces)
+
+
+def close_holes(vertices: np.ndarray, faces: np.ndarray, max_size: int = 30):
+    """Close small boundary loops with a triangle fan around their centroid."""
+    _, uniq, inv = edges_of_faces(faces)
+    counts = np.bincount(inv, minlength=len(uniq))
+    boundary = uniq[counts == 1]
+    if len(boundary) == 0:
+        return vertices, faces
+    # build boundary adjacency: vertex -> next vertices
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in boundary:
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    visited = set()
+    new_vs = []
+    new_fs = []
+    nv = len(vertices)
+    for a, b in boundary:
+        a = int(a)
+        if a in visited:
+            continue
+        # trace loop
+        loop = [a]
+        visited.add(a)
+        cur, prev = a, -1
+        ok = True
+        for _ in range(max_size + 1):
+            nxts = [v for v in adj[cur] if v != prev and v not in visited]
+            if not nxts:
+                # closed back to start?
+                ok = loop[0] in adj[cur] and len(loop) >= 3
+                break
+            prev, cur = cur, nxts[0]
+            visited.add(cur)
+            loop.append(cur)
+        else:
+            ok = False
+        if not ok or len(loop) < 3 or len(loop) > max_size:
+            continue
+        centroid = vertices[loop].mean(axis=0)
+        ci = nv + len(new_vs)
+        new_vs.append(centroid)
+        for i in range(len(loop)):
+            new_fs.append((loop[i], loop[(i + 1) % len(loop)], ci))
+    if not new_fs:
+        return vertices, faces
+    vertices = np.concatenate([vertices, np.asarray(new_vs, vertices.dtype)], axis=0)
+    faces = np.concatenate([faces, np.asarray(new_fs, np.int32)], axis=0)
+    return vertices, faces
+
+
+def taubin_smooth(vertices: np.ndarray, faces: np.ndarray, iters: int = 2,
+                  lam: float = 0.5, mu: float = -0.53):
+    """Taubin lambda/mu smoothing (shrink-free Laplacian)."""
+    from scipy.sparse import coo_matrix
+
+    _, uniq, _ = edges_of_faces(faces)
+    n = len(vertices)
+    rows = np.concatenate([uniq[:, 0], uniq[:, 1]])
+    cols = np.concatenate([uniq[:, 1], uniq[:, 0]])
+    w = np.ones(len(rows))
+    A = coo_matrix((w, (rows, cols)), shape=(n, n)).tocsr()
+    deg = np.asarray(A.sum(axis=1)).ravel()
+    deg[deg == 0] = 1
+    v = vertices.astype(np.float64)
+    for _ in range(iters):
+        for step in (lam, mu):
+            delta = A @ v / deg[:, None] - v
+            v = v + step * delta
+    return v.astype(vertices.dtype)
+
+
+def decimate_mesh(vertices: np.ndarray, faces: np.ndarray, ratio: float):
+    """Quadric edge-collapse decimation to ratio*nf faces (native)."""
+    from openmvs_tpu import native
+
+    target = int(len(faces) * ratio)
+    v2, f2 = native.decimate(vertices.astype(np.float64), faces.astype(np.int32), target)
+    return v2.astype(vertices.dtype), f2
+
+
+def clean_mesh(
+    mesh: Mesh,
+    decimate: float = 1.0,
+    remove_spurious_percent: float = 20.0,
+    do_remove_spikes: bool = True,
+    close_holes_size: int = 30,
+    smooth_iters: int = 2,
+    last_clean: bool = True,
+) -> Mesh:
+    """Reference Mesh::Clean composite (libs/MVS/Mesh.cpp:685-790 role):
+    decimate -> remove spurious components -> remove spikes -> close holes ->
+    smooth."""
+    v, f = mesh.vertices, mesh.faces
+    if decimate < 1.0 and len(f):
+        v, f = decimate_mesh(v, f, decimate)
+        log.info("decimated to %d vertices, %d faces", len(v), len(f))
+    if remove_spurious_percent > 0 and len(f):
+        v, f = remove_spurious(v, f, remove_spurious_percent)
+    if do_remove_spikes and len(f):
+        v, f = remove_spikes(v, f)
+    if close_holes_size > 0 and len(f):
+        v, f = close_holes(v, f, close_holes_size)
+    if smooth_iters > 0 and last_clean and len(f):
+        v = taubin_smooth(v, f, smooth_iters)
+    v, f = fix_non_manifold(v, f)
+    return Mesh(vertices=np.asarray(v, np.float32), faces=np.asarray(f, np.int32))

@@ -1,0 +1,144 @@
+"""Native host-side kernels (C++ via ctypes).
+
+The irreducibly pointer-chasing stages — s-t max-flow over the Delaunay
+tetrahedralization and quadric edge-collapse decimation — run as native code,
+mirroring where the reference shells out to IBFS/CGAL/VCG
+(libs/MVS/SceneReconstruct.cpp:58-108, libs/MVS/Mesh.cpp:685-790).
+
+The shared library is built on demand from ``src/*.cpp`` with g++ (no build
+system dependency); rebuilt automatically when any source is newer than the
+cached ``_omvs_native.so``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_omvs_native.so")
+_SOURCES = ("maxflow.cpp", "delaunay_cut.cpp", "decimate.cpp")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for s in _SOURCES + ("maxflow.h",):
+        p = os.path.join(_SRC_DIR, s)
+        if os.path.exists(p) and os.path.getmtime(p) > lib_mtime:
+            return True
+    return False
+
+
+def build(force: bool = False) -> str:
+    """Compile the native library if missing/stale; returns its path."""
+    with _lock:
+        if force or _needs_build():
+            srcs = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
+            cmd = [
+                "g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+                "-fopenmp", "-o", _LIB_PATH + ".tmp", *srcs,
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+    return _LIB_PATH
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    build()
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    c_i64 = ctypes.c_int64
+    p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+    lib.omvs_delaunay_graph_cut.restype = ctypes.c_int
+    lib.omvs_delaunay_graph_cut.argtypes = [
+        p_f64, c_i64,            # verts, nv
+        p_i32, p_i32, c_i64,     # tets, neigh, nt
+        p_i32,                   # vert_tet
+        p_f64, c_i64,            # cam_centers, ncam
+        p_i64, p_i32, p_f32,     # view_indptr, view_cam, view_weight
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,  # sigma, kqual, kinf
+        p_u8,                    # inside_out (nt + 1)
+    ]
+
+    lib.omvs_decimate.restype = ctypes.c_int
+    lib.omvs_decimate.argtypes = [
+        p_f64, c_i64, p_i32, c_i64,   # verts_in, nv, faces_in, nf
+        c_i64,                        # target_nf
+        p_f64, p_i32,                 # out_verts, out_faces
+        np.ctypeslib.ndpointer(np.int64, shape=(1,)),
+        np.ctypeslib.ndpointer(np.int64, shape=(1,)),
+    ]
+    _lib = lib
+    return lib
+
+
+def delaunay_graph_cut(
+    verts: np.ndarray,
+    tets: np.ndarray,
+    neigh: np.ndarray,
+    vert_tet: np.ndarray,
+    cam_centers: np.ndarray,
+    view_indptr: np.ndarray,
+    view_cam: np.ndarray,
+    view_weight: np.ndarray,
+    sigma: float,
+    kqual: float,
+    kinf: float,
+) -> np.ndarray:
+    """Returns per-tet free/full label (+1 trailing entry for the merged
+    outside-the-hull node): 0 = free/empty space (source side of the cut —
+    cameras tie to the source), 1 = full/interior matter (sink side).  The
+    surface is the set of facets between a free and a full cell."""
+    lib = _load()
+    nv, nt = len(verts), len(tets)
+    inside = np.zeros(nt + 1, np.uint8)
+    rc = lib.omvs_delaunay_graph_cut(
+        np.ascontiguousarray(verts, np.float64), nv,
+        np.ascontiguousarray(tets, np.int32),
+        np.ascontiguousarray(neigh, np.int32), nt,
+        np.ascontiguousarray(vert_tet, np.int32),
+        np.ascontiguousarray(cam_centers, np.float64), len(cam_centers),
+        np.ascontiguousarray(view_indptr, np.int64),
+        np.ascontiguousarray(view_cam, np.int32),
+        np.ascontiguousarray(view_weight, np.float32),
+        float(sigma), float(kqual), float(kinf),
+        inside,
+    )
+    if rc != 0:
+        raise RuntimeError(f"omvs_delaunay_graph_cut failed (rc={rc})")
+    return inside
+
+
+def decimate(verts: np.ndarray, faces: np.ndarray, target_nf: int):
+    """Quadric edge-collapse decimation to <= target_nf faces."""
+    lib = _load()
+    nv, nf = len(verts), len(faces)
+    out_v = np.zeros((nv, 3), np.float64)
+    out_f = np.zeros((nf, 3), np.int32)
+    out_nv = np.zeros(1, np.int64)
+    out_nf = np.zeros(1, np.int64)
+    rc = lib.omvs_decimate(
+        np.ascontiguousarray(verts, np.float64), nv,
+        np.ascontiguousarray(faces, np.int32), nf,
+        int(target_nf), out_v, out_f, out_nv, out_nf,
+    )
+    if rc != 0:
+        raise RuntimeError(f"omvs_decimate failed (rc={rc})")
+    return out_v[: out_nv[0]].copy(), out_f[: out_nf[0]].copy()

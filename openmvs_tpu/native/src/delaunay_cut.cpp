@@ -274,7 +274,11 @@ int omvs_delaunay_graph_cut(
   for (int64_t t = 0; t < nt + 1; ++t)
     mf.add_terminal(t, s_cap[t], std::min((double)t_cap[t], kMaxCap));
 
-  // facet quality: cos angle between facet plane and vector to circumcenter
+  // facet quality: cos of the angle between the facet plane and the cell's
+  // circumscribed sphere (SceneReconstruct.cpp:719-758).  The normal is
+  // oriented toward the cell's apex (vertex j) so that a well-shaped cell —
+  // circumcenter far on the cell side — yields cos ~ +1 and hence quality
+  // cost q = (1 - cos) ~ 0; slivers yield cos ~ 0 -> q ~ kQual.
   auto plane_sphere_cos = [&](int64_t t, int j) -> double {
     const int32_t* tv = tets + 4 * t;
     int a = (j + 1) & 3, b = (j + 2) & 3, cc = (j + 3) & 3;
@@ -282,6 +286,7 @@ int omvs_delaunay_graph_cut(
     V3 fn = cross(B - A, C - A);
     double fl = dot(fn, fn);
     if (fl == 0) return 0.5;
+    if (dot(fn, m.vert(tv[j]) - A) < 0) fn = fn * -1.0;  // orient toward apex
     V3 ct = m.circumcenter(t) - A;
     double cl = dot(ct, ct);
     if (cl == 0) return 0.5;

@@ -1,10 +1,13 @@
-// Boykov-Kolmogorov style s-t max-flow / min-cut for graph-cut surface
-// extraction.  Role equivalent of the reference's IBFS solver
-// (libs/Math/IBFS/IBFS.h, used by SceneReconstruct.cpp:58-108); independent
-// implementation of the classic BK augmenting-path algorithm with search
-// trees and orphan adoption.
+// s-t max-flow / min-cut for graph-cut surface extraction.  Role equivalent
+// of the reference's IBFS solver (libs/Math/IBFS/IBFS.h, used by
+// SceneReconstruct.cpp:58-108).  Implemented as Dinic's algorithm (level-graph
+// BFS + blocking-flow DFS with current-arc): terminates in at most V phases
+// regardless of capacity values, which matters with float weights, and the
+// level graphs are shallow for visibility graphs (source and sink regions are
+// separated by a thin surface band).
 #pragma once
 
+#include <cstddef>
 #include <cstdint>
 #include <vector>
 
@@ -19,39 +22,26 @@ class MaxFlow {
   // bidirectional edge with independent capacities
   void add_edge(int64_t a, int64_t b, double cap_ab, double cap_ba);
 
-  double compute();                       // returns max flow value
+  double compute();                         // returns max flow value
   bool is_source_side(int64_t node) const;  // after compute()
 
  private:
   struct Arc {
-    int64_t head;     // target node
-    int64_t next;     // next arc out of the same node
-    int64_t sister;   // reverse arc index
-    double r_cap;     // residual capacity
-  };
-  struct Node {
-    int64_t first_arc = -1;
-    int64_t parent_arc = -1;  // arc to parent in search tree (-1 root/free)
-    int64_t next_active = -1;
-    uint32_t timestamp = 0;
-    uint32_t dist = 0;
-    int8_t tree = 0;          // 0 free, +1 source tree, -1 sink tree
-    bool in_active = false;
-    double tr_cap = 0;        // >0: residual source->node, <0: node->sink
+    int64_t head;   // target node
+    double r_cap;   // residual capacity
   };
 
-  std::vector<Node> nodes_;
-  std::vector<Arc> arcs_;
-  std::vector<int64_t> active_;  // FIFO queue
-  size_t active_head_ = 0;
-  std::vector<int64_t> orphans_;
-  uint32_t time_ = 0;
+  int64_t n_;
+  // terminal residuals: tr_cap > 0 source->node, < 0 node->sink
+  std::vector<double> tr_cap_;
+  std::vector<Arc> arcs_;                  // sister of arc a is a^1
+  std::vector<std::vector<int64_t>> out_;  // per-node arc indices
+  std::vector<int32_t> level_;
+  std::vector<int32_t> cur_;
   double flow_ = 0;
 
-  void set_active(int64_t i);
-  int64_t next_active();
-  void augment(int64_t middle_arc);
-  void adopt(int64_t node);
+  bool bfs();
+  double dfs(int64_t v, double pushed);
 };
 
 }  // namespace omvs

@@ -1,0 +1,199 @@
+"""Mesh reconstruction: dense point cloud -> watertight surface.
+
+Equivalent of Scene::ReconstructMesh (libs/MVS/SceneReconstruct.cpp:767-1159,
+Labatut-Pons'07 graph cut): Delaunay tetrahedralization of the (deduplicated)
+points, per-(point, view) visibility ray weights accumulated over crossed
+facets, s-t min-cut labeling cells free/full, surface = facets between a free
+and a full cell.
+
+The tetrahedralization comes from Qhull (scipy.spatial.Delaunay); the ray
+walking and the min-cut run natively (openmvs_tpu/native/src/delaunay_cut.cpp
++ maxflow.cpp), mirroring where the reference shells out to CGAL + IBFS.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from openmvs_tpu import native
+from openmvs_tpu.config import MeshOptions
+from openmvs_tpu.scene import Mesh, PointCloud, Scene
+from openmvs_tpu.utils.log import get_logger, timed
+
+log = get_logger("reconstruct")
+
+
+def _dedup_points(
+    scene: Scene, pc: PointCloud, dist_insert: float
+) -> tuple[np.ndarray, List[np.ndarray], List[np.ndarray]]:
+    """Merge points closer than ~dist_insert pixels when projected (the
+    reference gates Delaunay insertion the same way, SceneReconstruct.cpp:
+    785-913, distInsert).  Approximated by a voxel grid whose cell size is the
+    median of (dist_insert * depth / focal) over the cloud."""
+    pts = np.asarray(pc.points, np.float64)
+    if dist_insert <= 0 or len(pts) == 0:
+        return pts, pc.views, pc.weights
+    # depth w.r.t. the first view of each point
+    id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
+    first_view = np.array(
+        [int(v[0]) if len(v) else 0 for v in pc.views], np.int64
+    )
+    cams = {i: im.camera for i, im in enumerate(scene.images)}
+    depths = np.ones(len(pts))
+    focals = np.ones(len(pts))
+    for vid in np.unique(first_view):
+        idx = id_to_idx.get(int(vid))
+        if idx is None:
+            continue
+        cam = cams[idx]
+        sel = first_view == vid
+        d = (pts[sel] - cam.C) @ cam.R[2]
+        depths[sel] = np.maximum(d, 1e-6)
+        focals[sel] = cam.K[0, 0]
+    radius = dist_insert * depths / focals
+    cell = float(np.median(radius))
+    if cell <= 0:
+        return pts, pc.views, pc.weights
+    keys = np.floor(pts / cell).astype(np.int64)
+    # lexicographic unique voxel
+    _, first_idx, inv = np.unique(keys, axis=0, return_index=True, return_inverse=True)
+    n_out = len(first_idx)
+    log.info("dedup: %d -> %d points (cell %.4g)", len(pts), n_out, cell)
+    out_pts = np.zeros((n_out, 3))
+    np.add.at(out_pts, inv, pts)
+    counts = np.bincount(inv, minlength=n_out)
+    out_pts /= counts[:, None]
+    # merge view lists + weights
+    out_views: List[np.ndarray] = [None] * n_out  # type: ignore
+    out_weights: List[np.ndarray] = [None] * n_out  # type: ignore
+    order = np.argsort(inv, kind="stable")
+    has_w = len(pc.weights) == len(pc.views)
+    start = 0
+    inv_sorted = inv[order]
+    boundaries = np.searchsorted(inv_sorted, np.arange(n_out + 1))
+    for g in range(n_out):
+        members = order[boundaries[g] : boundaries[g + 1]]
+        vs = np.concatenate([np.asarray(pc.views[m], np.uint32) for m in members])
+        ws = (
+            np.concatenate([np.asarray(pc.weights[m], np.float32) for m in members])
+            if has_w
+            else np.ones(len(vs), np.float32)
+        )
+        uv, ui = np.unique(vs, return_index=True)
+        out_views[g] = uv.astype(np.uint32)
+        out_weights[g] = ws[ui]
+    return out_pts, out_views, out_weights
+
+
+def reconstruct_mesh(
+    scene: Scene,
+    opts: MeshOptions = MeshOptions(),
+    pc: Optional[PointCloud] = None,
+) -> Mesh:
+    """Dense point cloud -> surface mesh via Delaunay graph cut."""
+    from scipy.spatial import Delaunay
+
+    pc = pc if pc is not None else scene.pointcloud
+    if len(pc) < 5:
+        raise ValueError("point cloud too small to mesh")
+
+    with timed(log, "dedup points"):
+        pts, views, weights = _dedup_points(scene, pc, opts.dist_insert)
+
+    with timed(log, "Delaunay tetrahedralization"):
+        tri = Delaunay(pts, qhull_options="QJ")  # joggle: avoid degenerate merges
+        tets = np.ascontiguousarray(tri.simplices, np.int32)
+        neigh = np.ascontiguousarray(tri.neighbors, np.int32)
+    log.info("%d points -> %d tets", len(pts), len(tets))
+
+    # per-vertex incident tet (any)
+    vert_tet = np.full(len(pts), -1, np.int32)
+    vert_tet[tets.ravel()[::-1]] = np.repeat(np.arange(len(tets), dtype=np.int32), 4)[::-1]
+    if (vert_tet < 0).any():
+        # points dropped by qhull merges: snap to tet 0 (their rays are skipped
+        # anyway if they have no views)
+        vert_tet[vert_tet < 0] = 0
+
+    # CSR (point -> cameras): map image ids to compact camera indices
+    id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
+    cam_centers = np.stack([im.camera.C for im in scene.images]).astype(np.float64)
+    counts = np.array([len(v) for v in views], np.int64)
+    indptr = np.zeros(len(pts) + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    view_cam = np.zeros(indptr[-1], np.int32)
+    view_w = np.ones(indptr[-1], np.float32)
+    has_w = len(weights) == len(views)
+    for i, v in enumerate(views):
+        beg = indptr[i]
+        for k, vid in enumerate(v):
+            view_cam[beg + k] = id_to_idx.get(int(vid), 0)
+        if has_w and len(weights[i]) == len(v):
+            w = np.asarray(weights[i], np.float32)
+            if w.max(initial=0) > 0:
+                view_w[beg : beg + len(v)] = w
+
+    # sigma = median Delaunay edge length * kSigma — the "smallest
+    # reconstructible object" scale (SceneReconstruct.cpp:922-928)
+    sample = tets if len(tets) < 200_000 else tets[
+        np.random.default_rng(0).choice(len(tets), 200_000, replace=False)
+    ]
+    e = pts[sample[:, [0, 1, 2, 3]]]
+    elens = np.concatenate(
+        [np.linalg.norm(e[:, a] - e[:, b], axis=1) for a, b in ((0, 1), (1, 2), (2, 3))]
+    )
+    sigma = float(np.median(elens)) * (opts.sigma if opts.sigma > 0 else 2.0)
+
+    with timed(log, "visibility ray walk + min-cut"):
+        inside = native.delaunay_graph_cut(
+            pts, tets, neigh, vert_tet, cam_centers,
+            indptr, view_cam, view_w,
+            sigma=sigma, kqual=opts.quality_factor, kinf=opts.inf_weight,
+        )
+
+    with timed(log, "surface extraction"):
+        mesh = _extract_surface(pts, tets, neigh, inside)
+
+    from openmvs_tpu import mesh_ops
+
+    v, f = mesh_ops.fix_non_manifold(mesh.vertices, mesh.faces)
+    mesh = Mesh(vertices=np.asarray(v, np.float32), faces=np.asarray(f, np.int32))
+    log.info("surface: %d vertices, %d faces", len(mesh.vertices), len(mesh.faces))
+    return mesh
+
+
+# facet j of a tet = vertices excluding slot j, in an order whose winding
+# (right-hand rule) points away from vertex j
+_FACET = np.array([[1, 3, 2], [0, 2, 3], [0, 3, 1], [0, 1, 2]], np.int64)
+
+
+def _extract_surface(pts: np.ndarray, tets: np.ndarray, neigh: np.ndarray,
+                     inside: np.ndarray) -> Mesh:
+    """Faces between a full (sink) tet and a free (source) tet, oriented with
+    the normal pointing into free space (SceneReconstruct.cpp:1120-1156)."""
+    nt = len(tets)
+    free = inside == 0  # length nt+1; [nt] = outside-the-hull node
+    # full tet t with facet j facing a free region (neighbor tet or hull)
+    nb = neigh.copy().astype(np.int64)
+    nb[nb < 0] = nt  # outside node
+    full_t = ~free[:nt]
+    facing_free = free[nb]  # (nt, 4)
+    sel_t, sel_j = np.nonzero(full_t[:, None] & facing_free)
+    if len(sel_t) == 0:
+        return Mesh()
+    tri = tets[sel_t[:, None], _FACET[sel_j]]  # (n, 3) vertex ids
+
+    # orientation: _FACET winding gives normal away from vertex j for a
+    # positively-oriented tet; qhull tets are not consistently oriented, so
+    # orient by geometry: normal should point away from the 4th vertex.
+    a = pts[tri[:, 0]]
+    n = np.cross(pts[tri[:, 1]] - a, pts[tri[:, 2]] - a)
+    apex = pts[tets[sel_t, sel_j]]
+    flip = np.einsum("ij,ij->i", n, apex - a) > 0
+    tri[flip] = tri[flip][:, [0, 2, 1]]
+
+    from openmvs_tpu.mesh_ops import remove_unreferenced
+
+    v, f = remove_unreferenced(pts, tri.astype(np.int32))
+    return Mesh(vertices=np.asarray(v, np.float32), faces=f)
