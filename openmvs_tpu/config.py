@@ -143,7 +143,7 @@ class MeshOptions:
     """Graph-cut meshing knobs (reference Scene::ReconstructMesh, Scene.h:138-141)."""
 
     dist_insert: float = 2.0          # px: min projected distance between inserted points
-    use_free_space_support: bool = False
+    use_free_space_support: bool = True   # library default (Scene.h:138)
     thickness_factor: float = 1.0     # kb
     quality_factor: float = 1.0       # kQual
     decimate: float = 1.0             # target face ratio in Clean()

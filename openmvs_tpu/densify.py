@@ -248,8 +248,11 @@ def estimate_depth_map(
             data, opts, key, jnp.asarray(sd), jnp.asarray(sn), nV, is_geometric
         )
         for it in range(n_iters):
+            # NN sampling during search; bilinear on the final full-res iter
+            exact = (level == 0) and (it == n_iters - 1)
             state = patchmatch.sweep(
-                state, data, opts, jax.random.fold_in(key, it + 1), nV, is_geometric
+                state, data, opts, jax.random.fold_in(key, it + 1), nV, is_geometric,
+                exact=exact,
             )
         state_np = (np.asarray(state.depth), np.asarray(state.normal))
         result_state, result_cam = state, ref_cam

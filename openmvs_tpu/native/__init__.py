@@ -66,7 +66,7 @@ def _load() -> ctypes.CDLL:
     p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
-    lib.omvs_delaunay_graph_cut.restype = ctypes.c_int
+    lib.omvs_delaunay_graph_cut.restype = ctypes.c_int64
     lib.omvs_delaunay_graph_cut.argtypes = [
         p_f64, c_i64,            # verts, nv
         p_i32, p_i32, c_i64,     # tets, neigh, nt
@@ -74,7 +74,10 @@ def _load() -> ctypes.CDLL:
         p_f64, c_i64,            # cam_centers, ncam
         p_i64, p_i32, p_f32,     # view_indptr, view_cam, view_weight
         ctypes.c_double, ctypes.c_double, ctypes.c_double,  # sigma, kqual, kinf
-        p_u8,                    # inside_out (nt + 1)
+        ctypes.c_int32,          # use_free_space
+        ctypes.c_double, ctypes.c_double,                   # kb, kf
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,  # kRel, kAbs, kOutl
+        p_u8,                    # inside_out (nt + n_hull)
     ]
 
     lib.omvs_decimate.restype = ctypes.c_int
@@ -101,28 +104,40 @@ def delaunay_graph_cut(
     sigma: float,
     kqual: float,
     kinf: float,
+    use_free_space: bool = False,
+    kb: float = 4.0,
+    kf: float = 3.0,
+    k_rel: float = 0.1,
+    k_abs: float = 1000.0,
+    k_outl: float = 400.0,
 ) -> np.ndarray:
-    """Returns per-tet free/full label (+1 trailing entry for the merged
-    outside-the-hull node): 0 = free/empty space (source side of the cut —
-    cameras tie to the source), 1 = full/interior matter (sink side).  The
-    surface is the set of facets between a free and a full cell."""
+    """Returns per-cell free/full labels, length nt + n_hull: entry t < nt is
+    tet t; entries nt.. are the per-hull-facet outside nodes in (t, j) scan
+    order of neigh < 0.  0 = free/empty space (source side of the cut —
+    camera rays tie hull-exit nodes to the source), 1 = full/interior matter
+    (sink side).  The surface is the set of facets between a free and a full
+    cell."""
     lib = _load()
     nv, nt = len(verts), len(tets)
-    inside = np.zeros(nt + 1, np.uint8)
+    neigh = np.ascontiguousarray(neigh, np.int32)
+    n_hull = int((neigh < 0).sum())
+    inside = np.zeros(nt + n_hull, np.uint8)
     rc = lib.omvs_delaunay_graph_cut(
         np.ascontiguousarray(verts, np.float64), nv,
         np.ascontiguousarray(tets, np.int32),
-        np.ascontiguousarray(neigh, np.int32), nt,
+        neigh, nt,
         np.ascontiguousarray(vert_tet, np.int32),
         np.ascontiguousarray(cam_centers, np.float64), len(cam_centers),
         np.ascontiguousarray(view_indptr, np.int64),
         np.ascontiguousarray(view_cam, np.int32),
         np.ascontiguousarray(view_weight, np.float32),
         float(sigma), float(kqual), float(kinf),
+        1 if use_free_space else 0,
+        float(kb), float(kf), float(k_rel), float(k_abs), float(k_outl),
         inside,
     )
-    if rc != 0:
-        raise RuntimeError(f"omvs_delaunay_graph_cut failed (rc={rc})")
+    if rc != n_hull:
+        raise RuntimeError(f"omvs_delaunay_graph_cut failed (rc={rc}, expected {n_hull})")
     return inside
 
 

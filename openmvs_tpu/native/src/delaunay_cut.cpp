@@ -124,22 +124,35 @@ int64_t locate(const TetMesh& m, int64_t start, const V3& q, int64_t* exit_tet, 
 
 extern "C" {
 
-// inside_out: (nt + 1) bytes; [nt] = outside node.  Returns 0 on success.
-int omvs_delaunay_graph_cut(
+// Each hull facet gets its OWN outside node (index nt + h, h in hull-scan
+// order over (t, j)), mirroring CGAL's per-infinite-cell nodes: infinite
+// cells interconnect at zero cost (quality of an infinite facet is 0 in the
+// reference, SceneReconstruct.cpp:724-725,1113), so the sink region can
+// extend past the hull for free behind the surface.
+// inside_out: (nt + n_hull) bytes.  Returns n_hull (>=0) on success, <0 error.
+int64_t omvs_delaunay_graph_cut(
     const double* verts, int64_t nv,
     const int32_t* tets, const int32_t* neigh, int64_t nt,
     const int32_t* vert_tet,
     const double* cam_centers, int64_t ncam,
     const int64_t* view_indptr, const int32_t* view_cam, const float* view_weight,
     double sigma, double kqual, double kinf,
+    int32_t use_free_space, double kb, double kf, double k_rel, double k_abs,
+    double k_outl,
     uint8_t* inside_out) {
   TetMesh m{verts, tets, neigh, nv, nt};
-  const int64_t OUT = nt;
   const double inv2s2 = 0.5 / (sigma * sigma);
+
+  // enumerate hull facets -> outside node ids
+  std::vector<int64_t> hull_id(4 * nt, -1);
+  int64_t n_hull = 0;
+  for (int64_t t = 0; t < nt; ++t)
+    for (int j = 0; j < 4; ++j)
+      if (neigh[4 * t + j] < 0) hull_id[4 * t + j] = nt + (n_hull++);
 
   std::vector<float> f(4 * nt, 0.f);   // capacity tet -> neighbor_j
   std::vector<float> g(4 * nt, 0.f);   // capacity outside -> tet (hull facets)
-  std::vector<float> s_cap(nt + 1, 0.f), t_cap(nt + 1, 0.f);
+  std::vector<float> s_cap(nt + n_hull, 0.f), t_cap(nt + n_hull, 0.f);
 
   // locate cameras once: cell containing each camera (or outside)
   std::vector<int64_t> cam_cell(ncam, -1);
@@ -197,9 +210,10 @@ int omvs_delaunay_graph_cut(
           double dist = best_s * len;  // distance from the point to crossing
           float w = alpha * (float)(1.0 - std::exp(-dist * dist * inv2s2));
           if (nb < 0) {
-            // exits the hull: weight goes on outside->tet direction
+            // exits the hull toward the camera: weight on outside->tet
+            // direction; that hull facet's outside node ties to the source
             g[4 * t + best_j] += w;
-            s_cap[OUT] = (float)kinf;
+            s_cap[hull_id[4 * t + best_j]] = (float)kinf;
             reached = true;
             break;
           }
@@ -218,9 +232,10 @@ int omvs_delaunay_graph_cut(
       V3 dirb = e - p;
       double lenb = sigma;
       V3 q1 = p - u * eps;
-      int64_t tb = locate(m, vert_tet[v], q1, nullptr, nullptr, 4096);
+      int64_t exit_t = -1; int exit_j = -1;
+      int64_t tb = locate(m, vert_tet[v], q1, &exit_t, &exit_j, 4096);
       if (tb < 0) {
-        t_cap[OUT] += alpha;
+        if (exit_t >= 0) t_cap[hull_id[4 * exit_t + exit_j]] += alpha;
         continue;
       }
       {
@@ -255,7 +270,7 @@ int omvs_delaunay_graph_cut(
           // direction point-side -> behind-side: capacity t2 -> nb
           f[4 * t2 + best_j] += w;
           if (nb < 0) {
-            t_cap[OUT] += alpha;
+            t_cap[hull_id[4 * t2 + best_j]] += alpha;
             ended = true;
             break;
           }
@@ -268,10 +283,98 @@ int omvs_delaunay_graph_cut(
     }
   }
 
+  // --- free-space-support t-edge reinforcement (DELAUNAY_WEAKSURF,
+  // SceneReconstruct.cpp:1021-1090): for interface points, multiply the
+  // t-edge of the cell kb*sigma behind the point by (beta - gamma), where
+  // beta is the max free-space support toward the camera and gamma the mean
+  // of min/max support behind the point.
+  if (use_free_space) {
+    // fs(cell) = sum of incoming crossing weights (freeSpaceSupport,
+    // SceneReconstruct.cpp:680-690)
+    auto fs = [&](int64_t t) -> double {
+      double w = 0;
+      for (int j = 0; j < 4; ++j) {
+        int64_t nb = neigh[4 * t + j];
+        if (nb >= 0) {
+          int jn = m.facet_index_of_neighbor(nb, t);
+          if (jn >= 0) w += f[4 * nb + jn];
+        } else {
+          w += g[4 * t + j];
+        }
+      }
+      return w;
+    };
+    // walk cells crossed by segment p -> p + dir*len, calling cb(cell);
+    // returns the final cell (or -1 if the walk exits the hull)
+    auto walk = [&](int64_t v, const V3& p, const V3& dir, double len,
+                    auto&& cb) -> int64_t {
+      V3 u = dir * (1.0 / std::max(norm(dir), 1e-300));
+      V3 q0 = p + u * (1e-6 * len);
+      int64_t t = locate(m, vert_tet[v], q0, nullptr, nullptr, 4096);
+      if (t < 0) return -1;
+      int64_t prev = -1;
+      double t_cur = 0.0;
+      V3 seg = u * len;
+      for (int step = 0; step < 1 << 12; ++step) {
+        cb(t);
+        int best_j = -1;
+        double best_s = 1e30;
+        for (int j = 0; j < 4; ++j) {
+          if (m.neigh[4 * t + j] == prev && prev >= 0) continue;
+          V3 n;
+          double d;
+          m.facet_plane(t, j, n, d);
+          double denom = dot(n, seg);
+          if (denom <= 1e-300) continue;
+          double sx = (d - dot(n, p)) / denom;
+          if (sx > t_cur - 1e-12 && sx < best_s) { best_s = sx; best_j = j; }
+        }
+        if (best_j < 0 || best_s >= 1.0) return t;
+        int64_t nb = m.neigh[4 * t + best_j];
+        if (nb < 0) return -1;
+        prev = t;
+        t = nb;
+        t_cur = best_s;
+      }
+      return t;
+    };
+    for (int64_t v = 0; v < nv; ++v) {
+      int64_t beg = view_indptr[v], end = view_indptr[v + 1];
+      if (beg >= end) continue;
+      V3 p = m.vert(v);
+      for (int64_t k = beg; k < end; ++k) {
+        int32_t cam = view_cam[k];
+        V3 c{cam_centers[3 * cam], cam_centers[3 * cam + 1], cam_centers[3 * cam + 2]};
+        V3 toCam = c - p;
+        double len = norm(toCam);
+        if (len < 1e-12) continue;
+        V3 u = toCam * (1.0 / len);
+        double beta = 0;
+        walk(v, p, u, sigma * kf, [&](int64_t t) {
+          double w = fs(t);
+          if (w > beta) beta = w;
+        });
+        if (beta <= 0) continue;
+        double gmin = 1e300, gmax = 0;
+        int64_t endc = walk(v, p, u * -1.0, sigma * kb, [&](int64_t t) {
+          double w = fs(t);
+          if (w < gmin) gmin = w;
+          if (w > gmax) gmax = w;
+        });
+        if (endc < 0 || gmin > gmax) continue;
+        double gamma = 0.5 * (gmin + gmax);
+        double epsAbs = beta - gamma;
+        double epsRel = gamma / beta;
+        if (epsRel < k_rel && epsAbs > k_abs && gamma < k_outl)
+          t_cap[endc] = (float)std::min((double)t_cap[endc] * epsAbs, 3.4e34);
+      }
+    }
+  }
+
   // --- build graph & solve ---
-  omvs::MaxFlow mf(nt + 1);
+  omvs::MaxFlow mf(nt + n_hull);
   constexpr double kMaxCap = 3.4e34;
-  for (int64_t t = 0; t < nt + 1; ++t)
+  for (int64_t t = 0; t < nt + n_hull; ++t)
     mf.add_terminal(t, s_cap[t], std::min((double)t_cap[t], kMaxCap));
 
   // facet quality: cos of the angle between the facet plane and the cell's
@@ -298,9 +401,9 @@ int omvs_delaunay_graph_cut(
     for (int j = 0; j < 4; ++j) {
       int64_t nb = m.neigh[4 * t + j];
       if (nb < 0) {
-        double q = (1.0 - plane_sphere_cos(t, j)) * kqual;  // infinite side cos=1 -> min is finite
-        // min(cos_t, 1) = cos_t
-        mf.add_edge(t, OUT, f[4 * t + j] + q, g[4 * t + j] + q);
+        // infinite side cos = 1 -> q = (1 - min(cos_t, 1)) = (1 - cos_t)
+        double q = (1.0 - plane_sphere_cos(t, j)) * kqual;
+        mf.add_edge(t, hull_id[4 * t + j], f[4 * t + j] + q, g[4 * t + j] + q);
       } else if (nb > t) {
         int j_nb = m.facet_index_of_neighbor(nb, t);
         double q = (1.0 - std::min(plane_sphere_cos(t, j), plane_sphere_cos(nb, j_nb))) * kqual;
@@ -310,8 +413,30 @@ int omvs_delaunay_graph_cut(
   }
 
   mf.compute();
-  for (int64_t t = 0; t < nt + 1; ++t) inside_out[t] = mf.is_source_side(t) ? 0 : 1;
-  return 0;
+  for (int64_t t = 0; t < nt + n_hull; ++t) inside_out[t] = mf.is_source_side(t) ? 0 : 1;
+
+  if (getenv("OMVS_CUT_DEBUG")) {
+    double sum_s = 0, sum_t = 0, sum_f = 0, sum_g = 0, sum_q = 0;
+    int64_t n_s = 0, n_t = 0;
+    for (int64_t t = 0; t < nt + n_hull; ++t) {
+      sum_s += s_cap[t] >= kMaxCap ? 0 : s_cap[t];
+      sum_t += t_cap[t];
+      if (s_cap[t] > 0) ++n_s;
+      if (t_cap[t] > 0) ++n_t;
+    }
+    for (int64_t i = 0; i < 4 * nt; ++i) { sum_f += f[i]; sum_g += g[i]; }
+    for (int64_t t = 0; t < nt; ++t)
+      for (int j = 0; j < 4; ++j) {
+        int64_t nb = m.neigh[4 * t + j];
+        if (nb > t) sum_q += (1.0 - plane_sphere_cos(t, j)) * kqual;
+      }
+    fprintf(stderr,
+            "[cut] nt=%lld  s:%lld cells  t:%lld cells sum=%.3g  f_sum=%.3g "
+            "g_sum=%.3g q_sum=%.3g sigma=%.4g\n",
+            (long long)nt, (long long)n_s, (long long)n_t, sum_t, sum_f, sum_g,
+            sum_q, sigma);
+  }
+  return n_hull;
 }
 
 }  // extern "C"

@@ -9,6 +9,12 @@ once.  This is the same convergence strategy as the reference's CUDA path
 (red/black kernels, PatchMatchCUDA.cu:597-655) but expressed as dense XLA ops
 so it runs on the MXU/VPU with no data-dependent control flow.
 
+Compile-time structure: candidates ride a vmapped leading axis, views are a
+`lax.scan` (running best-two aggregation), texels are an inner `lax.scan` with
+(C, H, W) accumulators — the traced graph is O(1) in candidates/views/texels
+instead of the naive triple Python loop (which XLA takes tens of minutes to
+compile at realistic sizes).
+
 Scoring matches the reference exactly:
   - 9x9 window sampled every 2 px -> 25 texels (DepthMap.h:277-281)
   - bilaterally weighted ZNCC (spatial+color Gaussian, DepthMap.h:403-411)
@@ -28,7 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +82,7 @@ class PMData(NamedTuple):
 class PMState(NamedTuple):
     depth: jnp.ndarray      # (H, W)
     normal: jnp.ndarray     # (H, W, 3) camera space, unit, n . X0 < 0
-    conf: jnp.ndarray       # (H, W) current aggregated score (0 best, 2 worst)
+    conf: jnp.ndarray      # (H, W) current aggregated score (0 best, 2 worst)
 
 
 # ------------------------------------------------------------- precompute
@@ -89,6 +95,7 @@ def texel_offsets(opts: DenseOptions) -> np.ndarray:
     return np.stack([dx.ravel(), dy.ravel()], axis=-1).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
 def compute_patch_weights(ref: jnp.ndarray, opts: DenseOptions):
     """Bilateral patch weights and weighted texel stats for every pixel.
 
@@ -99,7 +106,6 @@ def compute_patch_weights(ref: jnp.ndarray, opts: DenseOptions):
       normSq0 = sum(wtm_k (I_k - tm))
     """
     offs = texel_offsets(opts)
-    T = len(offs)
     sigma_color = -1.0 / (2.0 * 0.1 ** 2)
     sigma_spatial = -1.0 / (2.0 * float(opts.window_half - 1) ** 2)
     H, W = ref.shape
@@ -145,54 +151,71 @@ def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
+def _nearest(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor sample (1 gather instead of 4 — used for candidate
+    scoring sweeps; the final rescoring stays bilinear)."""
+    Hp, Wp = img.shape
+    xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, Wp - 1)
+    yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, Hp - 1)
+    return jnp.take(img.reshape(-1), yi * Wp + xi, mode="clip")
+
+
 # ------------------------------------------------------------- scoring
 
 
-def _score_one_view(
+def _score_one_view_scan(
     data: PMData,
     opts: DenseOptions,
-    depth: jnp.ndarray,
-    normal: jnp.ndarray,
-    inv_nd: jnp.ndarray,
-    view_idx: int,
-) -> jnp.ndarray:
-    """Weighted-ZNCC score (0..2-ish) of hypothesis (depth, normal) in view j."""
-    v = data.views
-    Hl = v.Hl[view_idx]
-    Hm = v.Hm[view_idx]
-    img = v.image[view_idx]
-    h_j = v.size[view_idx, 0]
-    w_j = v.size[view_idx, 1]
+    depth: jnp.ndarray,       # (C, H, W)
+    normal: jnp.ndarray,      # (C, H, W, 3)
+    inv_nd: jnp.ndarray,      # (C, H, W)
+    img: jnp.ndarray,         # (Hp, Wp)
+    size: jnp.ndarray,        # (2,)
+    Hl: jnp.ndarray,          # (3, 3)
+    Hm: jnp.ndarray,          # (3,)
+    exact: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted-ZNCC of C hypothesis maps in one view; texels via lax.scan."""
     th_robust = opts.th_robust
+    h_j, w_j = size[0], size[1]
 
-    # s_k = Hl @ (X0 + goff_k) + Hm * (1/d + (n . goff_k) * inv_nd)
-    SX0 = jnp.einsum("ab,hwb->ahw", Hl, data.X0)          # (3, H, W)
-    Sg = jnp.einsum("ab,tb->ta", Hl, data.goff)           # (T, 3)
-    n_goff = jnp.einsum("hwb,tb->thw", normal, data.goff)  # (T, H, W)
-    inv_d = 1.0 / depth
+    SX0 = jnp.einsum("ab,hwb->ahw", Hl, data.X0)            # (3, H, W)
+    Sg = jnp.einsum("ab,tb->ta", Hl, data.goff)             # (T, 3)
+    inv_d = 1.0 / depth                                     # (C, H, W)
+    C = depth.shape[0]
 
-    num = jnp.zeros_like(depth)
-    ssum = jnp.zeros_like(depth)
-    ssq = jnp.zeros_like(depth)
-    inb = jnp.ones(depth.shape, bool)
-    T = data.goff.shape[0]
-    for k in range(T):
-        scale = inv_d + n_goff[k] * inv_nd                # (H, W)
-        sx = SX0[0] + Sg[k, 0] + Hm[0] * scale
-        sy = SX0[1] + Sg[k, 1] + Hm[1] * scale
-        sz = SX0[2] + Sg[k, 2] + Hm[2] * scale
+    def body(carry, xs):
+        num, ssum, ssq, inb = carry
+        w_k, wtm_k, sg_k, goff_k = xs                       # (H,W),(H,W),(3,),(3,)
+        n_goff = jnp.einsum("chwb,b->chw", normal, goff_k)  # (C, H, W)
+        scale = inv_d + n_goff * inv_nd
+        sx = SX0[0][None] + sg_k[0] + Hm[0] * scale
+        sy = SX0[1][None] + sg_k[1] + Hm[1] * scale
+        sz = SX0[2][None] + sg_k[2] + Hm[2] * scale
         zok = sz > 1e-8
         izs = jnp.where(zok, 1.0 / jnp.where(zok, sz, 1.0), 0.0)
         px = sx * izs
         py = sy * izs
         inb = inb & zok & (px >= 1) & (px <= w_j - 2) & (py >= 1) & (py <= h_j - 2)
-        val = _bilinear(img, px, py)
-        num = num + val * data.wtm[k]
-        ssum = ssum + val * data.w[k]
-        ssq = ssq + val * val * data.w[k]
+        val = (_bilinear if exact else _nearest)(img, px, py)  # (C, H, W)
+        num = num + val * wtm_k[None]
+        ssum = ssum + val * w_k[None]
+        ssq = ssq + val * val * w_k[None]
+        return (num, ssum, ssq, inb), None
 
-    norm_sq1 = ssq - ssum * ssum / data.sum_w
-    nrm_sq = data.norm_sq0 * norm_sq1
+    shape = depth.shape
+    init = (
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.ones(shape, bool),
+    )
+    (num, ssum, ssq, inb), _ = jax.lax.scan(
+        body, init, (data.w, data.wtm, Sg, data.goff)
+    )
+
+    norm_sq1 = ssq - ssum * ssum / data.sum_w[None]
+    nrm_sq = data.norm_sq0[None] * norm_sq1
     ncc = jnp.clip(num * jax.lax.rsqrt(jnp.maximum(nrm_sq, 1e-30)), -1.0, 1.0)
     score = 1.0 - ncc
     score = jnp.where((nrm_sq <= 1e-16) | ~inb, th_robust, score)
@@ -200,17 +223,20 @@ def _score_one_view(
 
 
 def _geometric_term(
-    data: PMData, opts: DenseOptions, depth: jnp.ndarray, view_idx: int
+    data: PMData,
+    opts: DenseOptions,
+    depth: jnp.ndarray,       # (C, H, W)
+    dm: jnp.ndarray,          # (Hp, Wp) neighbor depth map
+    size: jnp.ndarray,
+    Tl: jnp.ndarray,
+    Tm: jnp.ndarray,
+    Tr: jnp.ndarray,
+    Tn: jnp.ndarray,
 ) -> jnp.ndarray:
     """Forward-backward reprojection consistency (DepthMap.cpp:535-551)."""
-    v = data.views
-    Tl, Tm = v.Tl[view_idx], v.Tm[view_idx]
-    Tr, Tn = v.Tr[view_idx], v.Tn[view_idx]
-    dm = v.depth[view_idx]
-    h_j = v.size[view_idx, 0]
-    w_j = v.size[view_idx, 1]
-    X = data.X0 * depth[..., None]                        # (H, W, 3) cam-i space
-    X1 = jnp.einsum("ab,hwb->hwa", Tl, X) + Tm            # homogeneous in view j
+    h_j, w_j = size[0], size[1]
+    X = data.X0[None] * depth[..., None]                    # (C, H, W, 3)
+    X1 = jnp.einsum("ab,chwb->chwa", Tl, X) + Tm
     z1 = X1[..., 2]
     zok = z1 > 1e-8
     iz = jnp.where(zok, 1.0 / jnp.where(zok, z1, 1.0), 0.0)
@@ -220,11 +246,10 @@ def _geometric_term(
     d1 = _bilinear(dm, x1, y1)
     similar = inside & (d1 > 0) & (jnp.abs(z1 - d1) < 0.03 * z1)
     Xb = jnp.stack([x1 * d1, y1 * d1, d1], axis=-1)
-    XB = jnp.einsum("ab,hwb->hwa", Tr, Xb) + Tn
+    XB = jnp.einsum("ab,chwb->chwa", Tr, Xb) + Tn
     zb = XB[..., 2]
     izb = jnp.where(zb > 1e-8, 1.0 / jnp.where(zb > 1e-8, zb, 1.0), 0.0)
-    # pixel grid coords of this reference image
-    H, W = depth.shape
+    H, W = depth.shape[1:]
     uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     dist = jnp.sqrt((uu - XB[..., 0] * izb) ** 2 + (vv - XB[..., 1] * izb) ** 2)
@@ -234,31 +259,30 @@ def _geometric_term(
 
 
 def _smoothness_bonus(
-    data: PMData, opts: DenseOptions, state: PMState, depth: jnp.ndarray, normal: jnp.ndarray
+    data: PMData, opts: DenseOptions, state: PMState,
+    depth: jnp.ndarray, normal: jnp.ndarray,
 ) -> jnp.ndarray:
     """Plane-smoothness bonus factor vs the current 4-neighborhood estimates.
 
     Matches the DENSE_SMOOTHNESS_PLANE branch of ScorePixelImage
-    (DepthMap.cpp:522-534): each valid neighbor multiplies the score by
-    (1 - bonusD*exp((dist(plane, X_nb)/d)^2 sD)) (1 - bonusN*exp(acos(n.n_nb)^2 sN)).
+    (DepthMap.cpp:522-534); depth/normal are (C, H, W[, 3]) candidate maps.
     """
-    plane_d = depth * jnp.einsum("hwc,hwc->hw", normal, data.X0)  # n . (X0 d)
-    P3 = data.X0 * state.depth[..., None]                          # neighbor 3D points
+    plane_d = depth * jnp.einsum("chwk,hwk->chw", normal, data.X0)
+    P3 = data.X0 * state.depth[..., None]
     bonus = jnp.ones_like(depth)
     bd, bn = opts.smooth_bonus_depth, opts.smooth_bonus_normal
     sd, sn = opts.smooth_sigma_depth, opts.smooth_sigma_normal
-    for shift, axis in (((0, 1), 1), ((0, -1), 1), ((1, 0), 0), ((-1, 0), 0)):
-        dy, dx = shift
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
         nb_d = _shift2d(state.depth, dy, dx)
         nb_n = _shift2d_vec(state.normal, dy, dx)
         nb_P = _shift2d_vec(P3, dy, dx)
         valid = nb_d > 0
-        dist = jnp.einsum("hwc,hwc->hw", nb_P, normal) - plane_d
+        dist = jnp.einsum("hwk,chwk->chw", nb_P, normal) - plane_d
         f_depth = jnp.exp((dist / depth) ** 2 * sd)
-        cosang = jnp.clip(jnp.einsum("hwc,hwc->hw", normal, nb_n), -1.0, 1.0)
+        cosang = jnp.clip(jnp.einsum("chwk,hwk->chw", normal, nb_n), -1.0, 1.0)
         f_norm = jnp.exp(jnp.arccos(cosang) ** 2 * sn)
         factor = (1.0 - bd * f_depth) * (1.0 - bn * f_norm)
-        bonus = bonus * jnp.where(valid, factor, 1.0)
+        bonus = bonus * jnp.where(valid[None], factor, 1.0)
     return bonus
 
 
@@ -276,42 +300,70 @@ def _shift2d_vec(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return padded[y0 : y0 + H, x0 : x0 + W]
 
 
-def score_hypothesis(
+def score_hypotheses(
     data: PMData,
     opts: DenseOptions,
     state: PMState,
-    depth: jnp.ndarray,
-    normal: jnp.ndarray,
+    depth: jnp.ndarray,       # (C, H, W)
+    normal: jnp.ndarray,      # (C, H, W, 3)
     n_views: int,
     use_geom: bool,
+    exact: bool = True,
 ) -> jnp.ndarray:
-    """Aggregated multi-view score of a (depth, normal) hypothesis map."""
-    inv_nd_den = jnp.einsum("hwc,hwc->hw", normal, data.X0) * depth
+    """Aggregated multi-view scores of C (depth, normal) hypothesis maps.
+
+    Views ride a lax.scan carrying the best-two running scores (min-mean
+    aggregation, DepthMap.cpp:594-609)."""
+    inv_nd_den = jnp.einsum("chwk,hwk->chw", normal, data.X0) * depth
     safe = jnp.abs(inv_nd_den) > 1e-12
     inv_nd = jnp.where(safe, 1.0 / jnp.where(safe, inv_nd_den, 1.0), 0.0)
 
     bonus = _smoothness_bonus(data, opts, state, depth, normal)
+    v = data.views
+    vs = (v.image[:n_views], v.size[:n_views], v.Hl[:n_views], v.Hm[:n_views],
+          v.depth[:n_views], v.Tl[:n_views], v.Tm[:n_views], v.Tr[:n_views],
+          v.Tn[:n_views])
 
-    scores = []
-    for j in range(n_views):
-        s, _ = _score_one_view(data, opts, depth, normal, inv_nd, j)
+    d0 = data.lowres
+    f_blend = jnp.exp(data.norm_sq0 * (-1.0 / 0.02))
+    delta = jnp.minimum(
+        jnp.abs(d0[None] - depth) / jnp.maximum(d0[None], 1e-12), 0.5
+    )
+
+    def view_body(carry, xs):
+        s0, s1 = carry
+        img, size, Hl, Hm, dm, Tl, Tm, Tr, Tn = xs
+        s, _ = _score_one_view_scan(data, opts, depth, normal, inv_nd, img, size, Hl, Hm, exact)
         s = s * bonus
         if use_geom:
-            s = s + opts.estimation_geometric_weight * _geometric_term(data, opts, depth, j)
+            s = s + opts.estimation_geometric_weight * _geometric_term(
+                data, opts, depth, dm, size, Tl, Tm, Tr, Tn
+            )
         # low-res prior blend (DepthMap.cpp:552-561)
-        d0 = data.lowres
-        delta = jnp.minimum(jnp.abs(d0 - depth) / jnp.maximum(d0, 1e-12), 0.5)
-        f = jnp.exp(data.norm_sq0 * (-1.0 / 0.02))
-        s_blend = (1.0 - f) * s + f * delta
-        s = jnp.where(d0 > 0, s_blend, s)
-        scores.append(jnp.minimum(s, 2.0))
-    V = len(scores)
-    if V == 1:
-        return scores[0]
-    st = jnp.sort(jnp.stack(scores), axis=0)
-    s0, s1 = st[0], st[1]
+        s_blend = (1.0 - f_blend)[None] * s + f_blend[None] * delta
+        s = jnp.where(d0[None] > 0, s_blend, s)
+        s = jnp.minimum(s, 2.0)
+        new_s0 = jnp.minimum(s0, s)
+        new_s1 = jnp.minimum(s1, jnp.maximum(s0, s))
+        return (new_s0, new_s1), None
+
+    big = jnp.full(depth.shape, jnp.inf, jnp.float32)
+    (s0, s1), _ = jax.lax.scan(view_body, (big, big), vs)
+    if n_views == 1:
+        return s0
     # min-mean: average the best two unless the 2nd is already robust-clipped
     return jnp.where(s1 < opts.th_robust, 0.5 * (s0 + s1), s0)
+
+
+def score_hypothesis(
+    data: PMData, opts: DenseOptions, state: PMState,
+    depth: jnp.ndarray, normal: jnp.ndarray, n_views: int, use_geom: bool,
+    exact: bool = True,
+) -> jnp.ndarray:
+    """Single-hypothesis convenience wrapper: (H, W) in, (H, W) out."""
+    return score_hypotheses(
+        data, opts, state, depth[None], normal[None], n_views, use_geom, exact
+    )[0]
 
 
 # ------------------------------------------------------------- candidates
@@ -409,7 +461,7 @@ def _perturb_candidate(data: PMData, state: PMState, opts: DenseOptions, key, ex
 PROP_OFFSETS = ((0, 1), (0, -1), (1, 0), (-1, 0), (0, 5), (0, -5), (5, 0), (-5, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb"))
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "exact"))
 def sweep(
     state: PMState,
     data: PMData,
@@ -418,8 +470,13 @@ def sweep(
     n_views: int,
     use_geom: bool = False,
     n_perturb: int = 3,
+    exact: bool = False,
 ) -> PMState:
-    """One full PatchMatch iteration = two checkerboard half-steps."""
+    """One full PatchMatch iteration = two checkerboard half-steps.
+
+    exact=False scores candidates with nearest-neighbor sampling (4x fewer
+    gathers); pass exact=True for the final iteration so the surviving
+    confidences are bilinear-accurate."""
     H, W = state.depth.shape
     uu = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     vv = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -427,23 +484,31 @@ def sweep(
 
     for parity in (0, 1):
         active = (parity_map == parity) & data.valid
-        best_d, best_n, best_c = state.depth, state.normal, state.conf
 
-        candidates = []
+        cand_d, cand_n, cand_ok = [], [], []
         for dy, dx in PROP_OFFSETS:
-            candidates.append(_propagate_candidate(data, state, opts, dy, dx))
+            d, n, ok = _propagate_candidate(data, state, opts, dy, dx)
+            cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
         for r in range(n_perturb):
             ck = jax.random.fold_in(key, parity * 131 + r)
-            candidates.append(_perturb_candidate(data, state, opts, ck, SCALE_RANGES[r]))
+            d, n, ok = _perturb_candidate(data, state, opts, ck, SCALE_RANGES[r])
+            cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
+        cd = jnp.stack(cand_d)               # (C, H, W)
+        cn = jnp.stack(cand_n)               # (C, H, W, 3)
+        cok = jnp.stack(cand_ok)             # (C, H, W)
 
-        for cd, cn, cok in candidates:
-            s = score_hypothesis(data, opts, state, cd, cn, n_views, use_geom)
-            s = jnp.where(cok, s, jnp.inf)
-            take = active & (s < best_c)
-            best_d = jnp.where(take, cd, best_d)
-            best_n = jnp.where(take[..., None], cn, best_n)
-            best_c = jnp.where(take, s, best_c)
-        state = PMState(depth=best_d, normal=best_n, conf=best_c)
+        s = score_hypotheses(data, opts, state, cd, cn, n_views, use_geom, exact)
+        s = jnp.where(cok, s, jnp.inf)
+        best = jnp.argmin(s, axis=0)         # (H, W)
+        s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
+        d_best = jnp.take_along_axis(cd, best[None], axis=0)[0]
+        n_best = jnp.take_along_axis(cn, best[None, ..., None], axis=0)[0]
+        take = active & (s_best < state.conf)
+        state = PMState(
+            depth=jnp.where(take, d_best, state.depth),
+            normal=jnp.where(take[..., None], n_best, state.normal),
+            conf=jnp.where(take, s_best, state.conf),
+        )
     return state
 
 
@@ -462,7 +527,7 @@ def init_state(
     Mirrors ScoreDepthMapTmp (SceneDensify.cpp:490-517).
     """
     shape = data.ref.shape
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2 = jax.random.split(key, 2)
     rand_d = _random_depth(k1, shape, data.d_min, data.d_max)
     rand_n = _random_normal(k2, shape, data.X0)
     has_seed = (seed_depth >= data.d_min) & (seed_depth <= data.d_max)

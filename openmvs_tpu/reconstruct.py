@@ -81,9 +81,13 @@ def _dedup_points(
             if has_w
             else np.ones(len(vs), np.float32)
         )
-        uv, ui = np.unique(vs, return_index=True)
+        # merged points SUM their per-view weights (InsertViews,
+        # SceneReconstruct.cpp:235-255)
+        uv, inv_v = np.unique(vs, return_inverse=True)
+        wsum = np.zeros(len(uv), np.float32)
+        np.add.at(wsum, inv_v, ws)
         out_views[g] = uv.astype(np.uint32)
-        out_weights[g] = ws[ui]
+        out_weights[g] = wsum
     return out_pts, out_views, out_weights
 
 
@@ -150,6 +154,8 @@ def reconstruct_mesh(
             pts, tets, neigh, vert_tet, cam_centers,
             indptr, view_cam, view_w,
             sigma=sigma, kqual=opts.quality_factor, kinf=opts.inf_weight,
+            use_free_space=opts.use_free_space_support,
+            kb=opts.thickness_factor * 4.0,
         )
 
     with timed(log, "surface extraction"):
@@ -173,10 +179,12 @@ def _extract_surface(pts: np.ndarray, tets: np.ndarray, neigh: np.ndarray,
     """Faces between a full (sink) tet and a free (source) tet, oriented with
     the normal pointing into free space (SceneReconstruct.cpp:1120-1156)."""
     nt = len(tets)
-    free = inside == 0  # length nt+1; [nt] = outside-the-hull node
-    # full tet t with facet j facing a free region (neighbor tet or hull)
-    nb = neigh.copy().astype(np.int64)
-    nb[nb < 0] = nt  # outside node
+    free = inside == 0  # length nt + n_hull (per-hull-facet outside nodes)
+    # full tet t with facet j facing a free region (neighbor tet or its own
+    # hull-facet outside node, in (t, j) scan order)
+    nb = neigh.astype(np.int64).copy()
+    hull_mask = nb < 0
+    nb[hull_mask] = nt + np.arange(int(hull_mask.sum()))
     full_t = ~free[:nt]
     facing_free = free[nb]  # (nt, 4)
     sel_t, sel_j = np.nonzero(full_t[:, None] & facing_free)

@@ -1,4 +1,7 @@
 """Dev: full densify on the bundled 4-image scene."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import os, sys, time
 
 if os.environ.get("FORCE_CPU", "1") == "1":

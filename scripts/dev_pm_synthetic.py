@@ -1,4 +1,7 @@
 """Dev harness: PatchMatch on a synthetic 2-view fronto-planar scene."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
