@@ -72,6 +72,7 @@ def _load() -> ctypes.CDLL:
         p_i32, p_i32, c_i64,     # tets, neigh, nt
         p_i32,                   # vert_tet
         p_f64, c_i64,            # cam_centers, ncam
+        p_f64, p_i32,            # cam_P (ncam,3,4), cam_wh (ncam,2)
         p_i64, p_i32, p_f32,     # view_indptr, view_cam, view_weight
         ctypes.c_double, ctypes.c_double, ctypes.c_double,  # sigma, kqual, kinf
         ctypes.c_int32,          # use_free_space
@@ -98,6 +99,8 @@ def delaunay_graph_cut(
     neigh: np.ndarray,
     vert_tet: np.ndarray,
     cam_centers: np.ndarray,
+    cam_P: np.ndarray,
+    cam_wh: np.ndarray,
     view_indptr: np.ndarray,
     view_cam: np.ndarray,
     view_weight: np.ndarray,
@@ -128,6 +131,8 @@ def delaunay_graph_cut(
         neigh, nt,
         np.ascontiguousarray(vert_tet, np.int32),
         np.ascontiguousarray(cam_centers, np.float64), len(cam_centers),
+        np.ascontiguousarray(cam_P, np.float64),
+        np.ascontiguousarray(cam_wh, np.int32),
         np.ascontiguousarray(view_indptr, np.int64),
         np.ascontiguousarray(view_cam, np.int32),
         np.ascontiguousarray(view_weight, np.float32),

@@ -15,6 +15,7 @@
 
 #include <atomic>
 #include <cmath>
+#include <unordered_map>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -128,13 +129,21 @@ extern "C" {
 // order over (t, j)), mirroring CGAL's per-infinite-cell nodes: infinite
 // cells interconnect at zero cost (quality of an infinite facet is 0 in the
 // reference, SceneReconstruct.cpp:724-725,1113), so the sink region can
-// extend past the hull for free behind the surface.
+// extend past the hull for free behind the surface.  The reference
+// additionally walks each camera->point ray through the *outside* web of
+// infinite cells, accumulating crossing weights from the camera's own
+// (source-linked) infinite cell to the hull-entry facet; we model each such
+// corridor as one arc from a per-camera source node (nt + n_hull + cam) to
+// the hull-entry node with the ray's full weight — cuttable at the same cost,
+// no outside walk needed.
 // inside_out: (nt + n_hull) bytes.  Returns n_hull (>=0) on success, <0 error.
 int64_t omvs_delaunay_graph_cut(
     const double* verts, int64_t nv,
     const int32_t* tets, const int32_t* neigh, int64_t nt,
     const int32_t* vert_tet,
     const double* cam_centers, int64_t ncam,
+    const double* cam_P,       // (ncam, 3, 4) row-major projection matrices
+    const int32_t* cam_wh,     // (ncam, 2) image width, height
     const int64_t* view_indptr, const int32_t* view_cam, const float* view_weight,
     double sigma, double kqual, double kinf,
     int32_t use_free_space, double kb, double kf, double k_rel, double k_abs,
@@ -152,13 +161,165 @@ int64_t omvs_delaunay_graph_cut(
 
   std::vector<float> f(4 * nt, 0.f);   // capacity tet -> neighbor_j
   std::vector<float> g(4 * nt, 0.f);   // capacity outside -> tet (hull facets)
-  std::vector<float> s_cap(nt + n_hull, 0.f), t_cap(nt + n_hull, 0.f);
+  const int64_t n_nodes = nt + n_hull + ncam;
+  std::vector<float> s_cap(n_nodes, 0.f), t_cap(n_nodes, 0.f);
+  // outside-corridor arcs: (camera, hull node) -> accumulated capacity
+  std::unordered_map<int64_t, float> corridor;
+  // cameras are always sources
+  for (int64_t c = 0; c < ncam; ++c) s_cap[nt + n_hull + c] = (float)kinf;
+
+  // hull-facet edge adjacency: for the outside wedge walk.  Two hull facets
+  // are adjacent when they share an edge.  adj[3*h + k] = neighbor hull node
+  // (or -1) across edge k of hull facet h.
+  std::vector<int64_t> hull_adj;
+  std::vector<int64_t> hull_tet, hull_j;
+  {
+    std::unordered_map<int64_t, int64_t> edge2hull;  // packed edge -> hull idx
+    int64_t nh = 0;
+    for (int64_t t = 0; t < nt; ++t)
+      for (int j = 0; j < 4; ++j)
+        if (neigh[4 * t + j] < 0) { hull_tet.push_back(t); hull_j.push_back(j); ++nh; }
+    hull_adj.assign(3 * nh, -1);
+    auto pack = [&](int64_t a, int64_t b) {
+      if (a > b) std::swap(a, b);
+      return a * (int64_t)nv + b;
+    };
+    for (int64_t h = 0; h < nh; ++h) {
+      int64_t t = hull_tet[h];
+      int j = (int)hull_j[h];
+      const int32_t* tv = tets + 4 * t;
+      int fa = (j + 1) & 3, fb = (j + 2) & 3, fc = (j + 3) & 3;
+      int64_t vs3[3] = {tv[fa], tv[fb], tv[fc]};
+      for (int k = 0; k < 3; ++k) {
+        int64_t key = pack(vs3[k], vs3[(k + 1) % 3]);
+        auto it = edge2hull.find(key);
+        if (it == edge2hull.end()) {
+          edge2hull[key] = h;
+        } else {
+          int64_t h2 = it->second;
+          // fill first free slot on both
+          for (int kk = 0; kk < 3; ++kk) if (hull_adj[3*h+kk] < 0) { hull_adj[3*h+kk] = h2; break; }
+          for (int kk = 0; kk < 3; ++kk) if (hull_adj[3*h2+kk] < 0) { hull_adj[3*h2+kk] = h; break; }
+        }
+      }
+    }
+  }
+  // hull index of facet (t, j) = hull_id[4t+j] - nt
+  // outward unit normal + a vertex of hull facet h
+  auto hull_plane = [&](int64_t h, V3& n, V3& a) {
+    int64_t t = hull_tet[h];
+    int j = (int)hull_j[h];
+    double d;
+    m.facet_plane(t, j, n, d);       // oriented away from vertex j = outward
+    double nl = norm(n);
+    if (nl > 1e-300) n = n * (1.0 / nl);
+    const int32_t* tv = tets + 4 * t;
+    a = m.vert(tv[(j + 1) & 3]);
+  };
+  // Walk the ray (origin p, unit dir u toward the camera, length len) along
+  // the OUTSIDE of the hull starting from wedge (hull facet) h0 at parameter
+  // t_cur: the reference walks camera->point rays through the infinite-cell
+  // web accumulating crossing weights on infinite-infinite facets
+  // (SceneReconstruct.cpp:968-975 via intersect()); here the outside is
+  // decomposed into one wedge per hull facet and each wedge crossing adds an
+  // arc next->current (camera->point direction) with the ray's full weight.
+  // Returns the final wedge (to be tied to the camera source node).
+  struct Arc { int64_t from, to; float cap; };
+  std::vector<Arc> extra_arcs;
+  auto outside_walk = [&](int64_t h0, const V3& p, const V3& u, double len,
+                          double t0, float alpha) -> int64_t {
+    int64_t h = h0;
+    double t_cur = t0;
+    int64_t prev = -1;
+    for (int step = 0; step < 64; ++step) {
+      int64_t best_h = -1;
+      double best_s = 1e30;
+      int64_t t1 = hull_tet[h];
+      int j1 = (int)hull_j[h];
+      const int32_t* tv1 = tets + 4 * t1;
+      V3 n1, a1;
+      hull_plane(h, n1, a1);
+      for (int k = 0; k < 3; ++k) {
+        int64_t h2 = hull_adj[3 * h + k];
+        if (h2 < 0 || h2 == prev) continue;
+        // shared edge = the two common vertices
+        int64_t t2 = hull_tet[h2];
+        int j2 = (int)hull_j[h2];
+        const int32_t* tv2 = tets + 4 * t2;
+        int64_t e1 = -1, e2 = -1;
+        for (int x = 0; x < 4; ++x) {
+          if (x == j1) continue;
+          int64_t vx = tv1[x];
+          for (int y = 0; y < 4; ++y) {
+            if (y == j2) continue;
+            if (tv2[y] == vx) { (e1 < 0 ? e1 : e2) = vx; break; }
+          }
+        }
+        if (e2 < 0) continue;
+        V3 n2, a2;
+        hull_plane(h2, n2, a2);
+        V3 A = m.vert(e1), B = m.vert(e2);
+        // wedge boundary plane: contains the shared edge, spanned by the
+        // mean outward normal
+        V3 bn = cross(B - A, n1 + n2);
+        double denom = dot(bn, u);
+        if (std::fabs(denom) < 1e-300) continue;
+        double sx = (dot(bn, A) - dot(bn, p)) / denom;
+        if (sx > t_cur + 1e-12 && sx < best_s) { best_s = sx; best_h = h2; }
+      }
+      if (best_h < 0 || best_s >= len) break;  // clear of the hull / at camera
+      extra_arcs.push_back({nt + best_h, nt + h, alpha});
+      prev = h;
+      h = best_h;
+      t_cur = best_s;
+    }
+    return h;
+  };
 
   // locate cameras once: cell containing each camera (or outside)
   std::vector<int64_t> cam_cell(ncam, -1);
   for (int64_t c = 0; c < ncam; ++c) {
     V3 q{cam_centers[3 * c], cam_centers[3 * c + 1], cam_centers[3 * c + 2]};
     cam_cell[c] = locate(m, 0, q, nullptr, nullptr);
+  }
+
+  // link to the source every hull facet that faces a camera and falls inside
+  // its frustum (fetchCellFacets<POSITIVE> + s = kInf,
+  // SceneReconstruct.cpp:384-416,904-911): the whole camera-visible side of
+  // the hull is free space by construction.
+  for (int64_t c = 0; c < ncam; ++c) {
+    if (cam_cell[c] >= 0) { s_cap[cam_cell[c]] = (float)kinf; continue; }
+    V3 cc{cam_centers[3 * c], cam_centers[3 * c + 1], cam_centers[3 * c + 2]};
+    const double* P = cam_P + 12 * c;
+    const double w_img = cam_wh[2 * c], h_img = cam_wh[2 * c + 1];
+    for (int64_t h = 0; h < n_hull; ++h) {
+      int64_t t = hull_tet[h];
+      int j = (int)hull_j[h];
+      V3 n, a;
+      hull_plane(h, n, a);
+      if (dot(n, cc - a) <= 0) continue;  // back-facing
+      // frustum test: accept unless all 3 vertices are outside the same
+      // image boundary (conservative, like the reference's AABB classify)
+      const int32_t* tv = tets + 4 * t;
+      bool all_left = true, all_right = true, all_top = true, all_bot = true,
+           all_behind = true;
+      for (int x = 0; x < 4; ++x) {
+        if (x == j) continue;
+        V3 v3 = m.vert(tv[x]);
+        double px = P[0] * v3.x + P[1] * v3.y + P[2] * v3.z + P[3];
+        double py = P[4] * v3.x + P[5] * v3.y + P[6] * v3.z + P[7];
+        double pz = P[8] * v3.x + P[9] * v3.y + P[10] * v3.z + P[11];
+        if (pz <= 0) continue;
+        all_behind = false;
+        double ix = px / pz, iy = py / pz;
+        if (ix >= 0) all_left = false;
+        if (ix <= w_img) all_right = false;
+        if (iy >= 0) all_top = false;
+        if (iy <= h_img) all_bot = false;
+      }
+      if (all_behind || all_left || all_right || all_top || all_bot) continue;
+      s_cap[nt + h] = (float)kinf;
+    }
   }
 
   for (int64_t v = 0; v < nv; ++v) {
@@ -178,7 +339,15 @@ int64_t omvs_delaunay_graph_cut(
       // start just off the vertex toward the camera
       double eps = 1e-6 * len;
       V3 q0 = p + u * eps;
-      int64_t t = locate(m, vert_tet[v], q0, nullptr, nullptr, 4096);
+      int64_t fexit_t = -1; int fexit_j = -1;
+      int64_t t = locate(m, vert_tet[v], q0, &fexit_t, &fexit_j, 4096);
+      if (t < 0 && fexit_t >= 0) {
+        // the point sits on the hull and the ray leaves immediately: walk the
+        // outside wedges toward the camera, then tie the last wedge to it
+        int64_t h0 = hull_id[4 * fexit_t + fexit_j] - nt;
+        int64_t hl = outside_walk(h0, p, u, len, 0.0, alpha);
+        corridor[cam * (int64_t)(nt + n_hull) + (nt + hl)] += alpha;
+      }
       if (t >= 0) {
         V3 a = p;  // segment p -> c
         int64_t prev = -1;
@@ -202,8 +371,10 @@ int64_t omvs_delaunay_graph_cut(
             }
           }
           if (best_j < 0 || best_s >= 1.0) {
-            reached = true;  // camera inside tet t
-            s_cap[t] = (float)kinf;
+            // only a genuine containment means the camera is inside tet t;
+            // otherwise the walk got numerically stuck — drop the ray
+            if (m.contains(t, c, 1e-9 * len)) s_cap[t] = (float)kinf;
+            reached = true;
             break;
           }
           int64_t nb = m.neigh[4 * t + best_j];
@@ -211,9 +382,11 @@ int64_t omvs_delaunay_graph_cut(
           float w = alpha * (float)(1.0 - std::exp(-dist * dist * inv2s2));
           if (nb < 0) {
             // exits the hull toward the camera: weight on outside->tet
-            // direction; that hull facet's outside node ties to the source
+            // direction, then continue along the outside wedges to the camera
             g[4 * t + best_j] += w;
-            s_cap[hull_id[4 * t + best_j]] = (float)kinf;
+            int64_t h0 = hull_id[4 * t + best_j] - nt;
+            int64_t hl = outside_walk(h0, p, u * len, 1.0, best_s, alpha);
+            corridor[cam * (int64_t)(nt + n_hull) + (nt + hl)] += alpha;
             reached = true;
             break;
           }
@@ -372,10 +545,26 @@ int64_t omvs_delaunay_graph_cut(
   }
 
   // --- build graph & solve ---
-  omvs::MaxFlow mf(nt + n_hull);
+  omvs::MaxFlow mf(n_nodes);
   constexpr double kMaxCap = 3.4e34;
-  for (int64_t t = 0; t < nt + n_hull; ++t)
+  for (int64_t t = 0; t < n_nodes; ++t)
     mf.add_terminal(t, s_cap[t], std::min((double)t_cap[t], kMaxCap));
+  for (const auto& kv : corridor) {
+    int64_t cam = kv.first / (nt + n_hull);
+    int64_t hnode = kv.first % (nt + n_hull);
+    mf.add_edge(nt + n_hull + cam, hnode, kv.second, 0.0);
+  }
+  {
+    // merge duplicate wedge arcs before insertion
+    std::unordered_map<int64_t, float> merged;
+    for (const Arc& a : extra_arcs)
+      merged[a.from * (int64_t)(nt + n_hull) + a.to] += a.cap;
+    for (const auto& kv : merged) {
+      int64_t from = kv.first / (nt + n_hull);
+      int64_t to = kv.first % (nt + n_hull);
+      mf.add_edge(from, to, kv.second, 0.0);
+    }
+  }
 
   // facet quality: cos of the angle between the facet plane and the cell's
   // circumscribed sphere (SceneReconstruct.cpp:719-758).  The normal is
@@ -418,7 +607,7 @@ int64_t omvs_delaunay_graph_cut(
   if (getenv("OMVS_CUT_DEBUG")) {
     double sum_s = 0, sum_t = 0, sum_f = 0, sum_g = 0, sum_q = 0;
     int64_t n_s = 0, n_t = 0;
-    for (int64_t t = 0; t < nt + n_hull; ++t) {
+    for (int64_t t = 0; t < n_nodes; ++t) {
       sum_s += s_cap[t] >= kMaxCap ? 0 : s_cap[t];
       sum_t += t_cap[t];
       if (s_cap[t] > 0) ++n_s;

@@ -123,6 +123,8 @@ def reconstruct_mesh(
     # CSR (point -> cameras): map image ids to compact camera indices
     id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
     cam_centers = np.stack([im.camera.C for im in scene.images]).astype(np.float64)
+    cam_P = np.stack([im.camera.P for im in scene.images]).astype(np.float64)
+    cam_wh = np.array([[im.width, im.height] for im in scene.images], np.int32)
     counts = np.array([len(v) for v in views], np.int64)
     indptr = np.zeros(len(pts) + 1, np.int64)
     np.cumsum(counts, out=indptr[1:])
@@ -151,7 +153,7 @@ def reconstruct_mesh(
 
     with timed(log, "visibility ray walk + min-cut"):
         inside = native.delaunay_graph_cut(
-            pts, tets, neigh, vert_tet, cam_centers,
+            pts, tets, neigh, vert_tet, cam_centers, cam_P, cam_wh,
             indptr, view_cam, view_w,
             sigma=sigma, kqual=opts.quality_factor, kinf=opts.inf_weight,
             use_free_space=opts.use_free_space_support,
@@ -187,18 +189,25 @@ def _extract_surface(pts: np.ndarray, tets: np.ndarray, neigh: np.ndarray,
     nb[hull_mask] = nt + np.arange(int(hull_mask.sum()))
     full_t = ~free[:nt]
     facing_free = free[nb]  # (nt, 4)
-    sel_t, sel_j = np.nonzero(full_t[:, None] & facing_free)
+    # every cut facet is surface (reference emits all src/sink boundaries,
+    # SceneReconstruct.cpp:1128-1152): full tet facing a free cell, plus hull
+    # facets whose free tet faces a full outside node (emitted once, from the
+    # tet side, to avoid double-counting interior facets)
+    case_a = full_t[:, None] & facing_free
+    case_b = hull_mask & (~full_t[:, None]) & (~facing_free) & free[:nt][:, None]
+    sel_t, sel_j = np.nonzero(case_a | case_b)
     if len(sel_t) == 0:
         return Mesh()
+    is_full_tet = full_t[sel_t]
     tri = tets[sel_t[:, None], _FACET[sel_j]]  # (n, 3) vertex ids
 
-    # orientation: _FACET winding gives normal away from vertex j for a
-    # positively-oriented tet; qhull tets are not consistently oriented, so
-    # orient by geometry: normal should point away from the 4th vertex.
+    # orientation: the normal must point into the free region — away from the
+    # apex when the tet is full, toward it when the tet is the free side.
     a = pts[tri[:, 0]]
     n = np.cross(pts[tri[:, 1]] - a, pts[tri[:, 2]] - a)
     apex = pts[tets[sel_t, sel_j]]
-    flip = np.einsum("ij,ij->i", n, apex - a) > 0
+    toward_apex = np.einsum("ij,ij->i", n, apex - a) > 0
+    flip = np.where(is_full_tet, toward_apex, ~toward_apex)
     tri[flip] = tri[flip][:, [0, 2, 1]]
 
     from openmvs_tpu.mesh_ops import remove_unreferenced
