@@ -70,7 +70,10 @@ class DenseOptions:
 
     # -- PatchMatch core (DepthMap.cpp:106-113, DepthMap.h:277-281) --
     ncc_threshold_keep: float = 0.9     # max 1-NCC score accepted
-    estimation_iters: int = 4           # PatchMatch iterations
+    # block-synchronous checkerboard sweeps propagate slower than the
+    # reference's sequential zig-zag, so run more iterations; the warp-once
+    # search sweeps are ~20x cheaper than exact ones so this is nearly free
+    estimation_iters: int = 7           # PatchMatch iterations
     estimation_geometric_iters: int = 2 # geometric-consistency iterations
     estimation_geometric_weight: float = 0.1
     random_iters: int = 6               # random-refinement candidates per pixel
@@ -81,6 +84,7 @@ class DenseOptions:
     random_smooth_depth: float = 0.02
     random_smooth_normal: float = 13.0  # deg
     random_smooth_bonus: float = 0.93
+    exact_final_iters: int = 2      # full-res iterations scored per-texel
 
     # -- patch window (DepthMap.h:277-281) --
     window_half: int = 4   # 9x9 window

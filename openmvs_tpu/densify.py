@@ -248,8 +248,9 @@ def estimate_depth_map(
             data, opts, key, jnp.asarray(sd), jnp.asarray(sn), nV, is_geometric
         )
         for it in range(n_iters):
-            # NN sampling during search; bilinear on the final full-res iter
-            exact = (level == 0) and (it == n_iters - 1)
+            # warp-once scoring while searching; exact per-texel scoring for
+            # the last iterations at full resolution (subpixel refinement)
+            exact = (level == 0) and (it >= n_iters - opts.exact_final_iters)
             state = patchmatch.sweep(
                 state, data, opts, jax.random.fold_in(key, it + 1), nV, is_geometric,
                 exact=exact,

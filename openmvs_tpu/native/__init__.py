@@ -21,7 +21,7 @@ import numpy as np
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "_omvs_native.so")
-_SOURCES = ("maxflow.cpp", "delaunay_cut.cpp", "decimate.cpp")
+_SOURCES = ("maxflow.cpp", "delaunay_cut.cpp", "decimate.cpp", "rasterize.cpp")
 
 _lock = threading.Lock()
 _lib = None
@@ -79,6 +79,13 @@ def _load() -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_double,                   # kb, kf
         ctypes.c_double, ctypes.c_double, ctypes.c_double,  # kRel, kAbs, kOutl
         p_u8,                    # inside_out (nt + n_hull)
+    ]
+
+    lib.omvs_rasterize.restype = ctypes.c_int
+    lib.omvs_rasterize.argtypes = [
+        p_f64, c_i64, p_i32, c_i64,   # proj (nv,3), nv, faces, nf
+        c_i64, c_i64,                 # H, W
+        p_i32, p_f32, p_f32,          # face_id, depth, bary
     ]
 
     lib.omvs_decimate.restype = ctypes.c_int
@@ -162,3 +169,23 @@ def decimate(verts: np.ndarray, faces: np.ndarray, target_nf: int):
     if rc != 0:
         raise RuntimeError(f"omvs_decimate failed (rc={rc})")
     return out_v[: out_nv[0]].copy(), out_f[: out_nf[0]].copy()
+
+
+def rasterize(proj: np.ndarray, faces: np.ndarray, H: int, W: int,
+              want_bary: bool = True):
+    """Z-buffer rasterization of projected vertices (u, v, camera-depth).
+
+    Returns (face_id (H,W) int32 with -1 empty, depth (H,W) f32,
+    bary (H,W,3) f32 perspective-correct or None)."""
+    lib = _load()
+    face_id = np.empty((H, W), np.int32)
+    depth = np.empty((H, W), np.float32)
+    bary = np.empty((H, W, 3), np.float32)
+    rc = lib.omvs_rasterize(
+        np.ascontiguousarray(proj, np.float64), len(proj),
+        np.ascontiguousarray(faces, np.int32), len(faces),
+        H, W, face_id, depth, bary,
+    )
+    if rc != 0:
+        raise RuntimeError(f"omvs_rasterize failed (rc={rc})")
+    return face_id, depth, (bary if want_bary else None)

@@ -222,6 +222,83 @@ def _score_one_view_scan(
     return score, inb
 
 
+def _score_one_view_warp(
+    data: PMData,
+    opts: DenseOptions,
+    depth: jnp.ndarray,       # (C, H, W)
+    normal: jnp.ndarray,      # (C, H, W, 3)
+    inv_nd: jnp.ndarray,      # (C, H, W)
+    img: jnp.ndarray,         # (Hp, Wp)
+    size: jnp.ndarray,        # (2,)
+    Hl: jnp.ndarray,          # (3, 3)
+    Hm: jnp.ndarray,          # (3,)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp-once weighted ZNCC: the neighbor image is sampled ONCE per pixel
+    per candidate at the hypothesis-field warp (bilinear), and the 25-texel
+    window statistics are taken over the *warped image* with dense shifts.
+
+    This is the TPU-native scoring path: gathers (the TPU's weak op) drop
+    from 25/texel to 1/pixel, and the window sums are pure VPU shift-multiply
+    ops.  It equals the exact per-texel warp when the hypothesis field is
+    locally planar — which propagation candidates are by construction
+    (each is one neighbor's plane re-rendered, cf. InterpolatePixel
+    DepthMap.cpp:916-960); bilateral weights (from the reference image)
+    still down-weight cross-edge texels.
+    """
+    th_robust = opts.th_robust
+    h_j, w_j = size[0], size[1]
+
+    SX0 = jnp.einsum("ab,hwb->ahw", Hl, data.X0)            # (3, H, W)
+    inv_d = 1.0 / depth                                     # (C, H, W)
+    sx = SX0[0][None] + Hm[0] * inv_d
+    sy = SX0[1][None] + Hm[1] * inv_d
+    sz = SX0[2][None] + Hm[2] * inv_d
+    zok = sz > 1e-8
+    izs = jnp.where(zok, 1.0 / jnp.where(zok, sz, 1.0), 0.0)
+    px = sx * izs
+    py = sy * izs
+    inb0 = zok & (px >= 1) & (px <= w_j - 2) & (py >= 1) & (py <= h_j - 2)
+    warped = _bilinear(img, px, py)                         # (C, H, W)
+    warped = jnp.where(inb0, warped, 0.0)
+
+    b = opts.window_half
+    pad = ((0, 0), (b, b), (b, b))
+    wp = jnp.pad(warped, pad)
+    ip = jnp.pad(inb0, pad)
+    offs = texel_offsets(opts)                              # (T, 2) static
+    C, H, W = depth.shape
+
+    def body(carry, xs):
+        num, ssum, ssq, inb = carry
+        w_k, wtm_k, dx, dy = xs
+        val = jax.lax.dynamic_slice(wp, (0, dy + b, dx + b), (C, H, W))
+        ok = jax.lax.dynamic_slice(ip, (0, dy + b, dx + b), (C, H, W))
+        num = num + val * wtm_k[None]
+        ssum = ssum + val * w_k[None]
+        ssq = ssq + val * val * w_k[None]
+        return (num, ssum, ssq, inb & ok), None
+
+    shape = depth.shape
+    init = (
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.ones(shape, bool),
+    )
+    dxs = jnp.asarray(offs[:, 0], jnp.int32)
+    dys = jnp.asarray(offs[:, 1], jnp.int32)
+    (num, ssum, ssq, inb), _ = jax.lax.scan(
+        body, init, (data.w, data.wtm, dxs, dys)
+    )
+
+    norm_sq1 = ssq - ssum * ssum / data.sum_w[None]
+    nrm_sq = data.norm_sq0[None] * norm_sq1
+    ncc = jnp.clip(num * jax.lax.rsqrt(jnp.maximum(nrm_sq, 1e-30)), -1.0, 1.0)
+    score = 1.0 - ncc
+    score = jnp.where((nrm_sq <= 1e-16) | ~inb, th_robust, score)
+    return score, inb
+
+
 def _geometric_term(
     data: PMData,
     opts: DenseOptions,
@@ -333,7 +410,14 @@ def score_hypotheses(
     def view_body(carry, xs):
         s0, s1 = carry
         img, size, Hl, Hm, dm, Tl, Tm, Tr, Tn = xs
-        s, _ = _score_one_view_scan(data, opts, depth, normal, inv_nd, img, size, Hl, Hm, exact)
+        if exact:
+            s, _ = _score_one_view_scan(
+                data, opts, depth, normal, inv_nd, img, size, Hl, Hm, True
+            )
+        else:
+            s, _ = _score_one_view_warp(
+                data, opts, depth, normal, inv_nd, img, size, Hl, Hm
+            )
         s = s * bonus
         if use_geom:
             s = s + opts.estimation_geometric_weight * _geometric_term(
@@ -380,11 +464,28 @@ def _dir_to_normal(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([jnp.cos(theta) * sp, jnp.sin(theta) * sp, jnp.cos(phi)], axis=-1)
 
 
+# Random fields are generated block-coherent (one draw per BLK x BLK tile):
+# the warp-once scorer reads the hypothesis *field* over each window, so a
+# candidate must perturb whole neighborhoods coherently for its score to
+# reflect the perturbation (per-pixel noise would average out 24/25 of the
+# signal).  Propagation candidates are coherent by construction.
+_RAND_BLK = 8
+
+
+def _block_uniform(key, shape, minval=0.0, maxval=1.0):
+    H, W = shape
+    hb = -(-H // _RAND_BLK)
+    wb = -(-W // _RAND_BLK)
+    u = jax.random.uniform(key, (hb, wb), minval=minval, maxval=maxval)
+    u = jnp.repeat(jnp.repeat(u, _RAND_BLK, axis=0), _RAND_BLK, axis=1)
+    return u[:H, :W]
+
+
 def _random_normal(key, shape, view_dir):
     """Random camera-facing normal (DepthMap.h:439-444)."""
     k1, k2 = jax.random.split(key)
-    theta = jax.random.uniform(k1, shape, minval=0.0, maxval=math.pi)
-    phi = jax.random.uniform(k2, shape, minval=math.pi / 2, maxval=math.pi)
+    theta = _block_uniform(k1, shape, minval=0.0, maxval=math.pi)
+    phi = _block_uniform(k2, shape, minval=math.pi / 2, maxval=math.pi)
     n = _dir_to_normal(theta, phi)
     flip = jnp.einsum("hwc,hwc->hw", n, view_dir) > 0
     return jnp.where(flip[..., None], -n, n)
@@ -392,7 +493,7 @@ def _random_normal(key, shape, view_dir):
 
 def _random_depth(key, shape, d_min, d_max):
     """sqrt-space uniform random depth (DepthMap.h:435-438)."""
-    u = jax.random.uniform(key, shape)
+    u = _block_uniform(key, shape)
     r = jnp.sqrt(d_min) + u * (jnp.sqrt(d_max) - jnp.sqrt(d_min))
     return r * r
 
@@ -431,12 +532,12 @@ def _perturb_candidate(data: PMData, state: PMState, opts: DenseOptions, key, ex
     scale = (0.5 ** idx_scale) * extra_scale
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     depth_range = state.depth * opts.random_depth_ratio
-    d_new = state.depth + (jax.random.uniform(k1, conf.shape) * 2 - 1) * depth_range * scale
+    d_new = state.depth + (_block_uniform(k1, conf.shape) * 2 - 1) * depth_range * scale
     theta, phi = _normal_to_dir(state.normal)
     a1 = math.radians(opts.random_angle1_range)
     a2 = math.radians(opts.random_angle2_range)
-    theta = theta + (jax.random.uniform(k2, conf.shape) * 2 - 1) * a1 * scale
-    phi = phi + (jax.random.uniform(k3, conf.shape) * 2 - 1) * a2 * scale
+    theta = theta + (_block_uniform(k2, conf.shape) * 2 - 1) * a1 * scale
+    phi = phi + (_block_uniform(k3, conf.shape) * 2 - 1) * a2 * scale
     n_new = _dir_to_normal(theta, phi)
 
     # fully random restart where the current estimate is hopeless
@@ -452,6 +553,43 @@ def _perturb_candidate(data: PMData, state: PMState, opts: DenseOptions, key, ex
         & (jnp.einsum("hwc,hwc->hw", n_new, data.X0) < 0)
     )
     return d_new, n_new, ok
+
+
+def _probe_candidates(data: PMData, state: PMState, opts: DenseOptions, key):
+    """Field-coherent refinement probes for the warp-once scorer.
+
+    The warp scorer evaluates the hypothesis *field* over each window, so
+    per-pixel random perturbations average out; instead probe with globally
+    coherent moves — depth-scale ladders around the current field (local
+    cost-volume refinement) plus one block-random restart — and let per-pixel
+    acceptance pick the best move."""
+    out = []
+    r = opts.random_depth_ratio
+    for delta in (4 * r, -4 * r, r, -r, 0.25 * r, -0.25 * r):
+        d_new = state.depth * (1.0 + delta)
+        ok = (d_new >= data.d_min) & (d_new <= data.d_max) & (state.depth > 0)
+        out.append((d_new, state.normal, ok))
+    # two coherent normal probes: rotate theta/phi by block-random offsets
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    theta, phi = _normal_to_dir(state.normal)
+    a1 = math.radians(opts.random_angle1_range)
+    a2 = math.radians(opts.random_angle2_range)
+    for kk in (k1, k2):
+        ka, kb = jax.random.split(kk)
+        t2 = theta + (_block_uniform(ka, state.conf.shape) * 2 - 1) * a1
+        p2 = phi + (_block_uniform(kb, state.conf.shape) * 2 - 1) * a2
+        n_new = _dir_to_normal(t2, p2)
+        ok = (state.depth > 0) & (jnp.einsum("hwc,hwc->hw", n_new, data.X0) < 0)
+        out.append((state.depth, n_new, ok))
+    # block-random restart where hopeless
+    rand_d = _random_depth(k3, state.conf.shape, data.d_min, data.d_max)
+    rand_n = _random_normal(k4, state.conf.shape, data.X0)
+    hopeless = state.conf >= opts.th_conf_rand
+    d_new = jnp.where(hopeless, rand_d, state.depth * (1.0 + (_block_uniform(k3, state.conf.shape) * 2 - 1) * 16 * r))
+    n_new = jnp.where(hopeless[..., None], rand_n, state.normal)
+    ok = (d_new >= data.d_min) & (d_new <= data.d_max)
+    out.append((d_new, n_new, ok))
+    return out
 
 
 # propagation neighborhood: 4-adjacent plus 4 longer-range samples so
@@ -474,9 +612,10 @@ def sweep(
 ) -> PMState:
     """One full PatchMatch iteration = two checkerboard half-steps.
 
-    exact=False scores candidates with nearest-neighbor sampling (4x fewer
-    gathers); pass exact=True for the final iteration so the surviving
-    confidences are bilinear-accurate."""
+    exact=False scores candidates with the warp-once window-sum path (the
+    TPU-native fast path, 25x fewer gathers); pass exact=True for the final
+    iteration so the surviving confidences use the exact per-texel
+    plane-induced warp."""
     H, W = state.depth.shape
     uu = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     vv = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -489,10 +628,15 @@ def sweep(
         for dy, dx in PROP_OFFSETS:
             d, n, ok = _propagate_candidate(data, state, opts, dy, dx)
             cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-        for r in range(n_perturb):
-            ck = jax.random.fold_in(key, parity * 131 + r)
-            d, n, ok = _perturb_candidate(data, state, opts, ck, SCALE_RANGES[r])
-            cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
+        if exact:
+            for r in range(n_perturb):
+                ck = jax.random.fold_in(key, parity * 131 + r)
+                d, n, ok = _perturb_candidate(data, state, opts, ck, SCALE_RANGES[r])
+                cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
+        else:
+            ck = jax.random.fold_in(key, parity * 131)
+            for d, n, ok in _probe_candidates(data, state, opts, ck):
+                cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
         cd = jnp.stack(cand_d)               # (C, H, W)
         cn = jnp.stack(cand_n)               # (C, H, W, 3)
         cok = jnp.stack(cand_ok)             # (C, H, W)
