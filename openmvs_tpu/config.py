@@ -71,9 +71,8 @@ class DenseOptions:
     # -- PatchMatch core (DepthMap.cpp:106-113, DepthMap.h:277-281) --
     ncc_threshold_keep: float = 0.9     # max 1-NCC score accepted
     # block-synchronous checkerboard sweeps propagate slower than the
-    # reference's sequential zig-zag, so run more iterations; the warp-once
-    # search sweeps are ~20x cheaper than exact ones so this is nearly free
-    estimation_iters: int = 7           # PatchMatch iterations
+    # reference's sequential zig-zag, so run one extra iteration
+    estimation_iters: int = 5           # PatchMatch iterations
     estimation_geometric_iters: int = 2 # geometric-consistency iterations
     estimation_geometric_weight: float = 0.1
     random_iters: int = 6               # random-refinement candidates per pixel

@@ -247,14 +247,16 @@ def estimate_depth_map(
         state = patchmatch.init_state(
             data, opts, key, jnp.asarray(sd), jnp.asarray(sn), nV, is_geometric
         )
+        prev_mode = None
         for it in range(n_iters):
-            # warp-once scoring while searching; exact per-texel scoring for
-            # the last iterations at full resolution (subpixel refinement)
-            exact = (level == 0) and (it >= n_iters - opts.exact_final_iters)
+            # nearest-neighbor per-texel scoring while searching; exact
+            # (bilinear) scoring for the final full-res iterations
+            mode = "exact" if (level == 0 and it >= n_iters - opts.exact_final_iters) else "nn"
             state = patchmatch.sweep(
                 state, data, opts, jax.random.fold_in(key, it + 1), nV, is_geometric,
-                exact=exact,
+                mode=mode, rescore_state=(prev_mode is not None and mode != prev_mode),
             )
+            prev_mode = mode
         state_np = (np.asarray(state.depth), np.asarray(state.normal))
         result_state, result_cam = state, ref_cam
 

@@ -385,9 +385,14 @@ def score_hypotheses(
     normal: jnp.ndarray,      # (C, H, W, 3)
     n_views: int,
     use_geom: bool,
-    exact: bool = True,
+    mode: str = "exact",
 ) -> jnp.ndarray:
     """Aggregated multi-view scores of C (depth, normal) hypothesis maps.
+
+    mode: "exact" = per-texel bilinear plane-induced warp (reference
+    semantics); "nn" = per-texel nearest-neighbor sampling (4x fewer
+    gathers); "warp" = warp-once + window sums (25x fewer gathers, evaluates
+    the hypothesis field).
 
     Views ride a lax.scan carrying the best-two running scores (min-mean
     aggregation, DepthMap.cpp:594-609)."""
@@ -410,13 +415,14 @@ def score_hypotheses(
     def view_body(carry, xs):
         s0, s1 = carry
         img, size, Hl, Hm, dm, Tl, Tm, Tr, Tn = xs
-        if exact:
-            s, _ = _score_one_view_scan(
-                data, opts, depth, normal, inv_nd, img, size, Hl, Hm, True
-            )
-        else:
+        if mode == "warp":
             s, _ = _score_one_view_warp(
                 data, opts, depth, normal, inv_nd, img, size, Hl, Hm
+            )
+        else:
+            s, _ = _score_one_view_scan(
+                data, opts, depth, normal, inv_nd, img, size, Hl, Hm,
+                exact=(mode == "exact"),
             )
         s = s * bonus
         if use_geom:
@@ -442,11 +448,11 @@ def score_hypotheses(
 def score_hypothesis(
     data: PMData, opts: DenseOptions, state: PMState,
     depth: jnp.ndarray, normal: jnp.ndarray, n_views: int, use_geom: bool,
-    exact: bool = True,
+    mode: str = "exact",
 ) -> jnp.ndarray:
     """Single-hypothesis convenience wrapper: (H, W) in, (H, W) out."""
     return score_hypotheses(
-        data, opts, state, depth[None], normal[None], n_views, use_geom, exact
+        data, opts, state, depth[None], normal[None], n_views, use_geom, mode
     )[0]
 
 
@@ -599,7 +605,7 @@ def _probe_candidates(data: PMData, state: PMState, opts: DenseOptions, key):
 PROP_OFFSETS = ((0, 1), (0, -1), (1, 0), (-1, 0), (0, 5), (0, -5), (5, 0), (-5, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "exact"))
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state"))
 def sweep(
     state: PMState,
     data: PMData,
@@ -608,18 +614,29 @@ def sweep(
     n_views: int,
     use_geom: bool = False,
     n_perturb: int = 3,
-    exact: bool = False,
+    mode: str = "nn",
+    rescore_state: bool = False,
 ) -> PMState:
     """One full PatchMatch iteration = two checkerboard half-steps.
 
-    exact=False scores candidates with the warp-once window-sum path (the
-    TPU-native fast path, 25x fewer gathers); pass exact=True for the final
-    iteration so the surviving confidences use the exact per-texel
-    plane-induced warp."""
+    Search iterations default to mode="nn" (per-texel nearest-neighbor,
+    4x fewer gathers); the final iterations use mode="exact" so surviving
+    confidences are bilinear-accurate; mode="warp" is the cheapest
+    (warp-once field scoring) and suits coarse pyramid levels."""
     H, W = state.depth.shape
     uu = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     vv = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     parity_map = (uu + vv) % 2
+
+    if rescore_state:
+        # scores from a different scoring mode are not comparable: rescore
+        # the incumbent state with THIS mode before candidates compete
+        cur = score_hypotheses(
+            data, opts, state, state.depth[None], state.normal[None],
+            n_views, use_geom, mode,
+        )[0]
+        state = PMState(depth=state.depth, normal=state.normal,
+                        conf=jnp.where(data.valid, cur, 2.0))
 
     for parity in (0, 1):
         active = (parity_map == parity) & data.valid
@@ -628,20 +645,20 @@ def sweep(
         for dy, dx in PROP_OFFSETS:
             d, n, ok = _propagate_candidate(data, state, opts, dy, dx)
             cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-        if exact:
+        if mode == "warp":
+            ck = jax.random.fold_in(key, parity * 131)
+            for d, n, ok in _probe_candidates(data, state, opts, ck):
+                cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
+        else:
             for r in range(n_perturb):
                 ck = jax.random.fold_in(key, parity * 131 + r)
                 d, n, ok = _perturb_candidate(data, state, opts, ck, SCALE_RANGES[r])
-                cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-        else:
-            ck = jax.random.fold_in(key, parity * 131)
-            for d, n, ok in _probe_candidates(data, state, opts, ck):
                 cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
         cd = jnp.stack(cand_d)               # (C, H, W)
         cn = jnp.stack(cand_n)               # (C, H, W, 3)
         cok = jnp.stack(cand_ok)             # (C, H, W)
 
-        s = score_hypotheses(data, opts, state, cd, cn, n_views, use_geom, exact)
+        s = score_hypotheses(data, opts, state, cd, cn, n_views, use_geom, mode)
         s = jnp.where(cok, s, jnp.inf)
         best = jnp.argmin(s, axis=0)         # (H, W)
         s_best = jnp.take_along_axis(s, best[None], axis=0)[0]

