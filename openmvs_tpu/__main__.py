@@ -1,0 +1,196 @@
+"""Command-line pipeline stages.
+
+One CLI covering the reference's per-stage binaries (apps/*):
+
+  python -m openmvs_tpu densify     scene.mvs  [-o out.mvs] [options]
+  python -m openmvs_tpu mesh        scene_dense.mvs [-o mesh.ply]
+  python -m openmvs_tpu refine      scene.mvs -m mesh.ply [-o refined.ply]
+  python -m openmvs_tpu texture     scene.mvs -m mesh.ply [-o textured.obj]
+  python -m openmvs_tpu transform   scene.mvs --matrix T.txt [-o out.mvs]
+  python -m openmvs_tpu import-colmap  sparse/ [-i images/] -o scene.mvs
+  python -m openmvs_tpu import-mvsnet  root/ -o scene.mvs
+  python -m openmvs_tpu export-colmap  scene.mvs -o colmap_model/
+
+Shared option style follows the reference apps (DensifyPointCloud.cpp:94-205):
+every DenseOptions/MeshOptions/... field is settable via --<kebab-name>.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+
+def _add_dataclass_args(ap: argparse.ArgumentParser, cls) -> None:
+    for f in dataclasses.fields(cls):
+        name = "--" + f.name.replace("_", "-")
+        if f.type in ("bool", bool):
+            ap.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                            default=None)
+        elif f.type in ("int", int):
+            ap.add_argument(name, type=int, default=None)
+        elif f.type in ("float", float):
+            ap.add_argument(name, type=float, default=None)
+
+
+def _build_opts(cls, args) -> object:
+    kw = {}
+    for f in dataclasses.fields(cls):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            kw[f.name] = v
+    return cls(**kw)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    ap = argparse.ArgumentParser(prog="openmvs_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    from openmvs_tpu.config import DenseOptions, MeshOptions, RefineOptions, TextureOptions
+
+    p = sub.add_parser("densify", help="dense point-cloud reconstruction")
+    p.add_argument("scene")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("--dmaps-folder", default=None)
+    _add_dataclass_args(p, DenseOptions)
+
+    p = sub.add_parser("mesh", help="graph-cut mesh reconstruction")
+    p.add_argument("scene")
+    p.add_argument("-o", "--output", default=None)
+    _add_dataclass_args(p, MeshOptions)
+
+    p = sub.add_parser("refine", help="photometric mesh refinement")
+    p.add_argument("scene")
+    p.add_argument("-m", "--mesh", required=True)
+    p.add_argument("-o", "--output", default=None)
+    _add_dataclass_args(p, RefineOptions)
+
+    p = sub.add_parser("texture", help="mesh texturing")
+    p.add_argument("scene")
+    p.add_argument("-m", "--mesh", required=True)
+    p.add_argument("-o", "--output", default=None)
+    _add_dataclass_args(p, TextureOptions)
+
+    p = sub.add_parser("transform", help="apply a 4x4/3x4 transform to a scene")
+    p.add_argument("scene")
+    p.add_argument("--matrix", required=True, help="text file with 12 or 16 numbers")
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("import-colmap")
+    p.add_argument("sparse")
+    p.add_argument("-i", "--images", default="")
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("export-colmap")
+    p.add_argument("scene")
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("import-mvsnet")
+    p.add_argument("root")
+    p.add_argument("-o", "--output", required=True)
+
+    args = ap.parse_args(argv)
+
+    from openmvs_tpu.scene import Scene
+    from openmvs_tpu.io import mvs as mvsio
+
+    if args.cmd == "densify":
+        from openmvs_tpu.densify import dense_reconstruction
+
+        scene = Scene.load(args.scene)
+        opts = _build_opts(DenseOptions, args)
+        pc = dense_reconstruction(scene, opts, save_dmaps_to=args.dmaps_folder)
+        scene.pointcloud = pc
+        out = args.output or args.scene.replace(".mvs", "_dense.mvs")
+        scene.save(out)
+        pc.save_ply(out.replace(".mvs", ".ply"))
+        print(f"dense cloud: {len(pc)} points -> {out}")
+
+    elif args.cmd == "mesh":
+        from openmvs_tpu.reconstruct import reconstruct_mesh
+        from openmvs_tpu import mesh_ops
+
+        scene = Scene.load(args.scene)
+        opts = _build_opts(MeshOptions, args)
+        mesh = reconstruct_mesh(scene, opts)
+        if opts.decimate < 1.0 or opts.remove_spurious > 0:
+            mesh = mesh_ops.clean_mesh(
+                mesh, decimate=opts.decimate,
+                remove_spurious_percent=opts.remove_spurious,
+                do_remove_spikes=opts.remove_spikes,
+                close_holes_size=opts.close_holes,
+                smooth_iters=opts.smooth_mesh,
+            )
+        out = args.output or args.scene.replace(".mvs", "_mesh.ply")
+        mesh.save_ply(out)
+        print(f"mesh: {len(mesh.vertices)} vertices, {len(mesh.faces)} faces -> {out}")
+
+    elif args.cmd == "refine":
+        from openmvs_tpu.refine import refine_mesh
+        from openmvs_tpu.io import ply as plyio
+        from openmvs_tpu.scene import Mesh
+
+        scene = Scene.load(args.scene)
+        pd = plyio.load(args.mesh)
+        mesh = Mesh(vertices=pd.vertices.astype(np.float32),
+                    faces=pd.faces.astype(np.int32))
+        opts = _build_opts(RefineOptions, args)
+        out_mesh = refine_mesh(scene, mesh, opts)
+        out = args.output or args.mesh.replace(".ply", "_refine.ply")
+        out_mesh.save_ply(out)
+        print(f"refined mesh -> {out}")
+
+    elif args.cmd == "texture":
+        from openmvs_tpu.texture import texture_mesh
+        from openmvs_tpu.io import ply as plyio
+        from openmvs_tpu.io.obj import save_mesh_obj
+        from openmvs_tpu.scene import Mesh
+
+        scene = Scene.load(args.scene)
+        pd = plyio.load(args.mesh)
+        mesh = Mesh(vertices=pd.vertices.astype(np.float32),
+                    faces=pd.faces.astype(np.int32))
+        opts = _build_opts(TextureOptions, args)
+        tex = texture_mesh(scene, mesh, opts)
+        out = args.output or args.mesh.replace(".ply", "_texture.obj")
+        save_mesh_obj(out, tex.vertices, tex.faces, tex.face_tex_coords, tex.texture)
+        print(f"textured mesh -> {out}")
+
+    elif args.cmd == "transform":
+        vals = [float(x) for x in open(args.matrix).read().split()]
+        T = np.eye(4)
+        T[: len(vals) // 4, :] = np.array(vals).reshape(-1, 4)
+        scene = Scene.load(args.scene)
+        scene.apply_transform(T)
+        scene.save(args.output)
+        print(f"transformed scene -> {args.output}")
+
+    elif args.cmd == "import-colmap":
+        from openmvs_tpu.interfaces.colmap import import_colmap
+
+        itf = import_colmap(args.sparse, args.images)
+        mvsio.save(itf, args.output)
+        print(f"imported {len(itf.images)} views -> {args.output}")
+
+    elif args.cmd == "export-colmap":
+        from openmvs_tpu.interfaces.colmap import export_colmap
+
+        itf = mvsio.load(args.scene)
+        export_colmap(itf, args.output)
+        print(f"exported -> {args.output}")
+
+    elif args.cmd == "import-mvsnet":
+        from openmvs_tpu.interfaces.mvsnet import import_mvsnet
+
+        itf = import_mvsnet(args.root)
+        mvsio.save(itf, args.output)
+        print(f"imported {len(itf.images)} views -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Importer/exporter + CLI + transform tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from openmvs_tpu.interfaces import colmap
+from openmvs_tpu.io import mvs as mvsio
+
+
+def _make_colmap_text_model(folder, n_imgs=3, n_pts=50):
+    os.makedirs(folder, exist_ok=True)
+    rng = np.random.default_rng(0)
+    with open(os.path.join(folder, "cameras.txt"), "w") as f:
+        f.write("# cams\n1 PINHOLE 640 480 600 600 320 240\n")
+    with open(os.path.join(folder, "images.txt"), "w") as f:
+        f.write("# imgs\n")
+        for i in range(n_imgs):
+            # camera at x=i*0.5 looking down +z, identity rotation
+            q = np.array([1.0, 0, 0, 0])
+            C = np.array([0.5 * i, 0, 0])
+            t = -C  # R = I
+            f.write(f"{i+1} {q[0]} {q[1]} {q[2]} {q[3]} {t[0]} {t[1]} {t[2]} 1 im{i}.jpg\n")
+            f.write("\n")
+    with open(os.path.join(folder, "points3D.txt"), "w") as f:
+        f.write("# pts\n")
+        for i in range(n_pts):
+            p = rng.uniform(-1, 1, 3) + [0, 0, 5]
+            f.write(f"{i+1} {p[0]} {p[1]} {p[2]} 100 150 200 0.5 1 0 2 0 3 0\n")
+
+
+def test_colmap_import(tmp_path):
+    folder = str(tmp_path / "sparse")
+    _make_colmap_text_model(folder)
+    itf = colmap.import_colmap(folder)
+    assert len(itf.images) == 3
+    assert len(itf.points) == 50
+    assert itf.platforms[0].cameras[0].width == 640
+    # camera centers recovered
+    plat = itf.platforms[itf.images[1].platform_id]
+    C = plat.poses[itf.images[1].pose_id].C
+    np.testing.assert_allclose(C, [0.5, 0, 0], atol=1e-9)
+    # every point sees >= 2 views
+    assert all(len(v) >= 2 for v in itf.point_views)
+
+
+def test_colmap_roundtrip(tmp_path):
+    folder = str(tmp_path / "sparse")
+    _make_colmap_text_model(folder)
+    itf = colmap.import_colmap(folder)
+    out = str(tmp_path / "export")
+    colmap.export_colmap(itf, out)
+    itf2 = colmap.import_colmap(out)
+    assert len(itf2.images) == len(itf.images)
+    assert len(itf2.points) == len(itf.points)
+    for im1, im2 in zip(itf.images, itf2.images):
+        p1 = itf.platforms[im1.platform_id].poses[im1.pose_id]
+        p2 = itf2.platforms[im2.platform_id].poses[im2.pose_id]
+        np.testing.assert_allclose(p1.C, p2.C, atol=1e-9)
+        np.testing.assert_allclose(p1.R, p2.R, atol=1e-9)
+
+
+def test_colmap_to_mvs_file(tmp_path):
+    folder = str(tmp_path / "sparse")
+    _make_colmap_text_model(folder)
+    itf = colmap.import_colmap(folder)
+    p = str(tmp_path / "scene.mvs")
+    mvsio.save(itf, p)
+    back = mvsio.load(p)
+    assert len(back.images) == 3
+    np.testing.assert_allclose(back.points, itf.points, atol=1e-6)
+
+
+def test_qvec_roundtrip():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        R = colmap.qvec_to_R(q)
+        q2 = colmap.R_to_qvec(R)
+        if np.dot(q, q2) < 0:
+            q2 = -q2
+        np.testing.assert_allclose(q, q2, atol=1e-9)
+
+
+def test_scene_transform():
+    from openmvs_tpu.scene import Scene, SceneImage, PointCloud
+    from openmvs_tpu.geometry.camera import Camera
+
+    scene = Scene()
+    K = np.array([[500, 0, 320], [0, 500, 240], [0, 0, 1.0]])
+    meta = mvsio.ImageMeta()
+    meta.id = 0
+    scene.platforms = [mvsio.Platform(cameras=[mvsio.CameraRig(K=K)],
+                                      poses=[mvsio.Pose()])]
+    scene.images = [SceneImage(meta=meta, camera=Camera(K, np.eye(3), np.zeros(3)))]
+    pts = np.array([[0, 0, 5], [1, 1, 6]], np.float32)
+    scene.pointcloud = PointCloud(points=pts.copy(),
+                                  views=[np.array([0], np.uint32)] * 2)
+    # a similarity transform: scale 2, rotate 90deg about z, translate
+    th = np.pi / 2
+    Q = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    T = np.eye(4)
+    T[:3, :3] = 2.0 * Q
+    T[:3, 3] = [1, 2, 3]
+    # projection of a point before transform
+    cam0 = scene.images[0].camera
+    u0 = cam0.project(pts.astype(np.float64))
+    scene.apply_transform(T)
+    cam1 = scene.images[0].camera
+    pts1 = scene.pointcloud.points.astype(np.float64)
+    u1 = cam1.project(pts1)
+    np.testing.assert_allclose(u0, u1, atol=1e-4)
+
+
+def test_cli_import_and_mesh(tmp_path):
+    from openmvs_tpu.__main__ import main
+
+    folder = str(tmp_path / "sparse")
+    _make_colmap_text_model(folder)
+    scene_path = str(tmp_path / "scene.mvs")
+    main(["import-colmap", folder, "-o", scene_path])
+    assert os.path.exists(scene_path)
+    out = str(tmp_path / "model")
+    main(["export-colmap", scene_path, "-o", out])
+    assert os.path.exists(os.path.join(out, "cameras.txt"))
