@@ -247,11 +247,13 @@ def estimate_depth_map(
         state = patchmatch.init_state(
             data, opts, key, jnp.asarray(sd), jnp.asarray(sn), nV, is_geometric
         )
+        # exact scoring everywhere: on TPU it rides the Pallas kernel (fast
+        # AND the only correct gather path on this backend); on CPU the XLA
+        # scorer is exact by construction.  "nn"/"warp" modes remain for
+        # experimentation via sweep() directly.
         prev_mode = None
         for it in range(n_iters):
-            # nearest-neighbor per-texel scoring while searching; exact
-            # (bilinear) scoring for the final full-res iterations
-            mode = "exact" if (level == 0 and it >= n_iters - opts.exact_final_iters) else "nn"
+            mode = "exact"
             state = patchmatch.sweep(
                 state, data, opts, jax.random.fold_in(key, it + 1), nV, is_geometric,
                 mode=mode, rescore_state=(prev_mode is not None and mode != prev_mode),

@@ -42,6 +42,24 @@ import numpy as np
 
 from openmvs_tpu.config import DenseOptions
 
+
+def _use_pallas() -> bool:
+    """Route exact scoring through the Pallas kernel on TPU backends.
+
+    Besides being ~10x faster than XLA's serial gathers, the kernel is the
+    CORRECT path on this TPU stack: the big fused scan-of-gathers graph of
+    the XLA scorer miscompiles on the axon backend (scores diverge from the
+    CPU ground truth by O(0.1); the Pallas kernel matches CPU to 1e-4).
+    """
+    import os
+
+    if os.environ.get("OMVS_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
 # progressive shrink factors for random refinement
 # (reference DepthEstimator::scaleRanges, DepthMap.cpp:359)
 SCALE_RANGES = tuple(0.5 ** i for i in range(12))
@@ -402,9 +420,6 @@ def score_hypotheses(
 
     bonus = _smoothness_bonus(data, opts, state, depth, normal)
     v = data.views
-    vs = (v.image[:n_views], v.size[:n_views], v.Hl[:n_views], v.Hm[:n_views],
-          v.depth[:n_views], v.Tl[:n_views], v.Tm[:n_views], v.Tr[:n_views],
-          v.Tn[:n_views])
 
     d0 = data.lowres
     f_blend = jnp.exp(data.norm_sq0 * (-1.0 / 0.02))
@@ -412,18 +427,7 @@ def score_hypotheses(
         jnp.abs(d0[None] - depth) / jnp.maximum(d0[None], 1e-12), 0.5
     )
 
-    def view_body(carry, xs):
-        s0, s1 = carry
-        img, size, Hl, Hm, dm, Tl, Tm, Tr, Tn = xs
-        if mode == "warp":
-            s, _ = _score_one_view_warp(
-                data, opts, depth, normal, inv_nd, img, size, Hl, Hm
-            )
-        else:
-            s, _ = _score_one_view_scan(
-                data, opts, depth, normal, inv_nd, img, size, Hl, Hm,
-                exact=(mode == "exact"),
-            )
+    def finish_view(s, dm, size, Tl, Tm, Tr, Tn):
         s = s * bonus
         if use_geom:
             s = s + opts.estimation_geometric_weight * _geometric_term(
@@ -432,13 +436,46 @@ def score_hypotheses(
         # low-res prior blend (DepthMap.cpp:552-561)
         s_blend = (1.0 - f_blend)[None] * s + f_blend[None] * delta
         s = jnp.where(d0[None] > 0, s_blend, s)
-        s = jnp.minimum(s, 2.0)
-        new_s0 = jnp.minimum(s0, s)
-        new_s1 = jnp.minimum(s1, jnp.maximum(s0, s))
-        return (new_s0, new_s1), None
+        return jnp.minimum(s, 2.0)
 
     big = jnp.full(depth.shape, jnp.inf, jnp.float32)
-    (s0, s1), _ = jax.lax.scan(view_body, (big, big), vs)
+    if mode == "exact" and _use_pallas():
+        from openmvs_tpu.ops.pm_kernel import score_view_pallas
+
+        s0, s1 = big, big
+        for j in range(n_views):
+            s, _ = score_view_pallas(
+                v.image[j], v.size[j], v.Hl[j], v.Hm[j],
+                depth, normal, inv_nd, data.X0, data.goff, data.w, data.wtm,
+                data.sum_w, data.norm_sq0,
+                n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust),
+            ), None
+            s = finish_view(s, v.depth[j], v.size[j], v.Tl[j], v.Tm[j],
+                            v.Tr[j], v.Tn[j])
+            s0, s1 = jnp.minimum(s0, s), jnp.minimum(s1, jnp.maximum(s0, s))
+    else:
+        vs = (v.image[:n_views], v.size[:n_views], v.Hl[:n_views], v.Hm[:n_views],
+              v.depth[:n_views], v.Tl[:n_views], v.Tm[:n_views], v.Tr[:n_views],
+              v.Tn[:n_views])
+
+        def view_body(carry, xs):
+            s0, s1 = carry
+            img, size, Hl, Hm, dm, Tl, Tm, Tr, Tn = xs
+            if mode == "warp":
+                s, _ = _score_one_view_warp(
+                    data, opts, depth, normal, inv_nd, img, size, Hl, Hm
+                )
+            else:
+                s, _ = _score_one_view_scan(
+                    data, opts, depth, normal, inv_nd, img, size, Hl, Hm,
+                    exact=(mode == "exact"),
+                )
+            s = finish_view(s, dm, size, Tl, Tm, Tr, Tn)
+            new_s0 = jnp.minimum(s0, s)
+            new_s1 = jnp.minimum(s1, jnp.maximum(s0, s))
+            return (new_s0, new_s1), None
+
+        (s0, s1), _ = jax.lax.scan(view_body, (big, big), vs)
     if n_views == 1:
         return s0
     # min-mean: average the best two unless the 2nd is already robust-clipped

@@ -1,0 +1,277 @@
+"""Pallas TPU kernel for the PatchMatch scoring hot loop.
+
+The innermost operation of the whole framework (ScorePixelImage,
+DepthMap.cpp:465-564; >95% of densify runtime per SURVEY.md 3.1): for every
+pixel and candidate hypothesis, sample the neighbor view at 25 plane-warped
+texel positions (bilinear) and accumulate a bilaterally weighted ZNCC.
+
+XLA lowers these samples to serial scalar gathers (~40M/s measured on v5e);
+this kernel performs them as *in-register lane gathers* (the VPU shuffle
+network) from an aligned patch of the VMEM-resident neighbor image:
+
+  - grid = (C, H/8, W/128, T): one texel per grid step (T fastest), so each
+    (candidate, tile) output block stays resident while its texels accumulate
+    — the kernel body stays small (one patch slice + one gather sweep), which
+    both compiles quickly and avoids Mosaic register-pressure issues observed
+    with a fully unrolled 25-texel body;
+  - per step: warped coords via VPU math; an (8/128)-aligned (40, 384) patch
+    is value-sliced from the image; each lane's bilinear sample = two lane
+    gathers (x, x+1) per candidate row, rows blended by equality masks;
+  - outputs: running (num, ssum, ssq) ZNCC accumulators + in-bounds mask;
+    the final score assembly (normalization, robust clipping) runs in XLA
+    (cheap elementwise).
+
+Out-of-patch / out-of-image samples invalidate the pixel, matching the
+reference's border handling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PATCH_ROWS = 40
+PATCH_COLS = 384
+TILE_H = 8
+TILE_W = 128
+
+
+def _texel_kernel(
+    hl_ref,      # (1, 128) VMEM row: Hl row-major [0:9]
+    hm_ref,      # (1, 128): Hm [0:3]
+    goff_ref,    # (1, >=3T): texel offsets flattened
+    size_ref,    # (1, 128): valid (h, w) of the view image
+    img_ref,     # (Hi, Wi) full neighbor image (padded)
+    depth_ref,   # (1, 8, 128)
+    nx_ref, ny_ref, nz_ref,
+    invnd_ref,
+    x0a_ref, x0b_ref, x0c_ref,
+    w_ref,       # (1, 8, 128) this texel's bilateral weights
+    wtm_ref,     # (1, 8, 128)
+    num_ref,     # (1, 8, 128) accumulator outputs
+    ssum_ref,
+    ssq_ref,
+    inb_ref,     # (1, 8, 128) float32 (1 = all texels so far in bounds)
+):
+    Hp, Wp = img_ref.shape
+    k = pl.program_id(3)
+    first = k == 0
+
+    depth = depth_ref[0]
+    inv_d = 1.0 / depth
+    nx, ny, nz = nx_ref[0], ny_ref[0], nz_ref[0]
+    inv_nd = invnd_ref[0]
+    x0a, x0b, x0c = x0a_ref[:], x0b_ref[:], x0c_ref[:]
+    hl = [hl_ref[0, i] for i in range(9)]
+    hm = [hm_ref[0, i] for i in range(3)]
+    h_j = size_ref[0, 0]
+    w_j = size_ref[0, 1]
+
+    sx0 = hl[0] * x0a + hl[1] * x0b + hl[2] * x0c
+    sy0 = hl[3] * x0a + hl[4] * x0b + hl[5] * x0c
+    sz0 = hl[6] * x0a + hl[7] * x0b + hl[8] * x0c
+
+    ga = goff_ref[0, 3 * k]
+    gb = goff_ref[0, 3 * k + 1]
+    gc = goff_ref[0, 3 * k + 2]
+    sga = hl[0] * ga + hl[1] * gb + hl[2] * gc
+    sgb = hl[3] * ga + hl[4] * gb + hl[5] * gc
+    sgc = hl[6] * ga + hl[7] * gb + hl[8] * gc
+    n_goff = nx * ga + ny * gb + nz * gc
+    scale = inv_d + n_goff * inv_nd
+    sx = sx0 + sga + hm[0] * scale
+    sy = sy0 + sgb + hm[1] * scale
+    sz = sz0 + sgc + hm[2] * scale
+    zok = sz > 1e-8
+    izs = jnp.where(zok, 1.0 / jnp.where(zok, sz, 1.0), 0.0)
+    px = sx * izs
+    py = sy * izs
+    ok = zok & (px >= 1) & (px <= w_j - 2) & (py >= 1) & (py <= h_j - 2)
+
+    px_v = jnp.where(zok, px, 1e9)
+    py_v = jnp.where(zok, py, 1e9)
+    c0 = jnp.clip(jnp.min(px_v).astype(jnp.int32) - 8, 0, Wp - PATCH_COLS)
+    c0 = pl.multiple_of(c0 & ~127, 128)
+    r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 8, 0, Hp - PATCH_ROWS)
+    r0 = pl.multiple_of(r0 & ~7, 8)
+    patch = img_ref[pl.ds(r0, PATCH_ROWS), pl.ds(c0, PATCH_COLS)]
+
+    lxf = px - c0.astype(jnp.float32)
+    lyf = py - r0.astype(jnp.float32)
+    lx = jnp.floor(lxf).astype(jnp.int32)
+    ly = jnp.floor(lyf).astype(jnp.int32)
+    fx = lxf - lx.astype(jnp.float32)
+    fy = lyf - ly.astype(jnp.float32)
+    ok = ok & (lx >= 0) & (lx < PATCH_COLS - 1) & (ly >= 0) & (ly < PATCH_ROWS - 1)
+    lx = jnp.clip(lx, 0, PATCH_COLS - 2)
+    ly = jnp.clip(ly, 0, PATCH_ROWS - 2)
+    lx1 = lx + 1
+    sel0 = lx < 128
+    sel1 = (lx >= 128) & (lx < 256)
+    i0 = jnp.where(sel0, lx, 0)
+    i1 = jnp.where(sel1, lx - 128, 0)
+    i2 = jnp.where(lx >= 256, lx - 256, 0)
+    s10 = lx1 < 128
+    s11 = (lx1 >= 128) & (lx1 < 256)
+    j0 = jnp.where(s10, lx1, 0)
+    j1 = jnp.where(s11, lx1 - 128, 0)
+    j2 = jnp.where(lx1 >= 256, lx1 - 256, 0)
+
+    v_top = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    v_bot = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    for r in range(PATCH_ROWS):
+        row = patch[r : r + 1, :]
+        t0 = jnp.broadcast_to(row[:, 0:128], (TILE_H, TILE_W))
+        t1 = jnp.broadcast_to(row[:, 128:256], (TILE_H, TILE_W))
+        t2 = jnp.broadcast_to(row[:, 256:384], (TILE_H, TILE_W))
+        g_l = jnp.where(
+            sel0, jnp.take_along_axis(t0, i0, axis=1),
+            jnp.where(sel1, jnp.take_along_axis(t1, i1, axis=1),
+                      jnp.take_along_axis(t2, i2, axis=1)),
+        )
+        g_r = jnp.where(
+            s10, jnp.take_along_axis(t0, j0, axis=1),
+            jnp.where(s11, jnp.take_along_axis(t1, j1, axis=1),
+                      jnp.take_along_axis(t2, j2, axis=1)),
+        )
+        g = g_l * (1.0 - fx) + g_r * fx
+        v_top = jnp.where(ly == r, g, v_top)
+        v_bot = jnp.where(ly == r - 1, g, v_bot)
+    val = v_top * (1.0 - fy) + v_bot * fy
+
+    w_k = w_ref[0]
+    wtm_k = wtm_ref[0]
+
+    @pl.when(first)
+    def _():
+        num_ref[0] = val * wtm_k
+        ssum_ref[0] = val * w_k
+        ssq_ref[0] = val * val * w_k
+        inb_ref[0] = ok.astype(jnp.float32)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        num_ref[0] = num_ref[0] + val * wtm_k
+        ssum_ref[0] = ssum_ref[0] + val * w_k
+        ssq_ref[0] = ssq_ref[0] + val * val * w_k
+        inb_ref[0] = inb_ref[0] * ok.astype(jnp.float32)
+
+
+def _pad_to(x: jnp.ndarray, h: int, w: int, axes: Tuple[int, int]):
+    pads = [(0, 0)] * x.ndim
+    pads[axes[0]] = (0, h - x.shape[axes[0]])
+    pads[axes[1]] = (0, w - x.shape[axes[1]])
+    if any(p != (0, 0) for p in pads):
+        x = jnp.pad(x, pads)
+    return x
+
+
+def _row(x, n):
+    width = max(128, -(-n // 128) * 128)
+    r = jnp.zeros((1, width), jnp.float32)
+    return r.at[0, :n].set(x.reshape(-1).astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_texels", "th_robust"))
+def score_view_pallas(
+    img: jnp.ndarray,        # (Hp, Wp) neighbor image
+    size: jnp.ndarray,       # (2,) valid h, w
+    Hl: jnp.ndarray,         # (3, 3)
+    Hm: jnp.ndarray,         # (3,)
+    depth: jnp.ndarray,      # (C, H, W) candidates
+    normal: jnp.ndarray,     # (C, H, W, 3)
+    inv_nd: jnp.ndarray,     # (C, H, W)
+    X0: jnp.ndarray,         # (H, W, 3)
+    goff: jnp.ndarray,       # (T, 3)
+    w: jnp.ndarray,          # (T, H, W)
+    wtm: jnp.ndarray,        # (T, H, W)
+    sum_w: jnp.ndarray,      # (H, W)
+    norm_sq0: jnp.ndarray,   # (H, W)
+    n_texels: int,
+    th_robust: float,
+) -> jnp.ndarray:
+    """Weighted-ZNCC scores (C, H, W) of candidate maps in one view."""
+    C, H, W = depth.shape
+    T = n_texels
+    Hpad = -(-H // TILE_H) * TILE_H
+    Wpad = -(-W // TILE_W) * TILE_W
+    Hi = max(-(-img.shape[0] // TILE_H) * TILE_H, PATCH_ROWS)
+    Wi = max(-(-img.shape[1] // TILE_W) * TILE_W, PATCH_COLS)
+
+    img_p = _pad_to(img, Hi, Wi, (0, 1))
+    depth_p = _pad_to(jnp.maximum(depth, 1e-6), Hpad, Wpad, (1, 2))
+    nx = _pad_to(normal[..., 0], Hpad, Wpad, (1, 2))
+    ny = _pad_to(normal[..., 1], Hpad, Wpad, (1, 2))
+    nz = _pad_to(normal[..., 2], Hpad, Wpad, (1, 2))
+    invnd_p = _pad_to(inv_nd, Hpad, Wpad, (1, 2))
+    x0a = _pad_to(X0[..., 0], Hpad, Wpad, (0, 1))
+    x0b = _pad_to(X0[..., 1], Hpad, Wpad, (0, 1))
+    x0c = _pad_to(X0[..., 2], Hpad, Wpad, (0, 1))
+    w_p = _pad_to(w, Hpad, Wpad, (1, 2))
+    wtm_p = _pad_to(wtm, Hpad, Wpad, (1, 2))
+
+    hl_s = Hl.reshape(1, 9).astype(jnp.float32)
+    hm_s = Hm.reshape(1, 3).astype(jnp.float32)
+    goff_s = goff.reshape(1, 3 * T).astype(jnp.float32)
+    size_s = size.reshape(1, 2).astype(jnp.float32)
+
+    grid = (C, Hpad // TILE_H, Wpad // TILE_W, T)
+
+    def im_c(c, i, j, t):
+        return (c, i, j)
+
+    def im_hw(c, i, j, t):
+        return (i, j)
+
+    def im_wt(c, i, j, t):
+        return (t, i, j)
+
+    def im_const(c, i, j, t):
+        return (0, 0)
+
+    out_shapes = [jax.ShapeDtypeStruct((C, Hpad, Wpad), jnp.float32)] * 4
+    num, ssum, ssq, inbf = pl.pallas_call(
+        _texel_kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(hl_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(hm_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(goff_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(size_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((Hi, Wi), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM)
+        ] * 4,
+    )(
+        hl_s, hm_s, goff_s, size_s, img_p,
+        depth_p, nx, ny, nz, invnd_p, x0a, x0b, x0c, w_p, wtm_p,
+    )
+
+    num = num[:, :H, :W]
+    ssum = ssum[:, :H, :W]
+    ssq = ssq[:, :H, :W]
+    inb = inbf[:, :H, :W] > 0.5
+    # final assembly in XLA (cheap elementwise)
+    norm_sq1 = ssq - ssum * ssum / jnp.maximum(sum_w[None], 1e-12)
+    nrm_sq = norm_sq0[None] * norm_sq1
+    ncc = jnp.clip(num * jax.lax.rsqrt(jnp.maximum(nrm_sq, 1e-30)), -1.0, 1.0)
+    score = 1.0 - ncc
+    return jnp.where((nrm_sq <= 1e-16) | ~inb, th_robust, score)
