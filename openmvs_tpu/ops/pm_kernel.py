@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PATCH_ROWS = 40
+PATCH_ROWS = 24
 PATCH_COLS = 384
 TILE_H = 8
 TILE_W = 128
@@ -98,7 +98,7 @@ def _texel_kernel(
     py_v = jnp.where(zok, py, 1e9)
     c0 = jnp.clip(jnp.min(px_v).astype(jnp.int32) - 8, 0, Wp - PATCH_COLS)
     c0 = pl.multiple_of(c0 & ~127, 128)
-    r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 8, 0, Hp - PATCH_ROWS)
+    r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 4, 0, Hp - PATCH_ROWS)
     r0 = pl.multiple_of(r0 & ~7, 8)
     patch = img_ref[pl.ds(r0, PATCH_ROWS), pl.ds(c0, PATCH_COLS)]
 

@@ -1,0 +1,98 @@
+"""Pallas scoring kernel parity tests.
+
+The kernel must match the CPU XLA scorer (the ground truth — on this TPU
+backend the fused XLA scan-of-gathers scorer itself miscompiles, so TPU-side
+comparisons are made against CPU results).  These tests run on whatever
+backend the suite uses; the Pallas path is exercised only when a TPU is
+present (skipped on CPU-only runs).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+def _example():
+    import __graft_entry__ as ge
+
+    data, state, opts, v = ge._make_example(h=120, w=160, v=2)
+    cd = jnp.tile(state.depth[None], (3, 1, 1)) * jnp.asarray([0.95, 1.0, 1.05])[:, None, None]
+    cn = jnp.tile(state.normal[None], (3, 1, 1, 1))
+    den = jnp.einsum("chwk,hwk->chw", cn, data.X0) * cd
+    safe = jnp.abs(den) > 1e-12
+    inv_nd = jnp.where(safe, 1.0 / jnp.where(safe, den, 1.0), 0.0)
+    return data, opts, cd, cn, inv_nd
+
+
+def test_pallas_kernel_matches_cpu_scorer():
+    if jax.default_backend() == "cpu":
+        pytest.skip("Pallas TPU kernel requires a TPU backend")
+    from openmvs_tpu.ops import patchmatch as pm
+    from openmvs_tpu.ops.pm_kernel import score_view_pallas
+
+    data, opts, cd, cn, inv_nd = _example()
+    j = 0
+    cpu = jax.devices("cpu")[0]
+    args = (data, opts, cd, cn, inv_nd, data.views.image[j], data.views.size[j],
+            data.views.Hl[j], data.views.Hm[j], True)
+    args_cpu = jax.tree.map(
+        lambda x: jax.device_put(x, cpu) if hasattr(x, "shape") else x, args
+    )
+    with jax.default_device(cpu):
+        ref = np.asarray(pm._score_one_view_scan(*args_cpu)[0])
+    out = np.asarray(score_view_pallas(
+        data.views.image[j], data.views.size[j], data.views.Hl[j], data.views.Hm[j],
+        cd, cn, inv_nd, data.X0, data.goff, data.w, data.wtm,
+        data.sum_w, data.norm_sq0,
+        n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust),
+    ))
+    valid = np.asarray(cd) > 0
+    d = np.abs(out - ref)[valid]
+    assert (d < 1e-3).mean() > 0.999
+    assert d.max() < 1e-2
+
+
+def test_cpu_scorer_scan_matches_inline():
+    """The scan-based scorer must equal an explicitly unrolled accumulation
+    (golden-structure check; runs on any backend via CPU device)."""
+    from openmvs_tpu.ops import patchmatch as pm
+
+    data, opts, cd, cn, inv_nd = _example()
+    j = 0
+    cpu = jax.devices("cpu")[0]
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, cpu), t)
+    with jax.default_device(cpu):
+        data_c, cd_c, cn_c, ind_c = put((data, cd, cn, inv_nd))
+        scan_s = np.asarray(pm._score_one_view_scan(
+            data_c, opts, cd_c, cn_c, ind_c, data_c.views.image[j],
+            data_c.views.size[j], data_c.views.Hl[j], data_c.views.Hm[j], True)[0])
+        Hl, Hm = data_c.views.Hl[j], data_c.views.Hm[j]
+        SX0 = jnp.einsum("ab,hwb->ahw", Hl, data_c.X0)
+        Sg = jnp.einsum("ab,tb->ta", Hl, data_c.goff)
+        inv_d = 1.0 / cd_c
+        num = jnp.zeros_like(cd_c)
+        ssum = jnp.zeros_like(cd_c)
+        ssq = jnp.zeros_like(cd_c)
+        inb = jnp.ones(cd_c.shape, bool)
+        h_j, w_j = data_c.views.size[j]
+        for k in range(int(data.goff.shape[0])):
+            n_goff = jnp.einsum("chwb,b->chw", cn_c, data_c.goff[k])
+            scale = inv_d + n_goff * ind_c
+            sx = SX0[0][None] + Sg[k, 0] + Hm[0] * scale
+            sy = SX0[1][None] + Sg[k, 1] + Hm[1] * scale
+            sz = SX0[2][None] + Sg[k, 2] + Hm[2] * scale
+            zok = sz > 1e-8
+            izs = jnp.where(zok, 1.0 / jnp.where(zok, sz, 1.0), 0.0)
+            px, py = sx * izs, sy * izs
+            inb = inb & zok & (px >= 1) & (px <= w_j - 2) & (py >= 1) & (py <= h_j - 2)
+            val = pm._bilinear(data_c.views.image[j], px, py)
+            num += val * data_c.wtm[k][None]
+            ssum += val * data_c.w[k][None]
+            ssq += val * val * data_c.w[k][None]
+        norm_sq1 = ssq - ssum * ssum / data_c.sum_w[None]
+        nrm = data_c.norm_sq0[None] * norm_sq1
+        ncc = jnp.clip(num * jax.lax.rsqrt(jnp.maximum(nrm, 1e-30)), -1, 1)
+        inline_s = np.asarray(jnp.where((nrm <= 1e-16) | ~inb, opts.th_robust, 1 - ncc))
+    np.testing.assert_allclose(scan_s, inline_s, atol=1e-5)
