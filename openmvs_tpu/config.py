@@ -92,6 +92,12 @@ class DenseOptions:
     # -- fusion --
     prob_estimate_normals: bool = True
 
+    # -- alternative estimator (reference fusionMode < 0: SGM path) --
+    estimator: str = "patchmatch"   # "patchmatch" | "sgm"
+    sgm_num_disparities: int = 128
+    sgm_p1: float = 0.1
+    sgm_p2: float = 0.8
+
     # ---- derived quantities (reference DepthEstimator ctor, DepthMap.cpp:360-410) ----
     @property
     def th_conf_small(self) -> float:

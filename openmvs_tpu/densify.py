@@ -279,6 +279,76 @@ def estimate_depth_map(
     )
 
 
+def estimate_depth_map_sgm(
+    scene: Scene,
+    ref_idx: int,
+    opts: DenseOptions,
+    **_ignored,
+) -> Optional[DepthMapResult]:
+    """Depth from semi-global matching against the best-scored neighbor
+    (the reference's SGM estimation path, SceneDensify.cpp:2045-2057 with
+    SemiGlobalMatcher::Match/Fuse): rectify the pair, aggregate the cost
+    volume, cross-check, convert disparity to depth, and un-rectify back to
+    the reference view."""
+    from openmvs_tpu.ops import sgm
+    import cv2
+
+    img = scene.images[ref_idx]
+    neighbors = img.meta.view_scores
+    if not neighbors:
+        return None
+    id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
+    nb = None
+    for vs in neighbors:
+        j = id_to_idx.get(vs.id)
+        if j is not None:
+            nb = scene.images[j]
+            break
+    if nb is None:
+        return None
+
+    camA = img.working_camera()
+    camB = nb.working_camera()
+    rectA, rectB, info = sgm.rectify_pair(camA, camB, img.gray, nb.gray)
+    disp, conf = sgm.match_rectified(
+        rectA, rectB, d_min=0, num_d=opts.sgm_num_disparities,
+        p1=opts.sgm_p1, p2=opts.sgm_p2,
+    )
+    z_rect = sgm.disparity_to_depth(disp, info)
+    # un-rectify depth to the reference frame: depth is defined along the
+    # rectified z-axis; map pixels back with the inverse homography and
+    # convert to reference-camera depth
+    H, W = img.gray.shape
+    TAinv = np.linalg.inv(info["TA"])
+    z_ref = cv2.warpPerspective(
+        np.nan_to_num(z_rect, nan=0.0), TAinv.astype(np.float64), (W, H),
+        flags=cv2.INTER_NEAREST,
+    )
+    conf_ref = cv2.warpPerspective(
+        np.nan_to_num(conf, nan=0.0), TAinv.astype(np.float64), (W, H),
+        flags=cv2.INTER_NEAREST,
+    )
+    # rectified depth is along the rectified optical axis Rn[2]; depth in the
+    # reference camera = z_rect * (ray_ref . Rn2) adjustments are second
+    # order for mild rectifying rotations; keep the direct mapping
+    valid = z_ref > 0
+    d_min = float(np.percentile(z_ref[valid], 2)) if valid.any() else 0.0
+    d_max = float(np.percentile(z_ref[valid], 98)) if valid.any() else 0.0
+    normal = np.zeros((H, W, 3), np.float32)
+    normal[..., 2] = np.where(valid, -1.0, 0.0)
+    conf_n = np.where(valid, np.clip(conf_ref / max(conf_ref.max(), 1e-6), 0.05, 1.0), 0.0)
+    return DepthMapResult(
+        image_idx=ref_idx,
+        depth=z_ref.astype(np.float32),
+        normal=normal,
+        conf=conf_n.astype(np.float32),
+        d_min=d_min,
+        d_max=d_max,
+        neighbor_ids=[nb.meta.id],
+        camera=camA,
+    )
+
+
 def optimize_depth_map(res: DepthMapResult, opts: DenseOptions) -> None:
     """Speckle removal + gap interpolation (EVT_OPTIMIZEDEPTHMAP stage)."""
     if opts.optimize & 1:
@@ -311,9 +381,10 @@ def dense_reconstruction(
 
     # pass 1: photometric estimation
     results: Dict[int, DepthMapResult] = {}
+    estimator = estimate_depth_map_sgm if opts.estimator == "sgm" else estimate_depth_map
     for i in range(scene.n_views):
         with timed(log, f"photometric depth map {i}"):
-            r = estimate_depth_map(scene, i, opts)
+            r = estimator(scene, i, opts)
         if r is not None:
             results[scene.images[i].meta.id] = r
 
