@@ -94,6 +94,25 @@ def main(argv=None):
     p.add_argument("root")
     p.add_argument("-o", "--output", required=True)
 
+    p = sub.add_parser("import-openmvg")
+    p.add_argument("sfm_data")
+    p.add_argument("-i", "--images", default="")
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("import-nvm")
+    p.add_argument("nvm")
+    p.add_argument("-i", "--images", default="")
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("import-metashape")
+    p.add_argument("xml")
+    p.add_argument("-i", "--images", default="")
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("import-polycam")
+    p.add_argument("root")
+    p.add_argument("-o", "--output", required=True)
+
     args = ap.parse_args(argv)
 
     from openmvs_tpu.scene import Scene
@@ -188,6 +207,34 @@ def main(argv=None):
         from openmvs_tpu.interfaces.mvsnet import import_mvsnet
 
         itf = import_mvsnet(args.root)
+        mvsio.save(itf, args.output)
+        print(f"imported {len(itf.images)} views -> {args.output}")
+
+    elif args.cmd == "import-openmvg":
+        from openmvs_tpu.interfaces.openmvg import import_openmvg
+
+        itf = import_openmvg(args.sfm_data, args.images)
+        mvsio.save(itf, args.output)
+        print(f"imported {len(itf.images)} views -> {args.output}")
+
+    elif args.cmd == "import-nvm":
+        from openmvs_tpu.interfaces.visualsfm import import_nvm
+
+        itf = import_nvm(args.nvm, args.images)
+        mvsio.save(itf, args.output)
+        print(f"imported {len(itf.images)} views -> {args.output}")
+
+    elif args.cmd == "import-metashape":
+        from openmvs_tpu.interfaces.metashape import import_metashape
+
+        itf = import_metashape(args.xml, args.images)
+        mvsio.save(itf, args.output)
+        print(f"imported {len(itf.images)} views -> {args.output}")
+
+    elif args.cmd == "import-polycam":
+        from openmvs_tpu.interfaces.polycam import import_polycam
+
+        itf = import_polycam(args.root)
         mvsio.save(itf, args.output)
         print(f"imported {len(itf.images)} views -> {args.output}")
 

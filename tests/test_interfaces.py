@@ -125,3 +125,106 @@ def test_cli_import_and_mesh(tmp_path):
     out = str(tmp_path / "model")
     main(["export-colmap", scene_path, "-o", out])
     assert os.path.exists(os.path.join(out, "cameras.txt"))
+
+
+def test_openmvg_import(tmp_path):
+    import json
+    from openmvs_tpu.interfaces.openmvg import import_openmvg
+
+    doc = {
+        "root_path": "/imgs",
+        "views": [
+            {"key": i, "value": {"ptr_wrapper": {"data": {
+                "id_view": i, "id_intrinsic": 0, "id_pose": i,
+                "filename": f"im{i}.jpg"}}}}
+            for i in range(3)
+        ],
+        "intrinsics": [{"key": 0, "value": {
+            "polymorphic_name": "pinhole",
+            "ptr_wrapper": {"data": {"width": 640, "height": 480,
+                                     "focal_length": 600.0,
+                                     "principal_point": [320, 240]}}}}],
+        "extrinsics": [
+            {"key": i, "value": {"rotation": np.eye(3).tolist(),
+                                 "center": [0.4 * i, 0, 0]}}
+            for i in range(3)
+        ],
+        "structure": [
+            {"key": k, "value": {"X": [0, 0, 5.0 + 0.01 * k],
+                                 "rgb": [10, 20, 30],
+                                 "observations": [{"key": 0}, {"key": 1}]}}
+            for k in range(10)
+        ],
+    }
+    p = str(tmp_path / "sfm_data.json")
+    json.dump(doc, open(p, "w"))
+    itf = import_openmvg(p)
+    assert len(itf.images) == 3
+    assert len(itf.points) == 10
+    pose = itf.platforms[0].poses[itf.images[2].pose_id]
+    np.testing.assert_allclose(pose.C, [0.8, 0, 0], atol=1e-12)
+
+
+def test_nvm_import(tmp_path):
+    from openmvs_tpu.interfaces.visualsfm import import_nvm
+
+    nvm = ["NVM_V3", "", "2"]
+    for i in range(2):
+        nvm.append(f"im{i}.jpg 600 1 0 0 0 {0.5*i} 0 0 0 0")
+    nvm += ["", "2"]
+    nvm.append("0 0 5 100 110 120 2 0 0 10 10 1 0 20 20")
+    nvm.append("1 0 5 100 110 120 2 0 1 10 10 1 1 20 20")
+    p = str(tmp_path / "model.nvm")
+    open(p, "w").write("\n".join(nvm))
+    itf = import_nvm(p)
+    assert len(itf.images) == 2
+    assert len(itf.points) == 2
+    np.testing.assert_allclose(itf.platforms[1].poses[0].C, [0.5, 0, 0])
+
+
+def test_metashape_import(tmp_path):
+    from openmvs_tpu.interfaces.metashape import import_metashape
+
+    xml = """<document><chunk>
+      <sensors><sensor id="0" type="frame">
+        <resolution width="640" height="480"/>
+        <calibration type="frame" class="adjusted">
+          <resolution width="640" height="480"/>
+          <f>600</f><cx>1.5</cx><cy>-2.0</cy>
+        </calibration></sensor></sensors>
+      <cameras>
+        <camera id="0" sensor_id="0" label="im0">
+          <transform>1 0 0 0  0 1 0 0  0 0 1 0  0 0 0 1</transform>
+        </camera>
+        <camera id="1" sensor_id="0" label="im1">
+          <transform>1 0 0 0.5  0 1 0 0  0 0 1 0  0 0 0 1</transform>
+        </camera>
+      </cameras></chunk></document>"""
+    p = str(tmp_path / "doc.xml")
+    open(p, "w").write(xml)
+    itf = import_metashape(p)
+    assert len(itf.images) == 2
+    K = itf.platforms[0].cameras[0].K
+    assert K[0, 2] == 321.5 and K[1, 2] == 238.0
+    np.testing.assert_allclose(itf.platforms[0].poses[1].C, [0.5, 0, 0])
+
+
+def test_polycam_import(tmp_path):
+    import json
+    from PIL import Image
+    from openmvs_tpu.interfaces.polycam import import_polycam
+
+    kf = tmp_path / "keyframes"
+    (kf / "cameras").mkdir(parents=True)
+    (kf / "images").mkdir(parents=True)
+    for i, ts in enumerate(("100", "200")):
+        cam = {"fx": 600.0, "fy": 600.0, "cx": 320.0, "cy": 240.0,
+               "width": 640, "height": 480,
+               "t_00": 1, "t_01": 0, "t_02": 0, "t_03": 0.3 * i,
+               "t_10": 0, "t_11": 1, "t_12": 0, "t_13": 0,
+               "t_20": 0, "t_21": 0, "t_22": 1, "t_23": 0}
+        json.dump(cam, open(kf / "cameras" / f"{ts}.json", "w"))
+        Image.new("RGB", (640, 480)).save(kf / "images" / f"{ts}.jpg")
+    itf = import_polycam(str(tmp_path))
+    assert len(itf.images) == 2
+    np.testing.assert_allclose(itf.platforms[1].poses[0].C, [0.3, 0, 0], atol=1e-12)
