@@ -136,3 +136,59 @@ def test_maxflow_tiny_cut():
     )
     v2, f2 = native.decimate(V, F, 12)
     assert len(f2) == 12 and len(v2) == 8
+
+
+def test_glb_roundtrip(tmp_path, sphere_mesh):
+    from openmvs_tpu.io.gltf import load_mesh_glb, save_mesh_glb
+
+    p = str(tmp_path / "m.glb")
+    save_mesh_glb(p, sphere_mesh.vertices, sphere_mesh.faces)
+    v, f = load_mesh_glb(p)
+    assert len(v) == len(sphere_mesh.vertices)
+    np.testing.assert_array_equal(f, sphere_mesh.faces)
+
+
+def test_viewer_render(sphere_mesh):
+    from openmvs_tpu.viewer import render_mesh, render_point_cloud
+
+    frame = render_mesh(sphere_mesh, size=(320, 240))
+    assert frame.shape == (240, 320, 3)
+    # the sphere must cover a nontrivial part of the frame
+    hit = (frame != (24, 24, 28)).any(axis=-1)
+    assert 0.05 < hit.mean() < 0.95
+    frame2 = render_point_cloud(sphere_mesh.vertices, size=(320, 240))
+    hit2 = (frame2 != (24, 24, 28)).any(axis=-1)
+    assert hit2.mean() > 0.01
+
+
+def test_eval_harness(sphere_mesh):
+    from openmvs_tpu.eval import compare_depth_maps, point_cloud_fscore
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(2, 8, (64, 64)).astype(np.float32)
+    est = gt * (1 + rng.normal(0, 0.005, gt.shape).astype(np.float32))
+    est[:8] = 0
+    st = compare_depth_maps(est, gt)
+    assert st.completeness > 0.8
+    assert st.rel_err_median < 0.01
+    pts = sphere_mesh.vertices
+    noisy = pts + rng.normal(0, 0.002, pts.shape).astype(np.float32)
+    fs = point_cloud_fscore(noisy, pts, threshold=0.01)
+    assert fs["fscore"] > 0.9
+
+
+def test_scene_roi():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_mesh import sphere_scene
+
+    scene = sphere_scene(n=2000)
+    scene.estimate_roi()
+    assert scene.is_bounded()
+    n0 = len(scene.pointcloud)
+    # shrink the box and crop
+    scene.obb_max = scene.obb_max * 0.5
+    scene.obb_min = scene.obb_min * 0.5
+    removed = scene.crop_to_roi()
+    assert removed > 0
+    assert len(scene.pointcloud) == n0 - removed
