@@ -24,3 +24,27 @@ from openmvs_tpu.config import DenseOptions
 from openmvs_tpu.scene import Scene
 
 __all__ = ["DenseOptions", "Scene", "__version__"]
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (first-compile of the
+    scoring kernels costs tens of seconds; cached reloads are ~ms).
+    Opt out with OMVS_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("OMVS_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "OMVS_COMPILE_CACHE", os.path.expanduser("~/.cache/openmvs_tpu_xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

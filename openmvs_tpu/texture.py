@@ -257,8 +257,6 @@ def generate_texture(
     atlas = np.zeros((th, tw, 3), np.uint8)
     atlas[:] = (39, 127, 255)  # empty color marker (reference empty_color)
 
-    # global seam leveling (simplified): per-patch mean color -> offset toward
-    # the global mesh-wide mean of its faces' multi-view colors
     for p, (ax, ay) in zip(patches, pos):
         p.atlas_x, p.atlas_y = ax, ay
         img = scene.images[p.view]
@@ -275,10 +273,127 @@ def generate_texture(
                 ftc[fi, k, 0] = (u - p.x0 + p.atlas_x) / tw
                 ftc[fi, k, 1] = 1.0 - (v - p.y0 + p.atlas_y) / th
 
+    if opts.global_seam_leveling:
+        with timed(log, "global seam leveling"):
+            _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc)
+
     out = Mesh(vertices=mesh.vertices, faces=mesh.faces,
                face_tex_coords=ftc, texture=atlas)
     log.info("texture atlas %dx%d, %d patches", tw, th, len(patches))
     return out
+
+
+def _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc):
+    """Per-vertex-per-patch color offsets solved as a Tikhonov-regularized
+    least squares by conjugate gradient (GlobalSeamLeveling,
+    SceneTexture.cpp:1483-1640): seam vertices shared by two patches pull
+    their sampled colors together; within-patch smoothness keeps the
+    correction field gentle.  The solved offsets are rasterized into the
+    atlas in texture space."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.linalg import cg, LinearOperator
+
+    nf = len(mesh.faces)
+    # (patch, vertex) unknowns
+    vp_index = {}
+    samples = []           # sampled color of vertex in the patch's view
+    for pi, p in enumerate(patches):
+        pr = projs[p.view]
+        img = scene.images[p.view].color
+        H, W = img.shape[:2]
+        vids = np.unique(mesh.faces[p.faces].ravel())
+        for v in vids:
+            u, w_ = pr[v, 0], pr[v, 1]
+            ui = int(np.clip(u, 0, W - 1))
+            wi = int(np.clip(w_, 0, H - 1))
+            vp_index[(pi, int(v))] = len(samples)
+            samples.append(img[wi, ui].astype(np.float64))
+    n = len(samples)
+    if n == 0:
+        return
+    c = np.asarray(samples)                        # (n, 3)
+
+    # seam pairs: same vertex in different patches
+    by_vertex = {}
+    for (pi, v), idx in vp_index.items():
+        by_vertex.setdefault(v, []).append(idx)
+    rows_i, rows_j = [], []
+    for v, idxs in by_vertex.items():
+        for a in range(len(idxs)):
+            for b in range(a + 1, len(idxs)):
+                rows_i.append(idxs[a])
+                rows_j.append(idxs[b])
+    # smoothness: mesh edges within a patch
+    fpatch = np.full(nf, -1, np.int64)
+    for pi, p in enumerate(patches):
+        fpatch[p.faces] = pi
+    e_i, e_j = [], []
+    for fi in range(nf):
+        pi = fpatch[fi]
+        if pi < 0:
+            continue
+        a, b, cc_ = mesh.faces[fi]
+        for u, v in ((a, b), (b, cc_), (cc_, a)):
+            ki = vp_index.get((pi, int(u)))
+            kj = vp_index.get((pi, int(v)))
+            if ki is not None and kj is not None and ki < kj:
+                e_i.append(ki)
+                e_j.append(kj)
+    if not rows_i:
+        return
+    lam = 0.1
+
+    def laplacian(pairs_i, pairs_j):
+        i = np.asarray(pairs_i)
+        j = np.asarray(pairs_j)
+        data = np.concatenate([np.ones(len(i)), np.ones(len(i)),
+                               -np.ones(len(i)), -np.ones(len(i))])
+        r = np.concatenate([i, j, i, j])
+        col = np.concatenate([i, j, j, i])
+        return coo_matrix((data, (r, col)), shape=(n, n)).tocsr()
+
+    Lp = laplacian(rows_i, rows_j)
+    Ls = laplacian(e_i, e_j) if e_i else None
+    M = Lp + lam * Ls if Ls is not None else Lp
+    M = M + 1e-6 * coo_matrix((np.ones(n), (np.arange(n), np.arange(n))),
+                              shape=(n, n))
+    g = np.zeros((n, 3))
+    for ch in range(3):
+        rhs = -(Lp @ c[:, ch])
+        g[:, ch], _ = cg(M, rhs, rtol=1e-4, maxiter=200)
+    g = np.clip(g, -60, 60)
+
+    # rasterize the offsets into the atlas (texture-space projection)
+    tex_proj = np.zeros((len(mesh.vertices), 3))
+    offs = np.zeros((len(mesh.vertices), 3))
+    for pi, p in enumerate(patches):
+        # per-corner atlas coords for this patch's faces
+        sel = p.faces
+        # ftc holds final uv; convert to pixel coords
+        for fi in sel:
+            tri_uv = ftc[fi]
+            xs = tri_uv[:, 0] * tw
+            ys = (1.0 - tri_uv[:, 1]) * th
+            vids = mesh.faces[fi]
+            for k in range(3):
+                tex_proj[vids[k]] = (xs[k], ys[k], 1.0)
+                key = vp_index.get((pi, int(vids[k])))
+                if key is not None:
+                    offs[vids[k]] = g[key]
+        # rasterize this patch's faces into the atlas region
+        fid, _, bar = None, None, None
+    # one global rasterization pass using texture-space coords: z=1 everywhere
+    from openmvs_tpu import native
+
+    fid, _, bar = native.rasterize(tex_proj, mesh.faces, th, tw)
+    hit = fid >= 0
+    if not hit.any():
+        return
+    fv = mesh.faces[np.where(hit, fid, 0)]
+    o = np.einsum("hwkc,hwk->hwc", offs[fv], bar)
+    out = atlas.astype(np.int32)
+    out[hit] += np.round(o[hit]).astype(np.int32)
+    atlas[:] = np.clip(out, 0, 255).astype(np.uint8)
 
 
 def texture_mesh(
