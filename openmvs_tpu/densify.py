@@ -64,6 +64,7 @@ def _build_pm_data(
     d_max: float,
     lowres_prior: Optional[np.ndarray],
     nbr_depths: Optional[List[np.ndarray]] = None,
+    usable: Optional[np.ndarray] = None,
 ) -> patchmatch.PMData:
     """Assemble the static per-view arrays consumed by the PatchMatch sweep."""
     H, W = ref_gray.shape
@@ -118,6 +119,14 @@ def _build_pm_data(
     textured = np.asarray(norm_sq0) >= th_mag_sq
     lowres = lowres_prior if lowres_prior is not None else np.zeros((H, W), np.float32)
     valid = inside & (textured | (lowres > 0))
+    if usable is not None:
+        um = usable
+        if um.shape != (H, W):
+            import cv2
+
+            um = cv2.resize(um.astype(np.uint8), (W, H),
+                            interpolation=cv2.INTER_NEAREST).astype(bool)
+        valid = valid & um
 
     views = patchmatch.PMViews(
         image=jnp.asarray(images),
@@ -240,7 +249,8 @@ def estimate_depth_map(
             lowres_prior = sd.copy()
 
         data = _build_pm_data(
-            ref_gray, ref_cam, nbr_grays, nbr_cams, opts, d_min, d_max, lowres_prior, nbr_depths
+            ref_gray, ref_cam, nbr_grays, nbr_cams, opts, d_min, d_max, lowres_prior,
+            nbr_depths, usable=img.usable_mask(opts.ignore_mask_label),
         )
         key = jax.random.PRNGKey(rng_seed * 7919 + ref_idx * 131 + level + 1000 * max(geometric_iter, 0))
         nV = len(nbr_grays)
