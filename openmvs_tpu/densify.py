@@ -139,6 +139,7 @@ def _build_pm_data(
         Tr=jnp.asarray(Tr),
         Tn=jnp.asarray(Tn),
     )
+    uv_px = np.stack([uu, vv], axis=-1).astype(np.float32)
     return patchmatch.PMData(
         ref=ref_j,
         X0=jnp.asarray(X0, jnp.float32),
@@ -152,6 +153,7 @@ def _build_pm_data(
         d_max=jnp.float32(d_max),
         lowres=jnp.asarray(lowres, jnp.float32),
         valid=jnp.asarray(valid),
+        uv=jnp.asarray(uv_px),
     )
 
 

@@ -64,6 +64,16 @@ def _use_pallas() -> bool:
 # (reference DepthEstimator::scaleRanges, DepthMap.cpp:359)
 SCALE_RANGES = tuple(0.5 ** i for i in range(12))
 
+# Checkerboard parity compaction scores only active pixels (~1.4x faster
+# sweeps) but a compacted tile spans 2x the image columns, so the Pallas
+# kernel's fixed source-patch window overflows on scenes with strong
+# per-tile parallax spread, invalidating border pixels (measured -12% fused
+# points on the bundled scene).  Opt in via OMVS_COMPACT=1 for scenes with
+# mild depth ranges; read once at import so jit tracing is consistent.
+import os as _os
+
+_COMPACT_SWEEPS = bool(_os.environ.get("OMVS_COMPACT"))
+
 
 class PMViews(NamedTuple):
     """Per-neighbor-view constants, stacked on axis 0 (V views)."""
@@ -95,6 +105,8 @@ class PMData(NamedTuple):
     d_max: jnp.ndarray      # scalar
     lowres: jnp.ndarray     # (H, W) low-res prior depth (0 = none)
     valid: jnp.ndarray      # (H, W) bool: textured + full window inside
+    uv: jnp.ndarray         # (H, W, 2) pixel coordinates (survives parity
+                            # compaction, unlike an iota over the array shape)
 
 
 class PMState(NamedTuple):
@@ -344,9 +356,8 @@ def _geometric_term(
     XB = jnp.einsum("ab,chwb->chwa", Tr, Xb) + Tn
     zb = XB[..., 2]
     izb = jnp.where(zb > 1e-8, 1.0 / jnp.where(zb > 1e-8, zb, 1.0), 0.0)
-    H, W = depth.shape[1:]
-    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    uu = data.uv[..., 0]
+    vv = data.uv[..., 1]
     dist = jnp.sqrt((uu - XB[..., 0] * izb) ** 2 + (vv - XB[..., 1] * izb) ** 2)
     cons = jnp.minimum(jnp.sqrt(dist * (dist + 2.0)), 4.0)
     cons = jnp.where(similar & (zb > 1e-8), cons, 4.0)
@@ -404,6 +415,7 @@ def score_hypotheses(
     n_views: int,
     use_geom: bool,
     mode: str = "exact",
+    bonus: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Aggregated multi-view scores of C (depth, normal) hypothesis maps.
 
@@ -418,7 +430,8 @@ def score_hypotheses(
     safe = jnp.abs(inv_nd_den) > 1e-12
     inv_nd = jnp.where(safe, 1.0 / jnp.where(safe, inv_nd_den, 1.0), 0.0)
 
-    bonus = _smoothness_bonus(data, opts, state, depth, normal)
+    if bonus is None:
+        bonus = _smoothness_bonus(data, opts, state, depth, normal)
     v = data.views
 
     d0 = data.lowres
@@ -635,6 +648,29 @@ def _probe_candidates(data: PMData, state: PMState, opts: DenseOptions, key):
     return out
 
 
+def _compact_parity(a: jnp.ndarray, parity: int) -> jnp.ndarray:
+    """Extract the checkerboard sub-lattice (x+y)%2 == parity as a dense
+    (H, W//2[, ...]) array: out[y, x'] = a[y, 2x' + (y+parity)%2].
+
+    Pure strided slicing (no gathers): even and odd rows have fixed column
+    offsets.  W must be even."""
+    H, W = a.shape[0], a.shape[1]
+    even = a[0::2, parity % 2 :: 2]
+    odd = a[1::2, (parity + 1) % 2 :: 2]
+    out = jnp.stack([even, odd], axis=1)
+    return out.reshape((H,) + out.shape[2:])
+
+
+def _scatter_parity(full: jnp.ndarray, sub: jnp.ndarray, parity: int) -> jnp.ndarray:
+    """Write the compacted sub-lattice back into `full` at its parity."""
+    H = full.shape[0]
+    sub2 = sub.reshape((H // 2, 2) + sub.shape[1:])
+    even, odd = sub2[:, 0], sub2[:, 1]
+    full = full.at[0::2, parity % 2 :: 2].set(even)
+    full = full.at[1::2, (parity + 1) % 2 :: 2].set(odd)
+    return full
+
+
 # propagation neighborhood: 4-adjacent plus 4 longer-range samples so
 # information travels faster than one pixel per half-iteration
 # (the reference's adaptive checkerboard uses near+far samples similarly,
@@ -695,18 +731,51 @@ def sweep(
         cn = jnp.stack(cand_n)               # (C, H, W, 3)
         cok = jnp.stack(cand_ok)             # (C, H, W)
 
-        s = score_hypotheses(data, opts, state, cd, cn, n_views, use_geom, mode)
-        s = jnp.where(cok, s, jnp.inf)
-        best = jnp.argmin(s, axis=0)         # (H, W)
-        s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
-        d_best = jnp.take_along_axis(cd, best[None], axis=0)[0]
-        n_best = jnp.take_along_axis(cn, best[None, ..., None], axis=0)[0]
-        take = active & (s_best < state.conf)
-        state = PMState(
-            depth=jnp.where(take, d_best, state.depth),
-            normal=jnp.where(take[..., None], n_best, state.normal),
-            conf=jnp.where(take, s_best, state.conf),
-        )
+        if W % 2 == 0 and H % 2 == 0 and _COMPACT_SWEEPS:
+            # checkerboard compaction: score only the active parity's pixels
+            # (the reference's red/black kernels process exactly half each
+            # step, PatchMatchCUDA.cu:597-609) — 2x less scoring work
+            comp = lambda x: _compact_parity(x, parity)
+            data_c = data._replace(
+                ref=comp(data.ref), X0=comp(data.X0),
+                w=jax.vmap(comp)(data.w), wtm=jax.vmap(comp)(data.wtm),
+                sum_w=comp(data.sum_w), norm_sq0=comp(data.norm_sq0),
+                lowres=comp(data.lowres), valid=comp(data.valid),
+                uv=comp(data.uv),
+            )
+            state_c = PMState(depth=comp(state.depth), normal=comp(state.normal),
+                              conf=comp(state.conf))
+            cd_c = jax.vmap(comp)(cd)
+            cn_c = jax.vmap(comp)(cn)
+            cok_c = jax.vmap(comp)(cok)
+            bonus_full = _smoothness_bonus(data, opts, state, cd, cn)
+            s = score_hypotheses(
+                data_c, opts, state_c, cd_c, cn_c, n_views, use_geom, mode,
+                bonus=jax.vmap(comp)(bonus_full),
+            )
+            s = jnp.where(cok_c, s, jnp.inf)
+            best = jnp.argmin(s, axis=0)
+            s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
+            d_best = jnp.take_along_axis(cd_c, best[None], axis=0)[0]
+            n_best = jnp.take_along_axis(cn_c, best[None, ..., None], axis=0)[0]
+            take = comp(active) & (s_best < state_c.conf)
+            nd = _scatter_parity(state.depth, jnp.where(take, d_best, state_c.depth), parity)
+            nn = _scatter_parity(state.normal, jnp.where(take[..., None], n_best, state_c.normal), parity)
+            nc = _scatter_parity(state.conf, jnp.where(take, s_best, state_c.conf), parity)
+            state = PMState(depth=nd, normal=nn, conf=nc)
+        else:
+            s = score_hypotheses(data, opts, state, cd, cn, n_views, use_geom, mode)
+            s = jnp.where(cok, s, jnp.inf)
+            best = jnp.argmin(s, axis=0)         # (H, W)
+            s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
+            d_best = jnp.take_along_axis(cd, best[None], axis=0)[0]
+            n_best = jnp.take_along_axis(cn, best[None, ..., None], axis=0)[0]
+            take = active & (s_best < state.conf)
+            state = PMState(
+                depth=jnp.where(take, d_best, state.depth),
+                normal=jnp.where(take[..., None], n_best, state.normal),
+                conf=jnp.where(take, s_best, state.conf),
+            )
     return state
 
 

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PATCH_ROWS = 24
-PATCH_COLS = 384
+PATCH_COLS = 512
 TILE_H = 8
 TILE_W = 128
 
@@ -112,34 +112,22 @@ def _texel_kernel(
     lx = jnp.clip(lx, 0, PATCH_COLS - 2)
     ly = jnp.clip(ly, 0, PATCH_ROWS - 2)
     lx1 = lx + 1
-    sel0 = lx < 128
-    sel1 = (lx >= 128) & (lx < 256)
-    i0 = jnp.where(sel0, lx, 0)
-    i1 = jnp.where(sel1, lx - 128, 0)
-    i2 = jnp.where(lx >= 256, lx - 256, 0)
-    s10 = lx1 < 128
-    s11 = (lx1 >= 128) & (lx1 < 256)
-    j0 = jnp.where(s10, lx1, 0)
-    j1 = jnp.where(s11, lx1 - 128, 0)
-    j2 = jnp.where(lx1 >= 256, lx1 - 256, 0)
+    n_blk = PATCH_COLS // 128
+    blk = jnp.clip(lx >> 7, 0, n_blk - 1)
+    blk1 = jnp.clip(lx1 >> 7, 0, n_blk - 1)
+    loc = lx & 127
+    loc1 = lx1 & 127
 
     v_top = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     v_bot = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     for r in range(PATCH_ROWS):
         row = patch[r : r + 1, :]
-        t0 = jnp.broadcast_to(row[:, 0:128], (TILE_H, TILE_W))
-        t1 = jnp.broadcast_to(row[:, 128:256], (TILE_H, TILE_W))
-        t2 = jnp.broadcast_to(row[:, 256:384], (TILE_H, TILE_W))
-        g_l = jnp.where(
-            sel0, jnp.take_along_axis(t0, i0, axis=1),
-            jnp.where(sel1, jnp.take_along_axis(t1, i1, axis=1),
-                      jnp.take_along_axis(t2, i2, axis=1)),
-        )
-        g_r = jnp.where(
-            s10, jnp.take_along_axis(t0, j0, axis=1),
-            jnp.where(s11, jnp.take_along_axis(t1, j1, axis=1),
-                      jnp.take_along_axis(t2, j2, axis=1)),
-        )
+        g_l = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        for b in range(n_blk):
+            t = jnp.broadcast_to(row[:, 128 * b : 128 * (b + 1)], (TILE_H, TILE_W))
+            g_l = jnp.where(blk == b, jnp.take_along_axis(t, loc, axis=1), g_l)
+            g_r = jnp.where(blk1 == b, jnp.take_along_axis(t, loc1, axis=1), g_r)
         g = g_l * (1.0 - fx) + g_r * fx
         v_top = jnp.where(ly == r, g, v_top)
         v_bot = jnp.where(ly == r - 1, g, v_bot)

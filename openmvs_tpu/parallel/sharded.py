@@ -34,7 +34,7 @@ HALO = 16
 
 # PMData fields whose leading (per-view) layout is image rows and therefore
 # get row-tiled over the ``tile`` mesh axis
-ROW_TILED = {"ref", "X0", "sum_w", "norm_sq0", "lowres", "valid"}
+ROW_TILED = {"ref", "X0", "sum_w", "norm_sq0", "lowres", "valid", "uv"}
 ROW_TILED_T = {"w", "wtm"}  # (T, rows, W): rows on axis 1
 
 
