@@ -275,14 +275,32 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
     adj_j = jnp.asarray(adj)
     deg_j = jnp.asarray(deg, jnp.float32)
 
-    # mesh extent for step normalization
-    extent = float(np.linalg.norm(mesh.vertices.max(0) - mesh.vertices.min(0)))
-    step0 = extent * 2e-3 * opts.gradient_step / 45.05
+    # step scaled to the local geometry: a fraction of the median edge
+    # length (movement per iteration stays sub-facet, keeping the fixed
+    # rasterization assumption valid)
+    e = mesh.vertices[faces[:, 0]] - mesh.vertices[faces[:, 1]]
+    med_edge = float(np.median(np.linalg.norm(e, axis=1)))
+    step0 = med_edge * 0.08 * opts.gradient_step / 45.05
 
-    energy_and_grad = jax.jit(jax.value_and_grad(
-        lambda v, pds: sum(_pair_energy(v, pd) for pd in pds)
-        + opts.regularity_weight * len(pds) * _smooth_energy(v, adj_j, deg_j)
-    ))
+    # the fused gather-heavy autodiff graph miscompiles on this TPU stack
+    # (grads diverge from CPU; same XLA bug class the Pallas scoring kernel
+    # works around) — pin the energy/gradient computation to the CPU backend
+    _dev = None
+    try:
+        if jax.default_backend() not in ("cpu",):
+            _dev = jax.devices("cpu")[0]
+    except Exception:
+        _dev = None
+    energy_and_grad = jax.jit(
+        jax.value_and_grad(
+            lambda v, pds: sum(_pair_energy(v, pd) for pd in pds)
+            + opts.regularity_weight * len(pds) * _smooth_energy(v, adj_j, deg_j)
+        ),
+        device=_dev,
+    )
+    if _dev is not None:
+        adj_j = jax.device_put(adj_j, _dev)
+        deg_j = jax.device_put(deg_j, _dev)
 
     v_np = np.asarray(verts)
     iters = max(4, int(opts.iters * (0.5 if scale < 1.0 else 1.0)))
@@ -314,6 +332,8 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
                     KB_R=jnp.asarray((camB.K @ camB.R), jnp.float32),
                     KB_t=jnp.asarray(-(camB.K @ camB.R) @ camB.C, jnp.float32),
                 ))
+        if _dev is not None:
+            pds = jax.tree.map(lambda x: jax.device_put(x, _dev), pds)
         e, g = energy_and_grad(jnp.asarray(v_np), pds)
         g = np.asarray(g)
         m = b1 * m + (1 - b1) * g
