@@ -257,3 +257,61 @@ def clean_mesh(
         v = taubin_smooth(v, f, smooth_iters)
     v, f = fix_non_manifold(v, f)
     return Mesh(vertices=np.asarray(v, np.float32), faces=np.asarray(f, np.int32))
+
+
+def sample_points(mesh: Mesh, n_points: int, seed: int = 0):
+    """Uniform area-weighted surface sampling (Mesh::SamplePoints role,
+    Mesh.h:223-225): returns (points (n,3), face normals per sample)."""
+    rng = np.random.default_rng(seed)
+    v, f = mesh.vertices.astype(np.float64), mesh.faces
+    a = v[f[:, 0]]
+    e1 = v[f[:, 1]] - a
+    e2 = v[f[:, 2]] - a
+    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    probs = areas / max(areas.sum(), 1e-30)
+    fi = rng.choice(len(f), n_points, p=probs)
+    r1 = np.sqrt(rng.random(n_points))
+    r2 = rng.random(n_points)
+    w = r1 * r2
+    pts = a[fi] + e1[fi] * (r1 * (1 - r2))[:, None] + e2[fi] * w[:, None]
+    n = face_normals(v, f)[fi]
+    return pts.astype(np.float32), n.astype(np.float32)
+
+
+def subdivide(mesh: Mesh) -> Mesh:
+    """Uniform 1->4 midpoint subdivision (Mesh::Subdivide role)."""
+    v = mesh.vertices.astype(np.float64)
+    f = mesh.faces.astype(np.int64)
+    edges = {}
+    vlist = []
+
+    def midpoint(a, b):
+        key = (min(a, b), max(a, b))
+        if key not in edges:
+            edges[key] = len(v) + len(vlist)
+            vlist.append(0.5 * (v[a] + v[b]))
+        return edges[key]
+
+    out = []
+    for a, b, c in f:
+        ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+        out += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+    v2 = np.concatenate([v, np.asarray(vlist)], axis=0) if vlist else v
+    return Mesh(vertices=v2.astype(np.float32), faces=np.asarray(out, np.int32))
+
+
+def ensure_edge_size(mesh: Mesh, max_edge: float, max_rounds: int = 4) -> Mesh:
+    """Split faces until no edge exceeds max_edge (EnsureEdgeSize role,
+    Mesh.h:185 — isotropic remeshing approximated by longest-edge splits)."""
+    m = mesh
+    for _ in range(max_rounds):
+        v, f = m.vertices.astype(np.float64), m.faces
+        e = np.stack([
+            np.linalg.norm(v[f[:, 0]] - v[f[:, 1]], axis=1),
+            np.linalg.norm(v[f[:, 1]] - v[f[:, 2]], axis=1),
+            np.linalg.norm(v[f[:, 2]] - v[f[:, 0]], axis=1),
+        ])
+        if e.max() <= max_edge:
+            break
+        m = subdivide(m)
+    return m

@@ -192,3 +192,22 @@ def test_scene_roi():
     removed = scene.crop_to_roi()
     assert removed > 0
     assert len(scene.pointcloud) == n0 - removed
+
+
+def test_sample_points(sphere_mesh):
+    pts, nrm = mesh_ops.sample_points(sphere_mesh, 5000)
+    r = np.linalg.norm(pts, axis=1)
+    assert abs(r.mean() - 1.0) < 0.02
+    # sample normals ~ outward radial
+    cos = np.sum(pts / r[:, None] * nrm, axis=1)
+    assert np.median(np.abs(cos)) > 0.9
+
+
+def test_subdivide_and_edge_size(sphere_mesh):
+    m2 = mesh_ops.subdivide(sphere_mesh)
+    assert len(m2.faces) == 4 * len(sphere_mesh.faces)
+    e = np.linalg.norm(
+        m2.vertices[m2.faces[:, 0]] - m2.vertices[m2.faces[:, 1]], axis=1
+    )
+    m3 = mesh_ops.ensure_edge_size(sphere_mesh, float(np.median(e)))
+    assert len(m3.faces) > len(sphere_mesh.faces)
