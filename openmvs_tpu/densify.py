@@ -369,13 +369,46 @@ def optimize_depth_map(res: DepthMapResult, opts: DenseOptions) -> None:
         filters.gap_interpolation(res.depth, res.normal, res.conf, opts)
 
 
+def _run_views_parallel(fn, view_indices, devices):
+    """Run fn(view_idx) for each view, round-robined over local devices.
+
+    The reference overlaps images with an event thread pool
+    (SceneDensify.cpp:1883-1903); here each view's whole estimation chain is
+    placed on one device via jax.default_device and views run concurrently
+    from worker threads (dispatch is async; the GIL is released while
+    blocking on device results)."""
+    import concurrent.futures as cf
+
+    results = {}
+    if len(devices) <= 1:
+        for i in view_indices:
+            results[i] = fn(i)
+        return results
+
+    def worker(args):
+        slot, i = args
+        dev = devices[slot % len(devices)]
+        with jax.default_device(dev):
+            return i, fn(i)
+
+    with cf.ThreadPoolExecutor(max_workers=len(devices)) as ex:
+        for i, r in ex.map(worker, enumerate(view_indices)):
+            results[i] = r
+    return results
+
+
 def dense_reconstruction(
     scene: Scene,
     opts: DenseOptions = DenseOptions(),
     max_dim: Optional[int] = None,
     save_dmaps_to: Optional[str] = None,
+    devices: Optional[list] = None,
 ) -> PointCloud:
-    """Full dense pipeline: estimate all depth maps, filter, fuse."""
+    """Full dense pipeline: estimate all depth maps, filter, fuse.
+
+    With multiple local devices (TPU chips), reference views are distributed
+    across them (one view's estimation per chip, the analogue of the
+    reference's per-image event pipeline across worker threads)."""
     if max_dim is None:
         w0 = max(im.width for im in scene.images)
         h0 = max(im.height for im in scene.images)
@@ -391,28 +424,41 @@ def dense_reconstruction(
     with timed(log, "select views"):
         select_views_for_scene(scene, opts)
 
+    if devices is None:
+        try:
+            devices = jax.local_devices()
+        except Exception:
+            devices = []
+    if len(devices) > 1:
+        log.info("distributing views over %d devices", len(devices))
+
     # pass 1: photometric estimation
     results: Dict[int, DepthMapResult] = {}
     estimator = estimate_depth_map_sgm if opts.estimator == "sgm" else estimate_depth_map
-    for i in range(scene.n_views):
-        with timed(log, f"photometric depth map {i}"):
-            r = estimator(scene, i, opts)
+    with timed(log, f"photometric pass ({scene.n_views} views)"):
+        raw = _run_views_parallel(
+            lambda i: estimator(scene, i, opts), range(scene.n_views), devices
+        )
+    for i, r in raw.items():
         if r is not None:
             results[scene.images[i].meta.id] = r
 
     # pass 2: geometric-consistency re-estimation
     for gi in range(opts.estimation_geometric_iters):
+        have = [i for i in range(scene.n_views)
+                if scene.images[i].meta.id in results]
+        with timed(log, f"geometric pass {gi} ({len(have)} views)"):
+            raw = _run_views_parallel(
+                lambda i: estimate_depth_map(
+                    scene, i, opts, prev=results[scene.images[i].meta.id],
+                    neighbor_results=results, geometric_iter=gi,
+                ),
+                have, devices,
+            )
         new_results: Dict[int, DepthMapResult] = {}
-        for i in range(scene.n_views):
-            rid = scene.images[i].meta.id
-            if rid not in results:
-                continue
-            with timed(log, f"geometric({gi}) depth map {i}"):
-                r = estimate_depth_map(
-                    scene, i, opts, prev=results[rid], neighbor_results=results, geometric_iter=gi
-                )
+        for i, r in raw.items():
             if r is not None:
-                new_results[rid] = r
+                new_results[scene.images[i].meta.id] = r
         results = new_results
 
     # optimize: speckle + gaps

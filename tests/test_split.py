@@ -65,3 +65,69 @@ def test_export_chunks_roundtrip(tmp_path):
             assert all(int(x) in ids for x in v)
     # overlap duplicates points, so total >= original in-box sum
     assert total >= len(scene.pointcloud.points) * 0.8
+
+
+def test_dense_reconstruction_multidevice_parity():
+    """View distribution over devices must not change results (8 virtual CPU
+    devices in the suite)."""
+    import jax
+
+    if len(jax.local_devices()) < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    import numpy as np
+    import cv2
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu.densify import dense_reconstruction
+
+    # tiny synthetic textured-plane scene with 3 views + sparse seeds
+    rng = np.random.default_rng(0)
+    H, W = 96, 128
+    f = 110.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    tex = cv2.GaussianBlur(rng.uniform(0, 255, (256, 256, 3)).astype(np.uint8), (0, 0), 1.0)
+    scene = _scene(n=0)  # reuse builder scaffolding then replace
+    scene.images = scene.images[:3]
+    scene.platforms = scene.platforms[:3]
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    pts = []
+    for i in range(3):
+        C = np.array([0.4 * i, 0, 0.0])
+        scene.platforms[i].poses[0].C = C
+        scene.platforms[i].cameras[0].K = K
+        scene.platforms[i].cameras[0].width = W
+        scene.platforms[i].cameras[0].height = H
+        from openmvs_tpu.geometry.camera import Camera
+
+        scene.images[i].camera = Camera(K, np.eye(3), C)
+        scene.images[i].width = W
+        scene.images[i].height = H
+        uu, vv = np.meshgrid(np.arange(W, dtype=float), np.arange(H, dtype=float))
+        x = (uu - K[0, 2]) / f * 5.0 + C[0]
+        y = (vv - K[1, 2]) / f * 5.0
+        img = cv2.remap(tex, ((x * 24 + 128) % 256).astype(np.float32),
+                        ((y * 24 + 128) % 256).astype(np.float32), cv2.INTER_LINEAR)
+        p = os.path.join(tmp, f"im{i}.png")
+        cv2.imwrite(p, img)
+        scene.images[i].path = p
+        scene.images[i].meta.name = p
+    # sparse seeds on the plane z=5
+    sp = rng.uniform([-1, -1], [1, 1], (60, 2))
+    pts = np.concatenate([sp, np.full((60, 1), 5.0)], axis=1).astype(np.float32)
+    from openmvs_tpu.scene import PointCloud
+
+    scene.pointcloud = PointCloud(
+        points=pts,
+        views=[np.array([0, 1, 2], np.uint32)] * 60,
+        weights=[np.ones(3, np.float32)] * 60,
+    )
+    opts = DenseOptions(sub_resolution_levels=0, estimation_iters=2,
+                        estimation_geometric_iters=1, max_resolution=W)
+    pc_par = dense_reconstruction(scene, opts, max_dim=W,
+                                  devices=jax.local_devices()[:4])
+    pc_seq = dense_reconstruction(scene, opts, max_dim=W, devices=[])
+    assert len(pc_par) == len(pc_seq)
+    np.testing.assert_allclose(pc_par.points, pc_seq.points, atol=1e-5)
