@@ -37,9 +37,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PATCH_ROWS = 24
-PATCH_COLS = 512
+# source-patch width: 3 lane-blocks cover a full-lattice (8,128) tile's warp
+# span at scale <~1.3; parity-compacted sweeps (OMVS_COMPACT=1) double the
+# span per tile and need 5 blocks — set OMVS_PATCH_COLS=640 with them
+import os as _os
+
+PATCH_COLS = int(_os.environ.get("OMVS_PATCH_COLS", "384"))
 TILE_H = 8
 TILE_W = 128
+# texels processed per grid step: amortizes the fixed per-step cost (block
+# bookkeeping across 15 operands) over several gather sweeps
+TEXEL_CHUNK = 5
 
 
 def _texel_kernel(
@@ -60,8 +68,8 @@ def _texel_kernel(
     inb_ref,     # (1, 8, 128) float32 (1 = all texels so far in bounds)
 ):
     Hp, Wp = img_ref.shape
-    k = pl.program_id(3)
-    first = k == 0
+    t_step = pl.program_id(3)
+    first = t_step == 0
 
     depth = depth_ref[0]
     inv_d = 1.0 / depth
@@ -77,78 +85,88 @@ def _texel_kernel(
     sy0 = hl[3] * x0a + hl[4] * x0b + hl[5] * x0c
     sz0 = hl[6] * x0a + hl[7] * x0b + hl[8] * x0c
 
-    ga = goff_ref[0, 3 * k]
-    gb = goff_ref[0, 3 * k + 1]
-    gc = goff_ref[0, 3 * k + 2]
-    sga = hl[0] * ga + hl[1] * gb + hl[2] * gc
-    sgb = hl[3] * ga + hl[4] * gb + hl[5] * gc
-    sgc = hl[6] * ga + hl[7] * gb + hl[8] * gc
-    n_goff = nx * ga + ny * gb + nz * gc
-    scale = inv_d + n_goff * inv_nd
-    sx = sx0 + sga + hm[0] * scale
-    sy = sy0 + sgb + hm[1] * scale
-    sz = sz0 + sgc + hm[2] * scale
-    zok = sz > 1e-8
-    izs = jnp.where(zok, 1.0 / jnp.where(zok, sz, 1.0), 0.0)
-    px = sx * izs
-    py = sy * izs
-    ok = zok & (px >= 1) & (px <= w_j - 2) & (py >= 1) & (py <= h_j - 2)
-
-    px_v = jnp.where(zok, px, 1e9)
-    py_v = jnp.where(zok, py, 1e9)
-    c0 = jnp.clip(jnp.min(px_v).astype(jnp.int32) - 8, 0, Wp - PATCH_COLS)
-    c0 = pl.multiple_of(c0 & ~127, 128)
-    r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 4, 0, Hp - PATCH_ROWS)
-    r0 = pl.multiple_of(r0 & ~7, 8)
-    patch = img_ref[pl.ds(r0, PATCH_ROWS), pl.ds(c0, PATCH_COLS)]
-
-    lxf = px - c0.astype(jnp.float32)
-    lyf = py - r0.astype(jnp.float32)
-    lx = jnp.floor(lxf).astype(jnp.int32)
-    ly = jnp.floor(lyf).astype(jnp.int32)
-    fx = lxf - lx.astype(jnp.float32)
-    fy = lyf - ly.astype(jnp.float32)
-    ok = ok & (lx >= 0) & (lx < PATCH_COLS - 1) & (ly >= 0) & (ly < PATCH_ROWS - 1)
-    lx = jnp.clip(lx, 0, PATCH_COLS - 2)
-    ly = jnp.clip(ly, 0, PATCH_ROWS - 2)
-    lx1 = lx + 1
+    num_acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    ssum_acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    ssq_acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    ok_acc = jnp.ones((TILE_H, TILE_W), jnp.bool_)
     n_blk = PATCH_COLS // 128
-    blk = jnp.clip(lx >> 7, 0, n_blk - 1)
-    blk1 = jnp.clip(lx1 >> 7, 0, n_blk - 1)
-    loc = lx & 127
-    loc1 = lx1 & 127
 
-    v_top = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    v_bot = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    for r in range(PATCH_ROWS):
-        row = patch[r : r + 1, :]
-        g_l = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        for b in range(n_blk):
-            t = jnp.broadcast_to(row[:, 128 * b : 128 * (b + 1)], (TILE_H, TILE_W))
-            g_l = jnp.where(blk == b, jnp.take_along_axis(t, loc, axis=1), g_l)
-            g_r = jnp.where(blk1 == b, jnp.take_along_axis(t, loc1, axis=1), g_r)
-        g = g_l * (1.0 - fx) + g_r * fx
-        v_top = jnp.where(ly == r, g, v_top)
-        v_bot = jnp.where(ly == r - 1, g, v_bot)
-    val = v_top * (1.0 - fy) + v_bot * fy
+    for kk in range(TEXEL_CHUNK):
+        ga = goff_ref[0, 3 * (t_step * TEXEL_CHUNK + kk)]
+        gb = goff_ref[0, 3 * (t_step * TEXEL_CHUNK + kk) + 1]
+        gc = goff_ref[0, 3 * (t_step * TEXEL_CHUNK + kk) + 2]
+        sga = hl[0] * ga + hl[1] * gb + hl[2] * gc
+        sgb = hl[3] * ga + hl[4] * gb + hl[5] * gc
+        sgc = hl[6] * ga + hl[7] * gb + hl[8] * gc
+        n_goff = nx * ga + ny * gb + nz * gc
+        scale = inv_d + n_goff * inv_nd
+        sx = sx0 + sga + hm[0] * scale
+        sy = sy0 + sgb + hm[1] * scale
+        sz = sz0 + sgc + hm[2] * scale
+        zok = sz > 1e-8
+        izs = jnp.where(zok, 1.0 / jnp.where(zok, sz, 1.0), 0.0)
+        px = sx * izs
+        py = sy * izs
+        ok = zok & (px >= 1) & (px <= w_j - 2) & (py >= 1) & (py <= h_j - 2)
 
-    w_k = w_ref[0]
-    wtm_k = wtm_ref[0]
+        px_v = jnp.where(zok, px, 1e9)
+        py_v = jnp.where(zok, py, 1e9)
+        c0 = jnp.clip(jnp.min(px_v).astype(jnp.int32) - 8, 0, Wp - PATCH_COLS)
+        c0 = pl.multiple_of(c0 & ~127, 128)
+        r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 4, 0, Hp - PATCH_ROWS)
+        r0 = pl.multiple_of(r0 & ~7, 8)
+        patch = img_ref[pl.ds(r0, PATCH_ROWS), pl.ds(c0, PATCH_COLS)]
+
+        lxf = px - c0.astype(jnp.float32)
+        lyf = py - r0.astype(jnp.float32)
+        lx = jnp.floor(lxf).astype(jnp.int32)
+        ly = jnp.floor(lyf).astype(jnp.int32)
+        fx = lxf - lx.astype(jnp.float32)
+        fy = lyf - ly.astype(jnp.float32)
+        ok = ok & (lx >= 0) & (lx < PATCH_COLS - 1) & (ly >= 0) & (ly < PATCH_ROWS - 1)
+        lx = jnp.clip(lx, 0, PATCH_COLS - 2)
+        ly = jnp.clip(ly, 0, PATCH_ROWS - 2)
+        lx1 = lx + 1
+        blk = jnp.clip(lx >> 7, 0, n_blk - 1)
+        blk1 = jnp.clip(lx1 >> 7, 0, n_blk - 1)
+        loc = lx & 127
+        loc1 = lx1 & 127
+
+        v_top = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        v_bot = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        for r in range(PATCH_ROWS):
+            row = patch[r : r + 1, :]
+            g_l = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for b in range(n_blk):
+                t = jnp.broadcast_to(row[:, 128 * b : 128 * (b + 1)], (TILE_H, TILE_W))
+                g_l = jnp.where(blk == b, jnp.take_along_axis(t, loc, axis=1), g_l)
+                g_r = jnp.where(blk1 == b, jnp.take_along_axis(t, loc1, axis=1), g_r)
+            g = g_l * (1.0 - fx) + g_r * fx
+            v_top = jnp.where(ly == r, g, v_top)
+            v_bot = jnp.where(ly == r - 1, g, v_bot)
+        val = v_top * (1.0 - fy) + v_bot * fy
+
+        w_k = w_ref[kk]
+        wtm_k = wtm_ref[kk]
+        num_acc = num_acc + val * wtm_k
+        ssum_acc = ssum_acc + val * w_k
+        ssq_acc = ssq_acc + val * val * w_k
+        ok_acc = ok_acc & ok
 
     @pl.when(first)
     def _():
-        num_ref[0] = val * wtm_k
-        ssum_ref[0] = val * w_k
-        ssq_ref[0] = val * val * w_k
-        inb_ref[0] = ok.astype(jnp.float32)
+        num_ref[0] = num_acc
+        ssum_ref[0] = ssum_acc
+        ssq_ref[0] = ssq_acc
+        inb_ref[0] = ok_acc.astype(jnp.float32)
 
     @pl.when(jnp.logical_not(first))
     def _():
-        num_ref[0] = num_ref[0] + val * wtm_k
-        ssum_ref[0] = ssum_ref[0] + val * w_k
-        ssq_ref[0] = ssq_ref[0] + val * val * w_k
-        inb_ref[0] = inb_ref[0] * ok.astype(jnp.float32)
+        num_ref[0] = num_ref[0] + num_acc
+        ssum_ref[0] = ssum_ref[0] + ssum_acc
+        ssq_ref[0] = ssq_ref[0] + ssq_acc
+        inb_ref[0] = inb_ref[0] * ok_acc.astype(jnp.float32)
 
 
 def _pad_to(x: jnp.ndarray, h: int, w: int, axes: Tuple[int, int]):
@@ -186,7 +204,7 @@ def score_view_pallas(
 ) -> jnp.ndarray:
     """Weighted-ZNCC scores (C, H, W) of candidate maps in one view."""
     C, H, W = depth.shape
-    T = n_texels
+    T = -(-n_texels // TEXEL_CHUNK) * TEXEL_CHUNK
     Hpad = -(-H // TILE_H) * TILE_H
     Wpad = -(-W // TILE_W) * TILE_W
     Hi = max(-(-img.shape[0] // TILE_H) * TILE_H, PATCH_ROWS)
@@ -203,13 +221,22 @@ def score_view_pallas(
     x0c = _pad_to(X0[..., 2], Hpad, Wpad, (0, 1))
     w_p = _pad_to(w, Hpad, Wpad, (1, 2))
     wtm_p = _pad_to(wtm, Hpad, Wpad, (1, 2))
+    if T != n_texels:
+        # zero-weight padding texels with center (0-offset) geometry so they
+        # neither contribute to the ZNCC nor trip the in-bounds mask
+        padT = T - n_texels
+        zg = jnp.zeros((padT, 3), goff.dtype)
+        goff = jnp.concatenate([goff, zg], axis=0)
+        zw = jnp.zeros((padT,) + w_p.shape[1:], w_p.dtype)
+        w_p = jnp.concatenate([w_p, zw], axis=0)
+        wtm_p = jnp.concatenate([wtm_p, zw], axis=0)
 
     hl_s = Hl.reshape(1, 9).astype(jnp.float32)
     hm_s = Hm.reshape(1, 3).astype(jnp.float32)
     goff_s = goff.reshape(1, 3 * T).astype(jnp.float32)
     size_s = size.reshape(1, 2).astype(jnp.float32)
 
-    grid = (C, Hpad // TILE_H, Wpad // TILE_W, T)
+    grid = (C, Hpad // TILE_H, Wpad // TILE_W, T // TEXEL_CHUNK)
 
     def im_c(c, i, j, t):
         return (c, i, j)
@@ -242,8 +269,8 @@ def score_view_pallas(
             pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM)
