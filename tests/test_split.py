@@ -131,3 +131,56 @@ def test_dense_reconstruction_multidevice_parity():
     pc_seq = dense_reconstruction(scene, opts, max_dim=W, devices=[])
     assert len(pc_par) == len(pc_seq)
     np.testing.assert_allclose(pc_par.points, pc_seq.points, atol=1e-5)
+
+
+def test_densify_deterministic():
+    """Counter-based RNG => identical clouds across runs (SURVEY §7 hard
+    part 4; the reference is nondeterministic under threading)."""
+    import jax
+    import numpy as np
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu.densify import dense_reconstruction
+
+    # reuse the tiny synthetic textured scene from the multidevice test
+    import cv2, tempfile, os
+    from openmvs_tpu.geometry.camera import Camera
+    from openmvs_tpu.scene import PointCloud
+
+    rng = np.random.default_rng(0)
+    H, W = 96, 128
+    f = 110.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    tex = cv2.GaussianBlur(rng.uniform(0, 255, (256, 256, 3)).astype(np.uint8), (0, 0), 1.0)
+    scene = _scene(n=0)
+    scene.images = scene.images[:3]
+    scene.platforms = scene.platforms[:3]
+    tmp = tempfile.mkdtemp()
+    for i in range(3):
+        C = np.array([0.4 * i, 0, 0.0])
+        scene.platforms[i].poses[0].C = C
+        scene.platforms[i].cameras[0].K = K
+        scene.platforms[i].cameras[0].width = W
+        scene.platforms[i].cameras[0].height = H
+        scene.images[i].camera = Camera(K, np.eye(3), C)
+        scene.images[i].width = W
+        scene.images[i].height = H
+        uu, vv = np.meshgrid(np.arange(W, dtype=float), np.arange(H, dtype=float))
+        x = (uu - K[0, 2]) / f * 5.0 + C[0]
+        y = (vv - K[1, 2]) / f * 5.0
+        img = cv2.remap(tex, ((x * 24 + 128) % 256).astype(np.float32),
+                        ((y * 24 + 128) % 256).astype(np.float32), cv2.INTER_LINEAR)
+        p = os.path.join(tmp, f"im{i}.png")
+        cv2.imwrite(p, img)
+        scene.images[i].path = p
+        scene.images[i].meta.name = p
+    sp = rng.uniform([-1, -1], [1, 1], (60, 2))
+    pts = np.concatenate([sp, np.full((60, 1), 5.0)], axis=1).astype(np.float32)
+    scene.pointcloud = PointCloud(points=pts,
+                                  views=[np.array([0, 1, 2], np.uint32)] * 60,
+                                  weights=[np.ones(3, np.float32)] * 60)
+    opts = DenseOptions(sub_resolution_levels=0, estimation_iters=2,
+                        estimation_geometric_iters=0, max_resolution=W)
+    pc1 = dense_reconstruction(scene, opts, max_dim=W, devices=[])
+    pc2 = dense_reconstruction(scene, opts, max_dim=W, devices=[])
+    assert len(pc1) == len(pc2)
+    np.testing.assert_array_equal(pc1.points, pc2.points)
