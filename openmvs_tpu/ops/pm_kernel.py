@@ -36,14 +36,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PATCH_ROWS = 24
+import os as _os2
+
+PATCH_ROWS = int(_os2.environ.get("OMVS_PATCH_ROWS", "24"))
 # source-patch width: 3 lane-blocks cover a full-lattice (8,128) tile's warp
 # span at scale <~1.3; parity-compacted sweeps (OMVS_COMPACT=1) double the
 # span per tile and need 5 blocks — set OMVS_PATCH_COLS=640 with them
 import os as _os
 
 PATCH_COLS = int(_os.environ.get("OMVS_PATCH_COLS", "384"))
-TILE_H = 8
+TILE_H = int(_os2.environ.get("OMVS_TILE_H", "8"))
 TILE_W = 128
 # texels processed per grid step: amortizes the fixed per-step cost (block
 # bookkeeping across 15 operands) over several gather sweeps
