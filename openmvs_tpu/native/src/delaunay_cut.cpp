@@ -268,6 +268,7 @@ int64_t omvs_delaunay_graph_cut(
         if (sx > t_cur + 1e-12 && sx < best_s) { best_s = sx; best_h = h2; }
       }
       if (best_h < 0 || best_s >= len) break;  // clear of the hull / at camera
+#pragma omp critical(extra_arcs_vec)
       extra_arcs.push_back({nt + best_h, nt + h, alpha});
       prev = h;
       h = best_h;
@@ -322,6 +323,7 @@ int64_t omvs_delaunay_graph_cut(
     }
   }
 
+#pragma omp parallel for schedule(dynamic, 256)
   for (int64_t v = 0; v < nv; ++v) {
     int64_t beg = view_indptr[v], end = view_indptr[v + 1];
     if (beg >= end) continue;
@@ -346,6 +348,7 @@ int64_t omvs_delaunay_graph_cut(
         // outside wedges toward the camera, then tie the last wedge to it
         int64_t h0 = hull_id[4 * fexit_t + fexit_j] - nt;
         int64_t hl = outside_walk(h0, p, u, len, 0.0, alpha);
+#pragma omp critical(corridor_map)
         corridor[cam * (int64_t)(nt + n_hull) + (nt + hl)] += alpha;
       }
       if (t >= 0) {
@@ -373,7 +376,10 @@ int64_t omvs_delaunay_graph_cut(
           if (best_j < 0 || best_s >= 1.0) {
             // only a genuine containment means the camera is inside tet t;
             // otherwise the walk got numerically stuck — drop the ray
-            if (m.contains(t, c, 1e-9 * len)) s_cap[t] = (float)kinf;
+            if (m.contains(t, c, 1e-9 * len)) {
+#pragma omp critical(scap)
+              s_cap[t] = (float)kinf;
+            }
             reached = true;
             break;
           }
@@ -383,16 +389,21 @@ int64_t omvs_delaunay_graph_cut(
           if (nb < 0) {
             // exits the hull toward the camera: weight on outside->tet
             // direction, then continue along the outside wedges to the camera
+#pragma omp atomic
             g[4 * t + best_j] += w;
             int64_t h0 = hull_id[4 * t + best_j] - nt;
             int64_t hl = outside_walk(h0, p, u * len, 1.0, best_s, alpha);
+#pragma omp critical(corridor_map)
             corridor[cam * (int64_t)(nt + n_hull) + (nt + hl)] += alpha;
             reached = true;
             break;
           }
           // reference direction camera->point: capacity nb -> t
           int j_nb = m.facet_index_of_neighbor(nb, t);
-          if (j_nb >= 0) f[4 * nb + j_nb] += w;
+          if (j_nb >= 0) {
+#pragma omp atomic
+            f[4 * nb + j_nb] += w;
+          }
           prev = t;
           t = nb;
           t_cur = best_s;
@@ -408,7 +419,10 @@ int64_t omvs_delaunay_graph_cut(
       int64_t exit_t = -1; int exit_j = -1;
       int64_t tb = locate(m, vert_tet[v], q1, &exit_t, &exit_j, 4096);
       if (tb < 0) {
-        if (exit_t >= 0) t_cap[hull_id[4 * exit_t + exit_j]] += alpha;
+        if (exit_t >= 0) {
+#pragma omp atomic
+          t_cap[hull_id[4 * exit_t + exit_j]] += alpha;
+        }
         continue;
       }
       {
@@ -433,6 +447,7 @@ int64_t omvs_delaunay_graph_cut(
             }
           }
           if (best_j < 0 || best_s >= 1.0) {
+#pragma omp atomic
             t_cap[t2] += alpha;  // endpoint cell gets the t-edge
             ended = true;
             break;
@@ -441,8 +456,10 @@ int64_t omvs_delaunay_graph_cut(
           double dist = best_s * lenb;
           float w = alpha * (float)(1.0 - std::exp(-dist * dist * inv2s2));
           // direction point-side -> behind-side: capacity t2 -> nb
+#pragma omp atomic
           f[4 * t2 + best_j] += w;
           if (nb < 0) {
+#pragma omp atomic
             t_cap[hull_id[4 * t2 + best_j]] += alpha;
             ended = true;
             break;
@@ -511,6 +528,7 @@ int64_t omvs_delaunay_graph_cut(
       }
       return t;
     };
+#pragma omp parallel for schedule(dynamic, 256)
     for (int64_t v = 0; v < nv; ++v) {
       int64_t beg = view_indptr[v], end = view_indptr[v + 1];
       if (beg >= end) continue;
@@ -538,8 +556,10 @@ int64_t omvs_delaunay_graph_cut(
         double gamma = 0.5 * (gmin + gmax);
         double epsAbs = beta - gamma;
         double epsRel = gamma / beta;
-        if (epsRel < k_rel && epsAbs > k_abs && gamma < k_outl)
+        if (epsRel < k_rel && epsAbs > k_abs && gamma < k_outl) {
+#pragma omp critical(tcap_mul)
           t_cap[endc] = (float)std::min((double)t_cap[endc] * epsAbs, 3.4e34);
+        }
       }
     }
   }
