@@ -14,6 +14,7 @@
 // (the outside of the convex hull is one connected region).
 
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <unordered_map>
 #include <cstdint>
@@ -564,6 +565,10 @@ int64_t omvs_delaunay_graph_cut(
     }
   }
 
+  const bool dbg_t = getenv("OMVS_CUT_DEBUG") != nullptr;
+  static auto now = [] { return std::chrono::steady_clock::now(); };
+  auto t_walk_end = now();
+
   // --- build graph & solve ---
   omvs::MaxFlow mf(n_nodes);
   constexpr double kMaxCap = 3.4e34;
@@ -621,7 +626,14 @@ int64_t omvs_delaunay_graph_cut(
     }
   }
 
+  auto t_build_end = now();
   mf.compute();
+  auto t_flow_end = now();
+  if (dbg_t) {
+    fprintf(stderr, "[cut] graph build %.1fs, maxflow %.1fs\n",
+            std::chrono::duration<double>(t_build_end - t_walk_end).count(),
+            std::chrono::duration<double>(t_flow_end - t_build_end).count());
+  }
   for (int64_t t = 0; t < nt + n_hull; ++t) inside_out[t] = mf.is_source_side(t) ? 0 : 1;
 
   if (getenv("OMVS_CUT_DEBUG")) {
