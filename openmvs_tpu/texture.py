@@ -263,15 +263,25 @@ def generate_texture(
         tile = img.color[p.y0 : p.y0 + p.h, p.x0 : p.x0 + p.w]
         atlas[ay : ay + p.h, ax : ax + p.w] = tile
 
-    # texcoords per face
+    # texcoords per face (vectorized over all faces at once)
     ftc = np.zeros((nf, 3, 2), np.float32)
+    face_dx = np.zeros(nf)
+    face_dy = np.zeros(nf)
+    face_view = np.full(nf, -1, np.int64)
     for p in patches:
-        pr = projs[p.view]
-        for fi in p.faces:
-            for k in range(3):
-                u, v = pr[mesh.faces[fi, k], 0], pr[mesh.faces[fi, k], 1]
-                ftc[fi, k, 0] = (u - p.x0 + p.atlas_x) / tw
-                ftc[fi, k, 1] = 1.0 - (v - p.y0 + p.atlas_y) / th
+        face_dx[p.faces] = p.atlas_x - p.x0
+        face_dy[p.faces] = p.atlas_y - p.y0
+        face_view[p.faces] = p.view
+    views_used = sorted({p.view for p in patches})
+    proj_stack = np.zeros((max(views_used) + 1, len(mesh.vertices), 2))
+    for vv in views_used:
+        proj_stack[vv] = projs[vv][:, :2]
+    mapped = face_view >= 0
+    fv_safe = np.where(mapped, face_view, views_used[0])
+    uv_f = proj_stack[fv_safe[:, None], mesh.faces]          # (nf, 3, 2)
+    ftc[..., 0] = np.where(mapped[:, None], (uv_f[..., 0] + face_dx[:, None]) / tw, 0)
+    ftc[..., 1] = np.where(mapped[:, None], 1.0 - (uv_f[..., 1] + face_dy[:, None]) / th, 0)
+    ftc = np.clip(ftc, 0.0, 1.0).astype(np.float32)
 
     if opts.global_seam_leveling:
         with timed(log, "global seam leveling"):
@@ -294,24 +304,25 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc):
     from scipy.sparse.linalg import cg, LinearOperator
 
     nf = len(mesh.faces)
-    # (patch, vertex) unknowns
+    # (patch, vertex) unknowns — sampled colors vectorized per patch
     vp_index = {}
-    samples = []           # sampled color of vertex in the patch's view
+    sample_chunks = []
+    count = 0
     for pi, p in enumerate(patches):
         pr = projs[p.view]
         img = scene.images[p.view].color
         H, W = img.shape[:2]
         vids = np.unique(mesh.faces[p.faces].ravel())
-        for v in vids:
-            u, w_ = pr[v, 0], pr[v, 1]
-            ui = int(np.clip(u, 0, W - 1))
-            wi = int(np.clip(w_, 0, H - 1))
-            vp_index[(pi, int(v))] = len(samples)
-            samples.append(img[wi, ui].astype(np.float64))
-    n = len(samples)
+        ui = np.clip(pr[vids, 0].astype(np.int64), 0, W - 1)
+        wi = np.clip(pr[vids, 1].astype(np.int64), 0, H - 1)
+        sample_chunks.append(img[wi, ui].astype(np.float64))
+        for j, v in enumerate(vids):
+            vp_index[(pi, int(v))] = count + j
+        count += len(vids)
+    n = count
     if n == 0:
         return
-    c = np.asarray(samples)                        # (n, 3)
+    c = np.concatenate(sample_chunks, axis=0)      # (n, 3)
 
     # seam pairs: same vertex in different patches
     by_vertex = {}
@@ -363,25 +374,22 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc):
         g[:, ch], _ = cg(M, rhs, rtol=1e-4, maxiter=200)
     g = np.clip(g, -60, 60)
 
-    # rasterize the offsets into the atlas (texture-space projection)
+    # rasterize the offsets into the atlas (texture-space projection);
+    # per-vertex atlas coords from the final uv (vectorized)
     tex_proj = np.zeros((len(mesh.vertices), 3))
     offs = np.zeros((len(mesh.vertices), 3))
     for pi, p in enumerate(patches):
-        # per-corner atlas coords for this patch's faces
-        sel = p.faces
-        # ftc holds final uv; convert to pixel coords
-        for fi in sel:
-            tri_uv = ftc[fi]
-            xs = tri_uv[:, 0] * tw
-            ys = (1.0 - tri_uv[:, 1]) * th
-            vids = mesh.faces[fi]
-            for k in range(3):
-                tex_proj[vids[k]] = (xs[k], ys[k], 1.0)
-                key = vp_index.get((pi, int(vids[k])))
-                if key is not None:
-                    offs[vids[k]] = g[key]
-        # rasterize this patch's faces into the atlas region
-        fid, _, bar = None, None, None
+        vids = np.unique(mesh.faces[p.faces].ravel())
+        # any face corner of this patch carries the vertex's patch uv
+        f0 = mesh.faces[p.faces]                  # (m, 3)
+        uvp = ftc[p.faces]                        # (m, 3, 2)
+        flat_v = f0.ravel()
+        flat_uv = uvp.reshape(-1, 2)
+        tex_proj[flat_v, 0] = flat_uv[:, 0] * tw
+        tex_proj[flat_v, 1] = (1.0 - flat_uv[:, 1]) * th
+        tex_proj[flat_v, 2] = 1.0
+        idxs = np.array([vp_index[(pi, int(v))] for v in vids], np.int64)
+        offs[vids] = g[idxs]
     # one global rasterization pass using texture-space coords: z=1 everywhere
     from openmvs_tpu import native
 
