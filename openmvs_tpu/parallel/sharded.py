@@ -39,7 +39,12 @@ ROW_TILED_T = {"w", "wtm"}  # (T, rows, W): rows on axis 1
 
 
 def make_mesh(n_devices: int, n_views_axis: int | None = None) -> Mesh:
-    devs = jax.devices()[:n_devices]
+    try:
+        devs = jax.devices("cpu")[:n_devices]   # the dryrun mesh is CPU-virtual
+    except RuntimeError:
+        devs = jax.devices()[:n_devices]
+    if len(devs) < n_devices:
+        devs = jax.devices()[:n_devices]
     if n_views_axis is None:
         n_views_axis = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
     n_tile = n_devices // n_views_axis
@@ -123,6 +128,11 @@ def _index_local_view(data_local: patchmatch.PMData, i: int) -> patchmatch.PMDat
 
 def dryrun(n_devices: int) -> None:
     """Jit + execute one fully sharded estimation step on an n-device mesh."""
+    import os
+
+    # the sharded step runs on the CPU-virtual mesh; the Pallas scoring
+    # kernel is TPU-only, so route scoring through the XLA path here
+    os.environ["OMVS_NO_PALLAS"] = "1"
     mesh = make_mesh(n_devices)
     n_views_axis, n_tile = mesh.devices.shape
 
