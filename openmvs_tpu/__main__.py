@@ -57,6 +57,10 @@ def main(argv=None):
     p.add_argument("scene")
     p.add_argument("-o", "--output", default=None)
     p.add_argument("--dmaps-folder", default=None)
+    p.add_argument("--tower-mode", type=int, default=0,
+                   help="cylindrical-scene prior: 0 off, 1 replace cloud, "
+                        "2 append, 3 select neighbors, 4 select+append, "
+                        "negative to force (DensifyPointCloud --towermode)")
     _add_dataclass_args(p, DenseOptions)
 
     p = sub.add_parser("mesh", help="graph-cut mesh reconstruction")
@@ -123,6 +127,10 @@ def main(argv=None):
 
         scene = Scene.load(args.scene)
         opts = _build_opts(DenseOptions, args)
+        if args.tower_mode != 0:
+            from openmvs_tpu.tower import init_tower_scene
+
+            init_tower_scene(scene, args.tower_mode, opts)
         pc = dense_reconstruction(scene, opts, save_dmaps_to=args.dmaps_folder)
         scene.pointcloud = pc
         out = args.output or args.scene.replace(".mvs", "_dense.mvs")
