@@ -35,6 +35,8 @@ def _add_dataclass_args(ap: argparse.ArgumentParser, cls) -> None:
             ap.add_argument(name, type=int, default=None)
         elif f.type in ("float", float):
             ap.add_argument(name, type=float, default=None)
+        elif f.type in ("str", str):
+            ap.add_argument(name, type=str, default=None)
 
 
 def _build_opts(cls, args) -> object:

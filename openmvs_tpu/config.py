@@ -203,7 +203,10 @@ class TextureOptions:
     global_seam_leveling: bool = True
     local_seam_leveling: bool = True
     texture_size_multiple: int = 0
-    rect_packing_heuristic: int = 3    # MaxRects best-short-side-fit
+    rect_packing_heuristic: int = 3    # MaxRects: 0 BSSF, 1 BLSF, 2 BAF,
+                                       # 3 bottom-left (ref default); <0 shelf
+    inference: str = "lbp"             # face-labeling MRF solver: lbp | trws
+    virtual_face_threshold: float = 0.0  # deg; >0 binds coplanar face groups
     empty_color: int = 0x00FF7F27
     sharpness_weight: float = 0.5
     max_texture_size: int = 8192

@@ -115,13 +115,16 @@ def remove_outlier_views(quality: np.ndarray, face_colors: List[np.ndarray],
 
 
 def label_faces_lbp(
-    quality: np.ndarray, adj: np.ndarray, smoothness: float, iters: int = 30
+    quality: np.ndarray, adj: np.ndarray, smoothness: float, iters: int = 30,
+    lam_edge: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Face -> view labels by loopy BP on a Potts MRF (Math/LBP.h role).
 
     Vectorized min-sum message passing: messages (nf, 3, L); the Potts
     smoothness makes each message update a min over (same-label, switch).
     Runs in numpy (small) — the structure is TPU-ready (regular iterations).
+    lam_edge (nf, 3) optionally scales the Potts cost per directed edge
+    (used for "virtual faces": near-rigid coplanar groups).
     """
     nf, V = quality.shape
     qmax = quality.max(axis=1, keepdims=True)
@@ -129,6 +132,8 @@ def label_faces_lbp(
     data = np.where(quality > 0, 1.0 - quality / np.maximum(qmax, 1e-12), 4.0).astype(np.float32)
     L = V
     lam = np.float32(smoothness)
+    lam_k = (lam_edge.astype(np.float32) if lam_edge is not None
+             else np.full((nf, 3), lam, np.float32))
     msg = np.zeros((nf, 3, L), np.float32)
     adj_safe = np.where(adj >= 0, adj, 0)
     # reverse slot: which slot of neighbor points back to me
@@ -147,7 +152,7 @@ def label_faces_lbp(
             # message from face -> adj[:, k]
             h = b - msg[:, k, :]                          # exclude reverse msg
             hmin = h.min(axis=1, keepdims=True)
-            out = np.minimum(h, hmin + lam)
+            out = np.minimum(h, hmin + lam_k[:, k : k + 1])
             out -= out.min(axis=1, keepdims=True)         # normalize
             # deliver
             tgt = adj_safe[:, k]
@@ -161,6 +166,71 @@ def label_faces_lbp(
     return labels
 
 
+def label_faces_trws(
+    quality: np.ndarray, adj: np.ndarray, smoothness: float, iters: int = 60,
+    lam_edge: Optional[np.ndarray] = None, rho: float = 0.55,
+) -> np.ndarray:
+    """Face -> view labels by tree-reweighted message passing (the
+    reference's TRWS inference alternative, libs/Math/TRWS/MRFEnergy.h).
+
+    Same Potts model as label_faces_lbp; messages are computed from the
+    rho-weighted node reparameterization (edge appearance probability rho on
+    the 3-regular face-dual graph), which damps the over-counting loopy BP
+    suffers on dense loops.  Parallel (Jacobi) schedule, vectorized."""
+    nf, V = quality.shape
+    qmax = quality.max(axis=1, keepdims=True)
+    data = np.where(quality > 0, 1.0 - quality / np.maximum(qmax, 1e-12), 4.0).astype(np.float32)
+    lam_k = (lam_edge.astype(np.float32) if lam_edge is not None
+             else np.full((nf, 3), np.float32(smoothness), np.float32))
+    msg = np.zeros((nf, 3, V), np.float32)
+    adj_safe = np.where(adj >= 0, adj, 0)
+    rev = np.zeros((nf, 3), np.int64)
+    for k in range(3):
+        nb = adj[:, k]
+        for kk in range(3):
+            mask = (nb >= 0) & (adj[adj_safe[:, k], kk] == np.arange(nf))
+            rev[mask, k] = kk
+    valid_edge = adj >= 0
+    rho = np.float32(rho)
+    for _ in range(iters):
+        theta = data + msg.sum(axis=1)                  # (nf, V) reparam
+        new_msg = np.zeros_like(msg)
+        for k in range(3):
+            a = rho * theta - msg[:, k, :]              # exclude reverse msg
+            amin = a.min(axis=1, keepdims=True)
+            out = np.minimum(a, amin + lam_k[:, k : k + 1])
+            out -= out.min(axis=1, keepdims=True)
+            tgt = adj_safe[valid_edge[:, k], k]
+            new_msg[tgt, rev[valid_edge[:, k], k], :] = out[valid_edge[:, k]]
+        msg = 0.5 * (msg + new_msg)                     # damped for stability
+    belief = data + msg.sum(axis=1)
+    labels = belief.argmin(axis=1)
+    labels[quality.max(axis=1) <= 0] = -1
+    return labels
+
+
+def virtual_face_lambda(
+    mesh: Mesh, adj: np.ndarray, smoothness: float, threshold_deg: float,
+    rigidity: float = 30.0,
+) -> np.ndarray:
+    """Per-edge Potts costs implementing "virtual faces"
+    (SceneTexture.cpp fVirtualFaceThreshold): adjacent near-coplanar faces
+    are bound by a much stronger smoothness cost, so planar regions act as a
+    single labeling unit without changing the graph structure."""
+    v = np.asarray(mesh.vertices)
+    f = np.asarray(mesh.faces)
+    n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    cos_thr = np.cos(np.deg2rad(threshold_deg))
+    lam = np.full(adj.shape, np.float32(smoothness), np.float32)
+    for k in range(3):
+        nb = adj[:, k]
+        ok = nb >= 0
+        cosang = np.einsum("ij,ij->i", n, n[np.where(ok, nb, 0)])
+        lam[ok & (cosang > cos_thr), k] = smoothness * rigidity
+    return lam
+
+
 @dataclass
 class _Patch:
     view: int
@@ -171,6 +241,91 @@ class _Patch:
     h: int
     atlas_x: int = 0
     atlas_y: int = 0
+
+
+def _pack_maxrects(
+    sizes: List[Tuple[int, int]], max_w: int, heuristic: int = 3
+) -> Tuple[List[Tuple[int, int]], int, int]:
+    """MaxRects packing (the reference's default packer, RectsBinPack.h:57-420).
+
+    Maintains the set of maximal free rectangles; each patch is placed into
+    the free rect minimizing the heuristic score, every overlapping free rect
+    is split into its up-to-4 remainders, and contained rects are pruned.
+    heuristic (reference enum order): 0 best-short-side-fit,
+    1 best-long-side-fit, 2 best-area-fit, 3 bottom-left (reference default).
+    The free-rect scans are numpy-vectorized (thousands of patches)."""
+    n = len(sizes)
+    if n == 0:
+        return [], 0, 0
+    big = max_w * 8 + sum(h for _, h in sizes)
+    fx = np.array([0.0]); fy = np.array([0.0])
+    fw = np.array([float(max_w)]); fh = np.array([float(big)])
+    pos = [(0, 0)] * n
+    order = sorted(range(n), key=lambda i: -(sizes[i][0] * sizes[i][1]))
+    for i in order:
+        w, h = float(sizes[i][0]), float(sizes[i][1])
+        fit = (fw >= w) & (fh >= h)
+        if not fit.any():  # cannot happen: the root rect is unbounded in y
+            continue
+        dw, dh = fw - w, fh - h
+        if heuristic == 1:
+            score = np.maximum(dw, dh)
+        elif heuristic == 2:
+            score = fw * fh - w * h
+        elif heuristic == 3:  # bottom-left rule: lowest top edge, then leftmost
+            score = (fy + h) * (max_w + 1.0) + fx
+        else:
+            score = np.minimum(dw, dh)
+        # break score ties toward the atlas top-left to keep the height low
+        score = np.where(fit, score * (max_w + 1.0) * big + fy * (max_w + 1.0) + fx,
+                         np.inf)
+        j = int(np.argmin(score))
+        x, y = float(fx[j]), float(fy[j])
+        pos[i] = (int(x), int(y))
+        # split every free rect overlapping the placed rect
+        ox = np.maximum(fx, x); oy = np.maximum(fy, y)
+        ox2 = np.minimum(fx + fw, x + w); oy2 = np.minimum(fy + fh, y + h)
+        hit = (ox < ox2) & (oy < oy2)
+        keep = ~hit
+        ox_, oy_, ow_, oh_ = fx[keep], fy[keep], fw[keep], fh[keep]
+        hx, hy, hw, hh = fx[hit], fy[hit], fw[hit], fh[hit]
+        # left, right, bottom, top remainders of each hit rect
+        nx, ny, nw, nh = [], [], [], []
+        for cx, cy, cw, ch, ok in (
+            (hx, hy, x - hx, hh, hx < x),
+            (np.full_like(hx, x + w), hy, hx + hw - (x + w), hh, hx + hw > x + w),
+            (hx, hy, hw, y - hy, hy < y),
+            (hx, np.full_like(hy, y + h), hw, hy + hh - (y + h), hy + hh > y + h),
+        ):
+            nx.append(cx[ok]); ny.append(cy[ok]); nw.append(cw[ok]); nh.append(ch[ok])
+        nx = np.concatenate(nx); ny = np.concatenate(ny)
+        nw = np.concatenate(nw); nh = np.concatenate(nh)
+        # prune: only NEW rects can be contained / contain others (untouched
+        # free rects were already mutually maximal) -> O(new * F), not O(F^2)
+        if len(nx):
+            def contained(ax, ay, aw, ah, bx, by, bw, bh):
+                return (
+                    (ax[:, None] >= bx[None]) & (ay[:, None] >= by[None])
+                    & (ax[:, None] + aw[:, None] <= bx[None] + bw[None])
+                    & (ay[:, None] + ah[:, None] <= by[None] + bh[None])
+                )
+            # new-in-old or new-in-new (ties broken by index)
+            c_no = contained(nx, ny, nw, nh, ox_, oy_, ow_, oh_).any(axis=1)
+            c_nn = contained(nx, ny, nw, nh, nx, ny, nw, nh)
+            np.fill_diagonal(c_nn, False)
+            dup = c_nn & c_nn.T
+            c_nn &= ~(dup & (np.arange(len(nx))[:, None] < np.arange(len(nx))[None]))
+            keep_n = ~(c_no | c_nn.any(axis=1))
+            nx, ny, nw, nh = nx[keep_n], ny[keep_n], nw[keep_n], nh[keep_n]
+            # old-in-new
+            if len(nx):
+                c_on = contained(ox_, oy_, ow_, oh_, nx, ny, nw, nh).any(axis=1)
+                ox_, oy_, ow_, oh_ = ox_[~c_on], oy_[~c_on], ow_[~c_on], oh_[~c_on]
+        fx = np.concatenate([ox_, nx]); fy = np.concatenate([oy_, ny])
+        fw = np.concatenate([ow_, nw]); fh = np.concatenate([oh_, nh])
+    used_w = max(p[0] + s[0] for p, s in zip(pos, sizes))
+    used_h = max(p[1] + s[1] for p, s in zip(pos, sizes))
+    return pos, used_w, used_h
 
 
 def _pack_skyline(sizes: List[Tuple[int, int]], max_w: int) -> Tuple[List[Tuple[int, int]], int, int]:
@@ -247,7 +402,19 @@ def generate_texture(
 
     # pack
     max_w = opts.max_texture_size
-    pos, used_w, used_h = _pack_skyline([(p.w, p.h) for p in patches], max_w)
+    sizes = [(p.w, p.h) for p in patches]
+    # target a square-ish power-of-2 atlas: bound the packing width by the
+    # total patch area estimate instead of always spanning max_texture_size
+    area = sum(w * h for w, h in sizes)
+    wfit = max(max((w for w, _ in sizes), default=1),
+               int(np.ceil(np.sqrt(area) * 1.1)))
+    max_w = min(max_w, 1 << int(np.ceil(np.log2(max(wfit, 1)))))
+    if opts.rect_packing_heuristic >= 0:
+        pos, used_w, used_h = _pack_maxrects(
+            sizes, max_w, opts.rect_packing_heuristic
+        )
+    else:  # negative heuristic selects the cheap shelf packer
+        pos, used_w, used_h = _pack_skyline(sizes, max_w)
     tw = 1 << int(np.ceil(np.log2(max(used_w, 1))))
     th = 1 << int(np.ceil(np.log2(max(used_h, 1))))
     tw = min(tw, opts.max_texture_size)
@@ -286,6 +453,9 @@ def generate_texture(
     if opts.global_seam_leveling:
         with timed(log, "global seam leveling"):
             _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc)
+    if opts.local_seam_leveling:
+        with timed(log, "local seam leveling"):
+            _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc)
 
     out = Mesh(vertices=mesh.vertices, faces=mesh.faces,
                face_tex_coords=ftc, texture=atlas)
@@ -404,6 +574,89 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc):
     atlas[:] = np.clip(out, 0, 255).astype(np.uint8)
 
 
+def _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc,
+                         iters: int = 16, strength: float = 1.0):
+    """Blend residual color steps across patch seams (LocalSeamLeveling,
+    SceneTexture.cpp:1642-1788): seam texels are pulled to the mean of the
+    two patches' colors along the shared mesh edge, and the correction is
+    diffused into each patch interior by normalized blurring confined to the
+    patch rect (so corrections fade with distance and never cross unrelated
+    patches).  Runs after global leveling, on the leveled atlas."""
+    import cv2
+
+    nf = len(mesh.faces)
+    fpatch = np.full(nf, -1, np.int64)
+    for pi, p in enumerate(patches):
+        fpatch[p.faces] = pi
+    f = np.asarray(mesh.faces)
+    idx = np.arange(nf)
+    fi_all, fj_all = [], []
+    for k in range(3):
+        nb = adj[:, k]
+        nbs = np.maximum(nb, 0)
+        sel = (nb >= 0) & (nb > idx) & (fpatch >= 0) & (fpatch[nbs] >= 0) \
+            & (fpatch != fpatch[nbs])
+        fi_all.append(idx[sel])
+        fj_all.append(nb[sel])
+    fi = np.concatenate(fi_all)
+    fj = np.concatenate(fj_all)
+    if len(fi) == 0:
+        return
+    va, vb = f[fi], f[fj]
+    eq = va[:, :, None] == vb[:, None, :]         # (m, 3, 3)
+    sa = eq.any(axis=2)
+    ok = (sa.sum(axis=1) == 2) & (eq.any(axis=1).sum(axis=1) == 2)
+    fi, fj, sa, eq = fi[ok], fj[ok], sa[ok], eq[ok]
+    m = len(fi)
+    if m == 0:
+        return
+    ia = np.argsort(~sa, axis=1, kind="stable")[:, :2]   # shared corners in a
+    e1 = eq[np.arange(m), ia[:, 0]]
+    e2 = eq[np.arange(m), ia[:, 1]]
+    ib = np.stack([e1.argmax(axis=1), e2.argmax(axis=1)], axis=1)
+    uva = ftc[fi[:, None], ia]                    # (m, 2, 2)
+    uvb = ftc[fj[:, None], ib]
+    S = 8
+    t = np.linspace(0.0, 1.0, S)[None, :, None]
+    pa = (1 - t) * uva[:, 0:1] + t * uva[:, 1:2]  # (m, S, 2)
+    pb = (1 - t) * uvb[:, 0:1] + t * uvb[:, 1:2]
+
+    atl = atlas.astype(np.float32)
+    corr = np.zeros((th, tw, 3), np.float32)
+    wgt = np.zeros((th, tw), np.float32)
+
+    def px(uv):
+        x = np.clip((uv[..., 0] * tw).astype(np.int64), 0, tw - 1).ravel()
+        y = np.clip(((1.0 - uv[..., 1]) * th).astype(np.int64), 0, th - 1).ravel()
+        return y, x
+
+    ya, xa = px(pa)
+    yb, xb = px(pb)
+    target = 0.5 * (atl[ya, xa] + atl[yb, xb])
+    np.add.at(corr, (ya, xa), target - atl[ya, xa])
+    np.add.at(wgt, (ya, xa), 1.0)
+    np.add.at(corr, (yb, xb), target - atl[yb, xb])
+    np.add.at(wgt, (yb, xb), 1.0)
+
+    for p in patches:
+        cy, cx = p.atlas_y, p.atlas_x
+        ww = wgt[cy : cy + p.h, cx : cx + p.w]
+        if ww.size == 0 or ww.max() <= 0:
+            continue
+        cc = corr[cy : cy + p.h, cx : cx + p.w].copy()
+        ww = ww.copy()
+        if min(p.h, p.w) < 3:
+            continue
+        for _ in range(iters):
+            cc = cv2.blur(cc, (5, 5))
+            ww = cv2.blur(ww, (5, 5))
+        field = cc / np.maximum(ww, 1e-6)[..., None]
+        field[ww < 1e-4] = 0
+        crop = atlas[cy : cy + p.h, cx : cx + p.w].astype(np.float32) \
+            + strength * field
+        atlas[cy : cy + p.h, cx : cx + p.w] = np.clip(crop, 0, 255).astype(np.uint8)
+
+
 def texture_mesh(
     scene: Scene, mesh: Optional[Mesh] = None, opts: TextureOptions = TextureOptions()
 ) -> Mesh:
@@ -423,8 +676,14 @@ def texture_mesh(
     if opts.outlier_threshold > 0:
         quality = remove_outlier_views(quality, face_colors, opts.outlier_threshold)
     adj = _face_adjacency(mesh.faces)
-    with timed(log, "LBP face labeling"):
-        labels = label_faces_lbp(quality, adj, opts.ratio_data_smoothness * 10)
+    lam = opts.ratio_data_smoothness * 10
+    lam_edge = (
+        virtual_face_lambda(mesh, adj, lam, opts.virtual_face_threshold)
+        if opts.virtual_face_threshold > 0 else None
+    )
+    labeler = label_faces_trws if opts.inference == "trws" else label_faces_lbp
+    with timed(log, f"{opts.inference} face labeling"):
+        labels = labeler(quality, adj, lam, lam_edge=lam_edge)
     n_unseen = int((labels < 0).sum())
     log.info("labels: %d faces, %d unseen", len(labels), n_unseen)
     with timed(log, "generate texture"):

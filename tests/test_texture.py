@@ -101,3 +101,89 @@ def test_texture_colors_match_source(plane_scene):
     # at least half the sampled faces should match closely (faces labeled to
     # view 1 may differ slightly by resampling)
     assert np.median(errs) < 30.0
+
+
+def test_maxrects_packing_valid():
+    from openmvs_tpu.texture import _pack_maxrects
+
+    rng = np.random.default_rng(3)
+    sizes = [(int(w), int(h)) for w, h in rng.integers(4, 90, (300, 2))]
+    pos, used_w, used_h = _pack_maxrects(sizes, max_w=512)
+    assert used_w <= 512
+    # no pairwise overlaps
+    boxes = np.array([(x, y, x + w, y + h) for (x, y), (w, h) in zip(pos, sizes)])
+    x1, y1, x2, y2 = boxes.T
+    ox = np.maximum(x1[:, None], x1[None]) < np.minimum(x2[:, None], x2[None])
+    oy = np.maximum(y1[:, None], y1[None]) < np.minimum(y2[:, None], y2[None])
+    over = ox & oy
+    np.fill_diagonal(over, False)
+    assert not over.any()
+    # MaxRects should beat (or match) the shelf packer on area
+    from openmvs_tpu.texture import _pack_skyline
+
+    _, sw, sh = _pack_skyline(sizes, 512)
+    assert used_h <= sh
+
+
+def test_trws_labeling(plane_scene):
+    from openmvs_tpu.texture import texture_mesh
+
+    scene, mesh = plane_scene
+    tex = texture_mesh(scene, mesh, TextureOptions(inference="trws"))
+    assert tex.texture is not None and tex.face_tex_coords.shape[0] == len(mesh.faces)
+
+
+def test_virtual_faces_coherence(plane_scene):
+    """On a perfectly planar mesh, a virtual-face threshold must bind all
+    faces to a single view label."""
+    from openmvs_tpu.texture import (
+        _face_adjacency, compute_face_qualities, label_faces_lbp,
+        virtual_face_lambda,
+    )
+
+    scene, mesh = plane_scene
+    quality, _ = compute_face_qualities(scene, mesh, 320)
+    adj = _face_adjacency(mesh.faces)
+    lam_edge = virtual_face_lambda(mesh, adj, 1.0, threshold_deg=5.0)
+    assert np.all(lam_edge[adj >= 0] > 1.0)  # coplanar edges strengthened
+    labels = label_faces_lbp(quality, adj, 1.0, lam_edge=lam_edge)
+    seen = labels[labels >= 0]
+    assert len(np.unique(seen)) == 1
+
+
+def test_local_seam_leveling_smooths(plane_scene):
+    """A brightness step between the two views must shrink after leveling."""
+    from openmvs_tpu.texture import texture_mesh
+
+    scene, mesh = plane_scene
+    bright = [im.color.copy() for im in scene.images]
+    try:
+        scene.images[1].color = np.clip(
+            scene.images[1].color.astype(np.int32) + 40, 0, 255
+        ).astype(np.uint8)
+        opts_off = TextureOptions(global_seam_leveling=False,
+                                  local_seam_leveling=False,
+                                  ratio_data_smoothness=0.001)
+        opts_on = TextureOptions(global_seam_leveling=False,
+                                 local_seam_leveling=True,
+                                 ratio_data_smoothness=0.001)
+        t0 = texture_mesh(scene, mesh, opts_off)
+        t1 = texture_mesh(scene, mesh, opts_on)
+
+        def seam_step(tex):
+            # sample face centers of each label side via texcoords
+            import numpy as np
+            tw = tex.texture.shape[1]; th = tex.texture.shape[0]
+            uv = tex.face_tex_coords.mean(axis=1)
+            x = np.clip((uv[:, 0] * tw).astype(int), 0, tw - 1)
+            y = np.clip(((1 - uv[:, 1]) * th).astype(int), 0, th - 1)
+            c = tex.texture[y, x].astype(float).mean(axis=1)
+            return c
+
+        # brightness histogram spread shrinks when leveling is on
+        s0 = seam_step(t0).std()
+        s1 = seam_step(t1).std()
+        assert s1 <= s0 + 1e-6
+    finally:
+        for im, c in zip(scene.images, bright):
+            im.color = c
