@@ -13,6 +13,7 @@
 // merged into a single "outside" node, which is topologically equivalent
 // (the outside of the convex hull is one connected region).
 
+#include <string>
 #include <atomic>
 #include <chrono>
 #include <cmath>
@@ -570,14 +571,28 @@ int64_t omvs_delaunay_graph_cut(
   auto t_walk_end = now();
 
   // --- build graph & solve ---
-  omvs::MaxFlow mf(n_nodes);
+  const char* mfenv = getenv("OMVS_MAXFLOW");
+  const bool use_dinic = mfenv && std::string(mfenv) == "dinic";
+  omvs::MaxFlow mf_d(use_dinic ? n_nodes : 0);
+  omvs::IBFS mf_i(use_dinic ? 0 : n_nodes);
+  // thin dispatch: both solvers share the identical API
+  auto mf_add_terminal = [&](int64_t v, double cs, double ct) {
+    if (use_dinic) mf_d.add_terminal(v, cs, ct); else mf_i.add_terminal(v, cs, ct);
+  };
+  auto mf_add_edge = [&](int64_t a, int64_t b, double cab, double cba) {
+    if (use_dinic) mf_d.add_edge(a, b, cab, cba); else mf_i.add_edge(a, b, cab, cba);
+  };
+  auto mf_compute = [&]() { return use_dinic ? mf_d.compute() : mf_i.compute(); };
+  auto mf_source_side = [&](int64_t v) {
+    return use_dinic ? mf_d.is_source_side(v) : mf_i.is_source_side(v);
+  };
   constexpr double kMaxCap = 3.4e34;
   for (int64_t t = 0; t < n_nodes; ++t)
-    mf.add_terminal(t, s_cap[t], std::min((double)t_cap[t], kMaxCap));
+    mf_add_terminal(t, s_cap[t], std::min((double)t_cap[t], kMaxCap));
   for (const auto& kv : corridor) {
     int64_t cam = kv.first / (nt + n_hull);
     int64_t hnode = kv.first % (nt + n_hull);
-    mf.add_edge(nt + n_hull + cam, hnode, kv.second, 0.0);
+    mf_add_edge(nt + n_hull + cam, hnode, kv.second, 0.0);
   }
   {
     // merge duplicate wedge arcs before insertion
@@ -587,7 +602,7 @@ int64_t omvs_delaunay_graph_cut(
     for (const auto& kv : merged) {
       int64_t from = kv.first / (nt + n_hull);
       int64_t to = kv.first % (nt + n_hull);
-      mf.add_edge(from, to, kv.second, 0.0);
+      mf_add_edge(from, to, kv.second, 0.0);
     }
   }
 
@@ -617,24 +632,24 @@ int64_t omvs_delaunay_graph_cut(
       if (nb < 0) {
         // infinite side cos = 1 -> q = (1 - min(cos_t, 1)) = (1 - cos_t)
         double q = (1.0 - plane_sphere_cos(t, j)) * kqual;
-        mf.add_edge(t, hull_id[4 * t + j], f[4 * t + j] + q, g[4 * t + j] + q);
+        mf_add_edge(t, hull_id[4 * t + j], f[4 * t + j] + q, g[4 * t + j] + q);
       } else if (nb > t) {
         int j_nb = m.facet_index_of_neighbor(nb, t);
         double q = (1.0 - std::min(plane_sphere_cos(t, j), plane_sphere_cos(nb, j_nb))) * kqual;
-        mf.add_edge(t, nb, f[4 * t + j] + q, f[4 * nb + j_nb] + q);
+        mf_add_edge(t, nb, f[4 * t + j] + q, f[4 * nb + j_nb] + q);
       }
     }
   }
 
   auto t_build_end = now();
-  mf.compute();
+  mf_compute();
   auto t_flow_end = now();
   if (dbg_t) {
     fprintf(stderr, "[cut] graph build %.1fs, maxflow %.1fs\n",
             std::chrono::duration<double>(t_build_end - t_walk_end).count(),
             std::chrono::duration<double>(t_flow_end - t_build_end).count());
   }
-  for (int64_t t = 0; t < nt + n_hull; ++t) inside_out[t] = mf.is_source_side(t) ? 0 : 1;
+  for (int64_t t = 0; t < nt + n_hull; ++t) inside_out[t] = mf_source_side(t) ? 0 : 1;
 
   if (getenv("OMVS_CUT_DEBUG")) {
     double sum_s = 0, sum_t = 0, sum_f = 0, sum_g = 0, sum_q = 0;
