@@ -20,6 +20,9 @@ from dataclasses import dataclass
 class DenseOptions:
     """Depth-map estimation + fusion knobs (reference OPTDENSE workspace)."""
 
+    # -- fusion --
+    fuse_mode: str = "fuse"          # "fuse" (cross-view agreement) | "merge"
+
     # -- resolution policy (DepthMap.cpp:69-72) --
     resolution_level: int = 1        # scale down images this many times (halvings)
     max_resolution: int = 3200       # do not scale images above this resolution

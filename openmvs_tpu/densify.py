@@ -533,7 +533,9 @@ def dense_reconstruction(
                     neighbor_ids=r.neighbor_ids,
                 )
             )
-        pc = fusion.fuse_depth_maps(
+        fuse_fn = (fusion.merge_depth_maps if opts.fuse_mode == "merge"
+                   else fusion.fuse_depth_maps)
+        pc = fuse_fn(
             vdd, opts, estimate_color=opts.estimate_colors > 0, estimate_normal=opts.estimate_normals > 0
         )
     log.info("dense point cloud: %d points", len(pc))

@@ -1,0 +1,58 @@
+"""SGM disparity-map (.dimap) codec.
+
+Bit-compatible with the reference's ExportDisparityDataRaw /
+ImportDisparityDataRaw (libs/MVS/SemiGlobalMatcher.cpp:2094-2160): raw
+little-endian stream of image size (2x int32), rectification homography H
+(9 doubles, row-major), re-projection matrix Q (16 doubles), subpixel steps
+(int16), disparity-map resolution (2x int32), int16 disparities scaled by
+subpixel steps, and an optional uint16 accumulated-cost map.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class DisparityData:
+    disparity: np.ndarray                 # (h, w) float32, true disparities
+    image_width: int
+    image_height: int
+    H: np.ndarray = field(default_factory=lambda: np.eye(3))   # rectification
+    Q: np.ndarray = field(default_factory=lambda: np.eye(4))   # reprojection
+    subpixel_steps: int = 4
+    cost: Optional[np.ndarray] = None     # (h, w) uint16 accumulated cost
+
+
+def save(dd: DisparityData, path: str):
+    h, w = dd.disparity.shape
+    with open(path, "wb") as f:
+        np.array([dd.image_width, dd.image_height], "<i4").tofile(f)
+        np.asarray(dd.H, "<f8").reshape(9).tofile(f)
+        np.asarray(dd.Q, "<f8").reshape(16).tofile(f)
+        np.array([dd.subpixel_steps], "<i2").tofile(f)
+        np.array([w, h], "<i4").tofile(f)
+        q = np.round(dd.disparity * dd.subpixel_steps)
+        np.clip(q, -32768, 32767).astype("<i2").tofile(f)
+        if dd.cost is not None:
+            np.asarray(dd.cost, "<u2").tofile(f)
+
+
+def load(path: str) -> DisparityData:
+    with open(path, "rb") as f:
+        iw, ih = np.fromfile(f, "<i4", 2)
+        H = np.fromfile(f, "<f8", 9).reshape(3, 3)
+        Q = np.fromfile(f, "<f8", 16).reshape(4, 4)
+        steps = int(np.fromfile(f, "<i2", 1)[0])
+        w, h = np.fromfile(f, "<i4", 2)
+        disp = np.fromfile(f, "<i2", int(w) * int(h)).reshape(h, w)
+        rest = np.fromfile(f, "<u2")
+        cost = rest[: h * w].reshape(h, w) if rest.size >= h * w else None
+    return DisparityData(
+        disparity=disp.astype(np.float32) / max(steps, 1),
+        image_width=int(iw), image_height=int(ih),
+        H=H, Q=Q, subpixel_steps=steps, cost=cost,
+    )

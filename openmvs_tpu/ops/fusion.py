@@ -220,3 +220,41 @@ def fuse_depth_maps(
     pc.views = [views_flat[offsets[i] : offsets[i + 1]] for i in range(len(counts))]
     pc.weights = [weights_flat[offsets[i] : offsets[i + 1]] for i in range(len(counts))]
     return pc
+
+
+def merge_depth_maps(
+    views: List[ViewDepthData],
+    opts: DenseOptions,
+    estimate_color: bool = True,
+    estimate_normal: bool = True,
+) -> PointCloud:
+    """Simple depth-map concatenation without cross-view agreement
+    (MergeDepthMaps, SceneDensify.cpp:1305-1370): every valid pixel becomes a
+    point seen by its own view only.  Much faster than fusion; used when the
+    caller dedups/filters downstream (e.g. before Delaunay meshing)."""
+    pts, cols, nrms, view_ids, weights = [], [], [], [], []
+    for v in views:
+        ys, xs = np.nonzero(v.depth > 0)
+        if len(ys) == 0:
+            continue
+        d = v.depth[ys, xs].astype(np.float64)
+        P = v.camera.unproject(np.stack([xs, ys], axis=1).astype(np.float64), d)
+        pts.append(P.astype(np.float32))
+        if estimate_color and v.color is not None:
+            cols.append(v.color[ys, xs])
+        if estimate_normal and v.normal is not None:
+            n_cam = v.normal[ys, xs]
+            nrms.append((n_cam @ v.camera.R).astype(np.float32))
+        c = v.conf[ys, xs] if v.conf is not None else np.ones(len(ys), np.float32)
+        w = 1.0 / (np.maximum(1.0 - c, 0.03) * d * d)
+        view_ids.extend([np.array([v.image_id], np.uint32)] * len(ys))
+        weights.extend(np.asarray(w, np.float32).reshape(-1, 1))
+    if not pts:
+        return PointCloud()
+    return PointCloud(
+        points=np.concatenate(pts),
+        views=view_ids,
+        weights=[np.asarray(w, np.float32) for w in weights],
+        normals=np.concatenate(nrms) if nrms else np.zeros((0, 3), np.float32),
+        colors=np.concatenate(cols) if cols else np.zeros((0, 3), np.uint8),
+    )

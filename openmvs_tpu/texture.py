@@ -456,6 +456,13 @@ def generate_texture(
     if opts.local_seam_leveling:
         with timed(log, "local seam leveling"):
             _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc)
+    if opts.sharpness_weight > 0:
+        # unsharp-mask sharpening (TextureMesh nSharpen, SceneTexture.cpp:2270)
+        import cv2
+
+        a = atlas.astype(np.float32)
+        blur = cv2.GaussianBlur(a, (0, 0), 1.5)
+        atlas[:] = np.clip(a + opts.sharpness_weight * (a - blur), 0, 255).astype(np.uint8)
 
     out = Mesh(vertices=mesh.vertices, faces=mesh.faces,
                face_tex_coords=ftc, texture=atlas)

@@ -184,3 +184,44 @@ def select_views_for_scene(scene: Scene, opts: DenseOptions) -> None:
             neighbors = [v for v in neighbors if v.score >= th] or neighbors[:1]
         neighbors = filter_neighbor_views(neighbors, opts, max_views=opts.max_views)
         scene.images[i].meta.view_scores = neighbors
+    if opts.num_views == 1:
+        # single-target mode: globally assign one stereo partner per image
+        select_pairs_global(scene, opts)
+
+
+def select_pairs_global(scene: Scene, opts: DenseOptions) -> dict:
+    """Global single-target stereo pairing (the reference's nNumViews==1 MRF
+    solved with TRW-S/LBP, SceneDensify.cpp:150-271): each image is assigned
+    exactly one partner, maximizing the total symmetric pair score, with
+    mutual assignments preferred.  Solved exactly as a max-weight matching
+    via the Hungarian algorithm on the symmetrized score matrix."""
+    from scipy.optimize import linear_sum_assignment
+
+    n = scene.n_views
+    ids = [im.meta.id for im in scene.images]
+    idx = {v: i for i, v in enumerate(ids)}
+    S = np.zeros((n, n))
+    for i, im in enumerate(scene.images):
+        for vs in im.meta.view_scores or []:
+            if vs.id in idx:
+                j = idx[vs.id]
+                S[i, j] += vs.score
+                S[j, i] += vs.score        # symmetrize
+    big = S.max() + 1.0 if S.size else 1.0
+    cost = big - S
+    # diagonal = "stay unpaired" at zero-score cost, so an odd image count
+    # cannot force the matching off the strong mutual pairs
+    rows, cols = linear_sum_assignment(cost)
+    pairs = {}
+    for r, c in zip(rows, cols):
+        if r != c and S[r, c] > 0:
+            pairs[ids[r]] = ids[c]
+    # restrict each image's neighbor list to its assigned partner
+    for i, im in enumerate(scene.images):
+        tgt = pairs.get(ids[i])
+        if tgt is None:
+            continue
+        kept = [vs for vs in (im.meta.view_scores or []) if vs.id == tgt]
+        if kept:
+            im.meta.view_scores = kept
+    return pairs
