@@ -68,6 +68,9 @@ def main(argv=None):
     p = sub.add_parser("mesh", help="graph-cut mesh reconstruction")
     p.add_argument("scene")
     p.add_argument("-o", "--output", default=None)
+    p.add_argument("--split-max-faces", type=int, default=0,
+                   help="if >0, also save the mesh as spatial chunks of at "
+                        "most this many faces (ReconstructMesh mesh-split)")
     _add_dataclass_args(p, MeshOptions)
 
     p = sub.add_parser("refine", help="photometric mesh refinement")
@@ -158,6 +161,12 @@ def main(argv=None):
         out = args.output or args.scene.replace(".mvs", "_mesh.ply")
         mesh.save_ply(out)
         print(f"mesh: {len(mesh.vertices)} vertices, {len(mesh.faces)} faces -> {out}")
+        if args.split_max_faces > 0:
+            base = out[:-4] if out.endswith(".ply") else out
+            for ci, sub_mesh in enumerate(mesh_ops.split_mesh(mesh, args.split_max_faces)):
+                cp = f"{base}_chunk{ci:03d}.ply"
+                sub_mesh.save_ply(cp)
+                print(f"  chunk {ci}: {len(sub_mesh.faces)} faces -> {cp}")
 
     elif args.cmd == "refine":
         from openmvs_tpu.refine import refine_mesh

@@ -315,3 +315,77 @@ def ensure_edge_size(mesh: Mesh, max_edge: float, max_rounds: int = 4) -> Mesh:
             break
         m = subdivide(m)
     return m
+
+
+def split_mesh(mesh: Mesh, max_faces: int) -> list:
+    """Split a mesh into spatial face chunks (Mesh::Split role, Mesh.h:234:
+    the reference uses its octree; here recursive median cuts on face
+    centroids — the same spatial-coherence guarantee with re-indexed
+    vertices per chunk)."""
+    cent = mesh.vertices[mesh.faces].mean(axis=1)
+
+    def rec(idx):
+        if len(idx) <= max_faces:
+            return [idx]
+        c = cent[idx]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        med = np.median(c[:, ax])
+        lo = idx[c[:, ax] <= med]
+        hi = idx[c[:, ax] > med]
+        if len(lo) == 0 or len(hi) == 0:   # degenerate (coincident centroids)
+            return [idx[:max_faces], idx[max_faces:]]
+        return rec(lo) + rec(hi)
+
+    chunks = []
+    for fidx in rec(np.arange(len(mesh.faces))):
+        if len(fidx) == 0:
+            continue
+        f = mesh.faces[fidx]
+        used = np.unique(f.ravel())
+        remap = np.zeros(len(mesh.vertices), np.int64)
+        remap[used] = np.arange(len(used))
+        sub = Mesh(vertices=mesh.vertices[used].copy(),
+                   faces=remap[f].astype(np.int32))
+        if mesh.face_tex_coords is not None and len(mesh.face_tex_coords):
+            sub.face_tex_coords = mesh.face_tex_coords[fidx].copy()
+            sub.texture = mesh.texture
+        chunks.append(sub)
+    return chunks
+
+
+def transfer_texture(src: Mesh, dst: Mesh) -> Mesh:
+    """Transfer src's texture onto dst (Mesh texture-transfer role,
+    Mesh.h:237).  Each dst face corner is projected onto the nearest src
+    face (KD-tree on centroids) and inherits its interpolated texcoord, so
+    dst reuses src's atlas image.  Simplification vs the reference: corners
+    straddling a src patch seam snap to one side of it."""
+    if src.face_tex_coords is None or src.texture is None:
+        raise ValueError("source mesh has no texture")
+    from scipy.spatial import cKDTree
+
+    sc = src.vertices[src.faces].mean(axis=1)
+    tree = cKDTree(sc)
+    corners = dst.vertices[dst.faces].reshape(-1, 3)      # (nf*3, 3)
+    _, fi = tree.query(corners, k=1)
+    tri = src.vertices[src.faces[fi]]                     # (m, 3, 3)
+    # barycentric coords of the projection onto each source triangle
+    v0 = tri[:, 1] - tri[:, 0]
+    v1 = tri[:, 2] - tri[:, 0]
+    v2 = corners - tri[:, 0]
+    d00 = np.einsum("ij,ij->i", v0, v0)
+    d01 = np.einsum("ij,ij->i", v0, v1)
+    d11 = np.einsum("ij,ij->i", v1, v1)
+    d20 = np.einsum("ij,ij->i", v2, v0)
+    d21 = np.einsum("ij,ij->i", v2, v1)
+    den = np.maximum(d00 * d11 - d01 * d01, 1e-20)
+    b1 = (d11 * d20 - d01 * d21) / den
+    b2 = (d00 * d21 - d01 * d20) / den
+    b1 = np.clip(b1, 0, 1)
+    b2 = np.clip(b2, 0, 1 - b1)
+    b0 = 1.0 - b1 - b2
+    uv_src = src.face_tex_coords[fi]                      # (m, 3, 2)
+    uv = (b0[:, None] * uv_src[:, 0] + b1[:, None] * uv_src[:, 1]
+          + b2[:, None] * uv_src[:, 2])
+    return Mesh(vertices=dst.vertices, faces=dst.faces,
+                face_tex_coords=uv.reshape(len(dst.faces), 3, 2).astype(np.float32),
+                texture=src.texture)

@@ -211,3 +211,34 @@ def test_subdivide_and_edge_size(sphere_mesh):
     )
     m3 = mesh_ops.ensure_edge_size(sphere_mesh, float(np.median(e)))
     assert len(m3.faces) > len(sphere_mesh.faces)
+
+
+def test_split_mesh(sphere_mesh):
+    from openmvs_tpu import mesh_ops
+
+    chunks = mesh_ops.split_mesh(sphere_mesh, max_faces=200)
+    assert len(chunks) >= 4
+    assert sum(len(c.faces) for c in chunks) == len(sphere_mesh.faces)
+    for c in chunks:
+        assert len(c.faces) <= 200
+        assert c.faces.max() < len(c.vertices)
+        # chunk vertices are a subset of the original set
+        assert len(c.vertices) <= len(sphere_mesh.vertices)
+
+
+def test_transfer_texture(sphere_mesh):
+    from openmvs_tpu import mesh_ops
+    from openmvs_tpu.scene import Mesh
+
+    src = Mesh(vertices=sphere_mesh.vertices, faces=sphere_mesh.faces)
+    nf = len(src.faces)
+    rng = np.random.default_rng(0)
+    src.face_tex_coords = rng.uniform(0, 1, (nf, 3, 2)).astype(np.float32)
+    src.texture = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    # a decimated version of the same surface inherits the texture
+    dst = mesh_ops.clean_mesh(src, decimate=0.5)
+    out = mesh_ops.transfer_texture(src, dst)
+    assert out.texture is src.texture
+    assert out.face_tex_coords.shape == (len(dst.faces), 3, 2)
+    assert np.isfinite(out.face_tex_coords).all()
+    assert (out.face_tex_coords >= 0).all() and (out.face_tex_coords <= 1).all()
