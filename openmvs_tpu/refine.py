@@ -127,6 +127,7 @@ class PairData(NamedTuple):
     KA_t: jnp.ndarray      # (3,)
     KB_R: jnp.ndarray
     KB_t: jnp.ndarray
+    sizeB: jnp.ndarray     # (2,) valid (Hb, Wb) of imgB (imgB may be padded)
 
 
 def _bilinear(img, x, y):
@@ -145,32 +146,59 @@ def _bilinear(img, x, y):
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
-def _pair_energy(verts: jnp.ndarray, pd: PairData, half: int = 3) -> jnp.ndarray:
-    """1 - ZNCC(A, B warped through the surface), averaged over valid pixels.
+def _bilinear_g(img, x, y):
+    """Bilinear sample + the EXACT spatial derivatives of the interpolant
+    (same 4 taps).  Used by the hand-derived gradient path: matches what
+    autodiff of _bilinear would produce, to float precision."""
+    Hp, Wp = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    xi = jnp.clip(x0.astype(jnp.int32), 0, Wp - 2)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, Hp - 2)
+    flat = img.reshape(-1)
+    idx = yi * Wp + xi
+    v00 = jnp.take(flat, idx, mode="clip")
+    v01 = jnp.take(flat, idx + 1, mode="clip")
+    v10 = jnp.take(flat, idx + Wp, mode="clip")
+    v11 = jnp.take(flat, idx + Wp + 1, mode="clip")
+    v = (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+    gx = (v01 - v00) * (1 - fy) + (v11 - v10) * fy
+    gy = (v10 - v00) * (1 - fx) + (v11 - v01) * fx
+    return v, gx, gy
 
-    The surface point under each A-pixel is bary-interpolated from the
-    (autodiff-tracked) vertex positions; B is sampled at its projection.
-    Windows are (2*half+1)^2 box-ZNCC via separable shifts
-    (ComputeLocalZNCC role, SceneRefine.cpp:161-164).
-    """
+
+def _warp_coords(verts: jnp.ndarray, pd: PairData):
+    """A-pixel -> B-image coordinates through the surface, + validity.
+
+    The 3-element contractions are unrolled to elementwise VPU math instead
+    of einsum: XLA lowers tiny einsums onto the MXU at default (reduced)
+    precision, which costs ~0.1 px of warp accuracy on TPU."""
     P = verts[pd.face_vid]                   # (H, W, 3, 3)
-    X = jnp.einsum("hwkc,hwk->hwc", P, pd.bary)
-    XB = jnp.einsum("ab,hwb->hwa", pd.KB_R, X) + pd.KB_t
+    X = (pd.bary[..., 0, None] * P[..., 0, :]
+         + pd.bary[..., 1, None] * P[..., 1, :]
+         + pd.bary[..., 2, None] * P[..., 2, :])
+    R = pd.KB_R
+    XB = jnp.stack(
+        [R[a, 0] * X[..., 0] + R[a, 1] * X[..., 1] + R[a, 2] * X[..., 2]
+         + pd.KB_t[a] for a in range(3)],
+        axis=-1,
+    )
     zb = XB[..., 2]
     ok = pd.mask & (zb > 1e-6)
     izb = jnp.where(ok, 1.0 / jnp.where(ok, zb, 1.0), 0.0)
     xb = XB[..., 0] * izb
     yb = XB[..., 1] * izb
-    Hb, Wb = pd.imgB.shape
-    ok = ok & (xb >= 1) & (xb <= Wb - 2) & (yb >= 1) & (yb <= Hb - 2)
-    warped = jnp.where(ok, _bilinear(pd.imgB, xb, yb), 0.0)
+    ok = ok & (xb >= 1) & (xb <= pd.sizeB[1] - 2) & (yb >= 1) & (yb <= pd.sizeB[0] - 2)
+    return xb, yb, izb, ok
 
-    A = jnp.where(pd.mask, pd.imgA, 0.0)
-    B = warped
-    M = ok.astype(jnp.float32)
 
+def _box_zncc_energy(A: jnp.ndarray, B: jnp.ndarray, M: jnp.ndarray,
+                     half: int = 3) -> jnp.ndarray:
+    """1 - windowed ZNCC(A, B), mean over valid pixels; (2*half+1)^2 box
+    windows via prefix sums (ComputeLocalZNCC role, SceneRefine.cpp:161-164).
+    Gather-free (cumsum + static takes): safe to autodiff on the TPU."""
     def box(x):
-        # separable box filter of width 2*half+1 via prefix sums:
         # out[i] = S[min(i+h+1, N)] - S[max(i-h, 0)] with S = [0, cumsum]
         for axis in (0, 1):
             n = x.shape[axis]
@@ -191,6 +219,103 @@ def _pair_energy(verts: jnp.ndarray, pd: PairData, half: int = 3) -> jnp.ndarray
     ncc = cAB * jax.lax.rsqrt(jnp.maximum(vA * vB, 1e-12))
     score = jnp.where(M > 0, 1.0 - jnp.clip(ncc, -1.0, 1.0), 0.0)
     return jnp.sum(score) / jnp.maximum(jnp.sum(M), 1.0)
+
+
+def _pair_energy(verts: jnp.ndarray, pd: PairData, half: int = 3) -> jnp.ndarray:
+    """1 - ZNCC(A, B warped through the surface), averaged over valid pixels.
+
+    The surface point under each A-pixel is bary-interpolated from the
+    (autodiff-tracked) vertex positions; B is sampled at its projection.
+    Fully differentiable — the reference AD path (used for validation and on
+    backends with trustworthy gather autodiff)."""
+    xb, yb, _, ok = _warp_coords(verts, pd)
+    warped = jnp.where(ok, _bilinear(pd.imgB, xb, yb), 0.0)
+    A = jnp.where(pd.mask, pd.imgA, 0.0)
+    return _box_zncc_energy(A, warped, ok.astype(jnp.float32), half)
+
+
+def _pair_energy_grad_manual(verts: jnp.ndarray, pd: PairData, half: int = 3):
+    """Hand-derived (energy, d energy/d vertices) for one pair.
+
+    Mirrors the reference's explicit gradient chain
+    (ComputePhotometricGradient, SceneRefine.cpp:161-175) instead of
+    reverse-mode AD through the gathers: autodiff is applied only to the
+    gather-free box-ZNCC tail; the bilinear-sampling derivative is the exact
+    interpolant gradient from the same 4 taps; the projective chain rule and
+    the barycentric scatter onto vertices are written out.  This keeps the
+    whole step on the TPU (large fused gather autodiff graphs miscompile on
+    this backend) and matches jax.grad of _pair_energy to float precision."""
+    xb, yb, izb, ok = _warp_coords(verts, pd)
+    v, gx, gy = _bilinear_g(pd.imgB, xb, yb)
+    warped = jnp.where(ok, v, 0.0)
+    A = jnp.where(pd.mask, pd.imgA, 0.0)
+    M = ok.astype(jnp.float32)
+    e, gB = jax.value_and_grad(_box_zncc_energy, argnums=1)(A, warped, M, half)
+    gB = jnp.where(ok, gB, 0.0)
+    # d(xb, yb)/dX for xb = (KB_R X + t)_x / z: (KB_R[0] - xb * KB_R[2]) / z
+    dxb = gB * gx
+    dyb = gB * gy
+    R = pd.KB_R
+    dX = (
+        dxb[..., None] * (R[0][None, None] - xb[..., None] * R[2][None, None])
+        + dyb[..., None] * (R[1][None, None] - yb[..., None] * R[2][None, None])
+    ) * izb[..., None]                                     # (H, W, 3)
+    # X = sum_k bary_k P_k  =>  dE/dP_k = bary_k * dE/dX, scattered by vid
+    contrib = pd.bary[..., None] * dX[..., None, :]         # (H, W, 3, 3)
+    contrib = jnp.where(ok[..., None, None], contrib, 0.0)
+    g = jnp.zeros_like(verts).at[pd.face_vid.reshape(-1)].add(
+        contrib.reshape(-1, 3)
+    )
+    return e, g
+
+
+@jax.jit
+def _device_steps(v, m, vv2, it0, pds, adj, deg, step0, reg_w):
+    """4 refinement iterations on device (energy+grad+Adam), between host
+    re-rasterizations.  Module-level with every constant as an argument so
+    the compiled module is shape-keyed only (persistent-cache friendly)."""
+    b1, b2 = 0.9, 0.999
+    n_pairs = pds.imgA.shape[0]
+
+    def energy_grad(v):
+        es, gs_pairs = jax.vmap(_pair_energy_grad_manual, in_axes=(None, 0))(v, pds)
+        es2, gs2 = _smooth_energy_grad_manual(v, adj, deg)
+        w = reg_w * n_pairs
+        return jnp.sum(es) + w * es2, jnp.sum(gs_pairs, axis=0) + w * gs2
+
+    def body(i, carry):
+        v, m, vv2, _ = carry
+        it = (it0 + i).astype(jnp.float32)
+        e, g = energy_grad(v)
+        m = b1 * m + (1 - b1) * g
+        vv2 = b2 * vv2 + (1 - b2) * g * g
+        mh = m / (1 - b1 ** (it + 1))
+        vh = vv2 / (1 - b2 ** (it + 1))
+        denom = jnp.sqrt(vh) + jnp.sqrt(jnp.max(vh)) * 1e-3 + 1e-12
+        v = v - step0 * (0.98 ** it) * mh / denom
+        return (v, m, vv2, e)
+
+    return jax.lax.fori_loop(0, 4, body, (v, m, vv2, jnp.float32(0.0)))
+
+
+def _smooth_energy_grad_manual(verts: jnp.ndarray, adj: jnp.ndarray,
+                               deg: jnp.ndarray):
+    """Hand-derived (energy, gradient) of _smooth_energy:
+    E = mean_i ||(M v)_i - v_i||^2 with M the row-normalized one-ring
+    average; dE/dv = 2/nv * (M^T r - r) with r = M v - v."""
+    nv = verts.shape[0]
+    w = (adj >= 0).astype(jnp.float32)
+    nb = verts[jnp.maximum(adj, 0)]
+    mean = jnp.sum(nb * w[..., None], axis=1) / jnp.maximum(deg[:, None], 1.0)
+    r = mean - verts
+    e = jnp.mean(jnp.sum(r * r, axis=-1))
+    rw = r / jnp.maximum(deg[:, None], 1.0)                 # (nv, 3)
+    contrib = jnp.broadcast_to(rw[:, None, :], adj.shape + (3,)) * w[..., None]
+    Mt_r = jnp.zeros_like(verts).at[jnp.maximum(adj, 0).reshape(-1)].add(
+        contrib.reshape(-1, 3)
+    )
+    g = (2.0 / nv) * (Mt_r - r)
+    return e, g
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -282,31 +407,81 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
     med_edge = float(np.median(np.linalg.norm(e, axis=1)))
     step0 = med_edge * 0.08 * opts.gradient_step / 45.05
 
-    # the fused gather-heavy autodiff graph miscompiles on this TPU stack
-    # (grads diverge from CPU; same XLA bug class the Pallas scoring kernel
-    # works around) — pin the energy/gradient computation to the CPU backend
+    # gradients are hand-derived (see _pair_energy_grad_manual) so the whole
+    # step runs on the TPU: autodiff only touches the gather-free ZNCC tail.
+    # OMVS_REFINE_CPU_AD=1 restores the full-AD-on-CPU path (the fused
+    # gather autodiff graph miscompiles on this TPU stack).
+    import os as _os
+
     _dev = None
-    try:
-        if jax.default_backend() not in ("cpu",):
-            _dev = jax.devices("cpu")[0]
-    except Exception:
-        _dev = None
-    energy_and_grad = jax.jit(
-        jax.value_and_grad(
-            lambda v, pds: sum(_pair_energy(v, pd) for pd in pds)
-            + opts.regularity_weight * len(pds) * _smooth_energy(v, adj_j, deg_j)
-        ),
-        device=_dev,
-    )
+    if _os.environ.get("OMVS_REFINE_CPU_AD"):
+        try:
+            if jax.default_backend() not in ("cpu",):
+                _dev = jax.devices("cpu")[0]
+        except Exception:
+            _dev = None
+        energy_and_grad = jax.jit(
+            jax.value_and_grad(
+                lambda v, pds: sum(_pair_energy(v, pd) for pd in pds)
+                + opts.regularity_weight * len(pds) * _smooth_energy(v, adj_j, deg_j)
+            ),
+            device=_dev,
+        )
+    else:
+        device_steps = _device_steps
     if _dev is not None:
         adj_j = jax.device_put(adj_j, _dev)
         deg_j = jax.device_put(deg_j, _dev)
 
+    Hm_ = max(g.shape[0] for g in grays)
+    Wm_ = max(g.shape[1] for g in grays)
+
+    def raster_pair_np(a, b, v_np):
+        camA, camB = cams[a], cams[b]
+        H, W = grays[a].shape
+        pr = _project_np(camA, v_np.astype(np.float64))
+        fid, _, bar = native.rasterize(pr, faces, H, W)
+        mask = fid >= 0
+        fv = faces[np.where(mask, fid, 0)]
+        def pad2(x, fill=0):
+            if x.shape[0] == Hm_ and x.shape[1] == Wm_:
+                return x
+            out = np.full((Hm_, Wm_) + x.shape[2:], fill, x.dtype)
+            out[: x.shape[0], : x.shape[1]] = x
+            return out
+        return (pad2(grays[a]), pad2(grays[b]), pad2(fv),
+                pad2(bar.astype(np.float32)), pad2(mask, False),
+                (camA.K @ camA.R).astype(np.float32),
+                (-(camA.K @ camA.R) @ camA.C).astype(np.float32),
+                (camB.K @ camB.R).astype(np.float32),
+                (-(camB.K @ camB.R) @ camB.C).astype(np.float32),
+                np.asarray(grays[b].shape, np.float32))
+
+    def build_pds_stacked(v_np):
+        # stays numpy: the jit call uploads the whole pytree in one transfer
+        # (separate jnp.asarray calls each pay a tunnel round-trip)
+        cols = [raster_pair_np(a, b, v_np) for (a, b) in pairs]
+        return PairData(*[np.stack([c[k] for c in cols]) for k in range(10)])
+
     v_np = np.asarray(verts)
     iters = max(4, int(opts.iters * (0.5 if scale < 1.0 else 1.0)))
-    # Adam: scale-invariant per-vertex steps (the reference's plain GD with
-    # hand-tuned step 45.05 x 0.98^k, SceneRefine.cpp:1352-1416, is sensitive
-    # to energy scaling; Adam removes that sensitivity)
+    if _dev is None:
+        # TPU path: stacked pairs, 4 device iterations per host round-trip
+        v_d = jnp.asarray(v_np)
+        m_d = jnp.zeros_like(v_d)
+        vv2_d = jnp.zeros_like(v_d)
+        for it in range(0, iters, 4):
+            v_np = np.asarray(v_d)
+            pds = build_pds_stacked(v_np)
+            v_d, m_d, vv2_d, e = device_steps(
+                v_d, m_d, vv2_d, jnp.int32(it), pds, adj_j, deg_j,
+                jnp.float32(step0), jnp.float32(opts.regularity_weight))
+            if it % 8 == 0:
+                log.info("  iter %d: E=%.5f", it, float(e))
+        v_np = np.asarray(v_d)
+        return Mesh(vertices=v_np.astype(np.float32), faces=faces)
+
+    # CPU full-AD fallback (OMVS_REFINE_CPU_AD=1)
     m = np.zeros_like(v_np)
     vv2 = np.zeros_like(v_np)
     b1, b2, eps = 0.9, 0.999, 1e-12
@@ -315,24 +490,8 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
         if it % 4 == 0:
             pds = []
             for (a, b) in pairs:
-                camA, camB = cams[a], cams[b]
-                H, W = grays[a].shape
-                pr = _project_np(camA, v_np.astype(np.float64))
-                fid, _, bar = native.rasterize(pr, faces, H, W)
-                mask = fid >= 0
-                fv = faces[np.where(mask, fid, 0)]
-                pds.append(PairData(
-                    imgA=jnp.asarray(grays[a]),
-                    imgB=jnp.asarray(grays[b]),
-                    face_vid=jnp.asarray(fv),
-                    bary=jnp.asarray(bar),
-                    mask=jnp.asarray(mask),
-                    KA_R=jnp.asarray((camA.K @ camA.R), jnp.float32),
-                    KA_t=jnp.asarray(-(camA.K @ camA.R) @ camA.C, jnp.float32),
-                    KB_R=jnp.asarray((camB.K @ camB.R), jnp.float32),
-                    KB_t=jnp.asarray(-(camB.K @ camB.R) @ camB.C, jnp.float32),
-                ))
-        if _dev is not None:
+                t = raster_pair_np(a, b, v_np)
+                pds.append(PairData(*[jnp.asarray(x) for x in t]))
             pds = jax.tree.map(lambda x: jax.device_put(x, _dev), pds)
         e, g = energy_and_grad(jnp.asarray(v_np), pds)
         g = np.asarray(g)
