@@ -196,7 +196,8 @@ def main(argv=None):
         opts = _build_opts(TextureOptions, args)
         tex = texture_mesh(scene, mesh, opts)
         out = args.output or args.mesh.replace(".ply", "_texture.obj")
-        save_mesh_obj(out, tex.vertices, tex.faces, tex.face_tex_coords, tex.texture)
+        save_mesh_obj(out, tex.vertices, tex.faces, tex.face_tex_coords,
+                      tex.texture, textures=tex.textures, face_page=tex.face_page)
         print(f"textured mesh -> {out}")
 
     elif args.cmd == "transform":

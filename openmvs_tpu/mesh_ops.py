@@ -300,21 +300,140 @@ def subdivide(mesh: Mesh) -> Mesh:
     return Mesh(vertices=v2.astype(np.float32), faces=np.asarray(out, np.int32))
 
 
-def ensure_edge_size(mesh: Mesh, max_edge: float, max_rounds: int = 4) -> Mesh:
-    """Split faces until no edge exceeds max_edge (EnsureEdgeSize role,
-    Mesh.h:185 — isotropic remeshing approximated by longest-edge splits)."""
-    m = mesh
-    for _ in range(max_rounds):
-        v, f = m.vertices.astype(np.float64), m.faces
-        e = np.stack([
-            np.linalg.norm(v[f[:, 0]] - v[f[:, 1]], axis=1),
-            np.linalg.norm(v[f[:, 1]] - v[f[:, 2]], axis=1),
-            np.linalg.norm(v[f[:, 2]] - v[f[:, 0]], axis=1),
-        ])
-        if e.max() <= max_edge:
+def _split_long_edges(v: np.ndarray, f: np.ndarray, max_edge: float):
+    """Split every edge longer than max_edge at its midpoint (edge-consistent
+    across adjacent faces); returns (v, f, n_split)."""
+    pairs = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    key = np.sort(pairs, axis=1)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    elen = np.linalg.norm(v[uniq[:, 0]] - v[uniq[:, 1]], axis=1)
+    split = elen > max_edge
+    n_split = int(split.sum())
+    if n_split == 0:
+        return v, f, 0
+    mid_id = np.full(len(uniq), -1, np.int64)
+    mid_id[split] = len(v) + np.arange(n_split)
+    v = np.concatenate([v, 0.5 * (v[uniq[split, 0]] + v[uniq[split, 1]])])
+    m = mid_id[inv].reshape(3, -1).T            # (nf, 3): mid of e01,e12,e20
+    out = []
+    a, b, c = f[:, 0], f[:, 1], f[:, 2]
+    has = m >= 0
+    code = has[:, 0] * 1 + has[:, 1] * 2 + has[:, 2] * 4
+    sel = code == 0
+    out.append(f[sel])
+    # one split edge: rotate so the split edge is (a, b)
+    for bit, perm in ((1, (0, 1, 2)), (2, (1, 2, 0)), (4, (2, 0, 1))):
+        sel = code == bit
+        if not sel.any():
+            continue
+        aa, bb, cc = f[sel][:, perm[0]], f[sel][:, perm[1]], f[sel][:, perm[2]]
+        mm = m[sel][:, (0 if bit == 1 else 1 if bit == 2 else 2)]
+        out.append(np.stack([aa, mm, cc], 1))
+        out.append(np.stack([mm, bb, cc], 1))
+    # two split edges: rotate so the UNsplit edge is (c, a)
+    for miss, perm in ((4, (0, 1, 2)), (1, (1, 2, 0)), (2, (2, 0, 1))):
+        sel = code == 7 - miss
+        if not sel.any():
+            continue
+        aa, bb, cc = f[sel][:, perm[0]], f[sel][:, perm[1]], f[sel][:, perm[2]]
+        k = {4: (0, 1), 1: (1, 2), 2: (2, 0)}[miss]
+        mab = m[sel][:, k[0]]
+        mbc = m[sel][:, k[1]]
+        out.append(np.stack([aa, mab, mbc], 1))
+        out.append(np.stack([mab, bb, mbc], 1))
+        out.append(np.stack([aa, mbc, cc], 1))
+    sel = code == 7
+    if sel.any():
+        mab, mbc, mca = m[sel][:, 0], m[sel][:, 1], m[sel][:, 2]
+        aa, bb, cc = a[sel], b[sel], c[sel]
+        out.append(np.stack([aa, mab, mca], 1))
+        out.append(np.stack([mab, bb, mbc], 1))
+        out.append(np.stack([mca, mbc, cc], 1))
+        out.append(np.stack([mab, mbc, mca], 1))
+    return v, np.concatenate(out).astype(f.dtype), n_split
+
+
+def _collapse_short_edges(v: np.ndarray, f: np.ndarray, min_edge: float,
+                          max_edge: float):
+    """Greedy non-conflicting midpoint collapses of edges shorter than
+    min_edge (skipping collapses that would create edges beyond max_edge)."""
+    pairs = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    key = np.sort(pairs, axis=1)
+    uniq = np.unique(key, axis=0)
+    elen = np.linalg.norm(v[uniq[:, 0]] - v[uniq[:, 1]], axis=1)
+    order = np.argsort(elen)
+    locked = np.zeros(len(v), bool)
+    remap = np.arange(len(v))
+    # max incident edge length per vertex (to bound post-collapse stretch)
+    vmax = np.zeros(len(v))
+    np.maximum.at(vmax, uniq[:, 0], elen)
+    np.maximum.at(vmax, uniq[:, 1], elen)
+    n_col = 0
+    for ei in order:
+        if elen[ei] >= min_edge:
             break
-        m = subdivide(m)
-    return m
+        a, b = uniq[ei]
+        if locked[a] or locked[b]:
+            continue
+        if max(vmax[a], vmax[b]) + 0.5 * elen[ei] > max_edge:
+            continue
+        v[a] = 0.5 * (v[a] + v[b])
+        remap[b] = a
+        locked[a] = locked[b] = True
+        n_col += 1
+    if n_col == 0:
+        return v, f, 0
+    f2 = remap[f]
+    good = (f2[:, 0] != f2[:, 1]) & (f2[:, 1] != f2[:, 2]) & (f2[:, 0] != f2[:, 2])
+    return v, f2[good].astype(f.dtype), n_col
+
+
+def isotropic_remesh(mesh: Mesh, target_edge: float, iters: int = 4,
+                     relax: float = 0.4) -> Mesh:
+    """Isotropic remeshing toward a uniform target edge length
+    (Mesh::EnsureEdgeSize role, Mesh.h:185 / CLN::EnsureEdgeSize,
+    Mesh.cpp:2672-3036): per iteration, split edges > 4/3 target, collapse
+    edges < 4/5 target, and tangentially relax vertices toward their one-ring
+    centroid (projected off the vertex normal so the shape is preserved)."""
+    v = mesh.vertices.astype(np.float64).copy()
+    f = mesh.faces.astype(np.int64).copy()
+    hi = target_edge * 4.0 / 3.0
+    lo = target_edge * 4.0 / 5.0
+    for _ in range(iters):
+        v, f, n_s = _split_long_edges(v, f, hi)
+        v, f, n_c = _collapse_short_edges(v, f, lo, hi)
+        v, f = remove_unreferenced(v, f)
+        f = remove_duplicate_faces(remove_degenerate_faces(f))
+        # tangential relaxation
+        n = vertex_normals(v, f)
+        ring = np.zeros_like(v)
+        cnt = np.zeros(len(v))
+        pairs = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        np.add.at(ring, pairs[:, 0], v[pairs[:, 1]])
+        np.add.at(cnt, pairs[:, 0], 1.0)
+        np.add.at(ring, pairs[:, 1], v[pairs[:, 0]])
+        np.add.at(cnt, pairs[:, 1], 1.0)
+        c = ring / np.maximum(cnt[:, None], 1.0)
+        d = c - v
+        d -= n * np.einsum("ij,ij->i", d, n)[:, None]   # tangent component
+        v = v + relax * d
+        if n_s == 0 and n_c == 0:
+            break
+    # final bounding pass: the tangential relax can stretch edges slightly
+    # past the bound, and splits create new diagonal edges that may need
+    # further rounds — iterate splits to a fixpoint (no relax afterwards)
+    for _ in range(8):
+        v, f, n_s = _split_long_edges(v, f, hi)
+        if n_s == 0:
+            break
+    v, f = remove_unreferenced(v, f)
+    return Mesh(vertices=v.astype(np.float32), faces=f.astype(np.int32))
+
+
+def ensure_edge_size(mesh: Mesh, max_edge: float, max_rounds: int = 4) -> Mesh:
+    """Bound the longest edge at max_edge via isotropic remeshing
+    (EnsureEdgeSize role, Mesh.h:185)."""
+    return isotropic_remesh(mesh, max_edge * 0.75, iters=max_rounds)
 
 
 def split_mesh(mesh: Mesh, max_faces: int) -> list:

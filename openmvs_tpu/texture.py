@@ -244,7 +244,8 @@ class _Patch:
 
 
 def _pack_maxrects(
-    sizes: List[Tuple[int, int]], max_w: int, heuristic: int = 3
+    sizes: List[Tuple[int, int]], max_w: int, heuristic: int = 3,
+    max_h: int = 0, placeable=None,
 ) -> Tuple[List[Tuple[int, int]], int, int]:
     """MaxRects packing (the reference's default packer, RectsBinPack.h:57-420).
 
@@ -257,15 +258,19 @@ def _pack_maxrects(
     n = len(sizes)
     if n == 0:
         return [], 0, 0
-    big = max_w * 8 + sum(h for _, h in sizes)
+    big = max_h if max_h > 0 else max_w * 8 + sum(h for _, h in sizes)
     fx = np.array([0.0]); fy = np.array([0.0])
     fw = np.array([float(max_w)]); fh = np.array([float(big)])
     pos = [(0, 0)] * n
     order = sorted(range(n), key=lambda i: -(sizes[i][0] * sizes[i][1]))
     for i in order:
+        if placeable is not None and not placeable[i]:
+            pos[i] = None
+            continue
         w, h = float(sizes[i][0]), float(sizes[i][1])
         fit = (fw >= w) & (fh >= h)
-        if not fit.any():  # cannot happen: the root rect is unbounded in y
+        if not fit.any():  # bounded page full (or patch larger than a page)
+            pos[i] = None
             continue
         dw, dh = fw - w, fh - h
         if heuristic == 1:
@@ -323,8 +328,9 @@ def _pack_maxrects(
                 ox_, oy_, ow_, oh_ = ox_[~c_on], oy_[~c_on], ow_[~c_on], oh_[~c_on]
         fx = np.concatenate([ox_, nx]); fy = np.concatenate([oy_, ny])
         fw = np.concatenate([ow_, nw]); fh = np.concatenate([oh_, nh])
-    used_w = max(p[0] + s[0] for p, s in zip(pos, sizes))
-    used_h = max(p[1] + s[1] for p, s in zip(pos, sizes))
+    placed = [(p, s) for p, s in zip(pos, sizes) if p is not None]
+    used_w = max((p[0] + s[0] for p, s in placed), default=0)
+    used_h = max((p[1] + s[1] for p, s in placed), default=0)
     return pos, used_w, used_h
 
 
@@ -411,34 +417,69 @@ def generate_texture(
     max_w = min(max_w, 1 << int(np.ceil(np.log2(max(wfit, 1)))))
     if opts.rect_packing_heuristic >= 0:
         pos, used_w, used_h = _pack_maxrects(
-            sizes, max_w, opts.rect_packing_heuristic
+            sizes, max_w, opts.rect_packing_heuristic,
+            max_h=opts.max_texture_size,
         )
     else:  # negative heuristic selects the cheap shelf packer
         pos, used_w, used_h = _pack_skyline(sizes, max_w)
+        if used_h > opts.max_texture_size:
+            pos = [None] * len(sizes)  # force multi-page via MaxRects
+    patch_page = np.zeros(len(patches), np.int64)
+    if any(q is None for q in pos):
+        # multi-page atlas (SceneTexture multi-texture support,
+        # SceneTexture.cpp:2270-2327): pack remaining patches page by page
+        page = 0
+        remaining = [i for i, q in enumerate(pos) if q is None]
+        while remaining:
+            page += 1
+            placeable = [False] * len(sizes)
+            for i in remaining:
+                placeable[i] = True
+            pg_pos, pw, ph = _pack_maxrects(
+                sizes, opts.max_texture_size,
+                max(opts.rect_packing_heuristic, 0),
+                max_h=opts.max_texture_size, placeable=placeable,
+            )
+            placed_now = [i for i in remaining if pg_pos[i] is not None]
+            if not placed_now:
+                raise ValueError("texture patch larger than one atlas page")
+            for i in placed_now:
+                pos[i] = pg_pos[i]
+                patch_page[i] = page
+            used_w = max(used_w, pw)
+            used_h = max(used_h, ph)
+            remaining = [i for i in remaining if pg_pos[i] is None]
+        log.info("texture atlas split into %d pages", page + 1)
+    n_pages = int(patch_page.max()) + 1
     tw = 1 << int(np.ceil(np.log2(max(used_w, 1))))
     th = 1 << int(np.ceil(np.log2(max(used_h, 1))))
     tw = min(tw, opts.max_texture_size)
-    th = min(th, opts.max_texture_size * 8)
-    if used_h > th:
-        raise ValueError(f"texture atlas overflow: need {used_w}x{used_h}")
-    atlas = np.zeros((th, tw, 3), np.uint8)
-    atlas[:] = (39, 127, 255)  # empty color marker (reference empty_color)
+    th = min(th, opts.max_texture_size)
+    pages = []
+    for _ in range(n_pages):
+        a = np.zeros((th, tw, 3), np.uint8)
+        a[:] = (39, 127, 255)  # empty color marker (reference empty_color)
+        pages.append(a)
+    atlas = pages[0]
 
-    for p, (ax, ay) in zip(patches, pos):
+    for pi_, (p, q) in enumerate(zip(patches, pos)):
+        ax, ay = q
         p.atlas_x, p.atlas_y = ax, ay
         img = scene.images[p.view]
         tile = img.color[p.y0 : p.y0 + p.h, p.x0 : p.x0 + p.w]
-        atlas[ay : ay + p.h, ax : ax + p.w] = tile
+        pages[patch_page[pi_]][ay : ay + p.h, ax : ax + p.w] = tile
 
     # texcoords per face (vectorized over all faces at once)
     ftc = np.zeros((nf, 3, 2), np.float32)
     face_dx = np.zeros(nf)
     face_dy = np.zeros(nf)
     face_view = np.full(nf, -1, np.int64)
-    for p in patches:
+    face_page = np.zeros(nf, np.int32)
+    for pi_, p in enumerate(patches):
         face_dx[p.faces] = p.atlas_x - p.x0
         face_dy[p.faces] = p.atlas_y - p.y0
         face_view[p.faces] = p.view
+        face_page[p.faces] = patch_page[pi_]
     views_used = sorted({p.view for p in patches})
     proj_stack = np.zeros((max(views_used) + 1, len(mesh.vertices), 2))
     for vv in views_used:
@@ -450,22 +491,27 @@ def generate_texture(
     ftc[..., 1] = np.where(mapped[:, None], 1.0 - (uv_f[..., 1] + face_dy[:, None]) / th, 0)
     ftc = np.clip(ftc, 0.0, 1.0).astype(np.float32)
 
-    if opts.global_seam_leveling:
+    if opts.global_seam_leveling and n_pages == 1:
         with timed(log, "global seam leveling"):
             _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc)
-    if opts.local_seam_leveling:
+    if opts.local_seam_leveling and n_pages == 1:
         with timed(log, "local seam leveling"):
             _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc)
+    if n_pages > 1 and (opts.global_seam_leveling or opts.local_seam_leveling):
+        log.info("seam leveling skipped (multi-page atlas)")
     if opts.sharpness_weight > 0:
         # unsharp-mask sharpening (TextureMesh nSharpen, SceneTexture.cpp:2270)
         import cv2
 
-        a = atlas.astype(np.float32)
-        blur = cv2.GaussianBlur(a, (0, 0), 1.5)
-        atlas[:] = np.clip(a + opts.sharpness_weight * (a - blur), 0, 255).astype(np.uint8)
+        for pg in pages:
+            a = pg.astype(np.float32)
+            blur = cv2.GaussianBlur(a, (0, 0), 1.5)
+            pg[:] = np.clip(a + opts.sharpness_weight * (a - blur), 0, 255).astype(np.uint8)
 
     out = Mesh(vertices=mesh.vertices, faces=mesh.faces,
-               face_tex_coords=ftc, texture=atlas)
+               face_tex_coords=ftc, texture=pages[0],
+               textures=pages if n_pages > 1 else None,
+               face_page=face_page if n_pages > 1 else None)
     log.info("texture atlas %dx%d, %d patches", tw, th, len(patches))
     return out
 

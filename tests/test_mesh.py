@@ -242,3 +242,29 @@ def test_transfer_texture(sphere_mesh):
     assert out.face_tex_coords.shape == (len(dst.faces), 3, 2)
     assert np.isfinite(out.face_tex_coords).all()
     assert (out.face_tex_coords >= 0).all() and (out.face_tex_coords <= 1).all()
+
+
+def test_isotropic_remesh(sphere_mesh):
+    from openmvs_tpu import mesh_ops
+
+    v, f = sphere_mesh.vertices, sphere_mesh.faces
+    e0 = np.linalg.norm(v[f[:, 0]] - v[f[:, 1]], axis=1)
+    target = float(np.median(e0)) * 2.0      # coarsen 2x
+    out = mesh_ops.isotropic_remesh(sphere_mesh, target)
+    v2, f2 = out.vertices, out.faces
+    assert len(f2) < len(f)                  # coarsened
+    e2 = np.concatenate([
+        np.linalg.norm(v2[f2[:, 0]] - v2[f2[:, 1]], axis=1),
+        np.linalg.norm(v2[f2[:, 1]] - v2[f2[:, 2]], axis=1),
+        np.linalg.norm(v2[f2[:, 2]] - v2[f2[:, 0]], axis=1),
+    ])
+    assert e2.max() <= target * 4 / 3 + 1e-5
+    # shape preserved: vertices stay on the unit sphere
+    r = np.linalg.norm(v2, axis=1)
+    assert abs(np.median(r) - 1.0) < 0.05
+    # refinement direction too: halve the edge target -> more faces
+    fine = mesh_ops.isotropic_remesh(sphere_mesh, float(np.median(e0)) * 0.5)
+    assert len(fine.faces) > len(f)
+    ef = fine.vertices[fine.faces]
+    el = np.linalg.norm(ef[:, 0] - ef[:, 1], axis=1)
+    assert el.max() <= float(np.median(e0)) * 0.5 * 4 / 3 + 1e-5
