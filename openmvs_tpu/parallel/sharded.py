@@ -207,3 +207,43 @@ def dryrun(n_devices: int) -> None:
         f"dryrun_multichip OK: mesh={tuple(mesh.devices.shape)} (views x tile), "
         f"core state shape={tuple(core.depth.shape)}, valid depths={int(n_valid)}"
     )
+
+    # refine step: pair axis sharded over a flat device mesh (the production
+    # multi-chip path in refine.py — GSPMD all-reduces the vertex gradients)
+    import numpy as _np
+
+    from jax.sharding import Mesh as _JM, NamedSharding as _NS, PartitionSpec as _P
+    from openmvs_tpu.refine import PairData, _device_steps
+
+    devs = mesh.devices.reshape(-1)
+    jm = _JM(devs, ("pairs",))
+    sh = _NS(jm, _P("pairs"))
+    rep = _NS(jm, _P())
+    rng = _np.random.default_rng(0)
+    nv, Hh, Ww, npair = 50, 24, 32, len(devs)
+    verts = jax.device_put(
+        jnp.asarray(rng.normal(size=(nv, 3)).astype(_np.float32) + [0, 0, 5.0]), rep)
+    f32 = _np.float32
+    K = _np.array([[40, 0, Ww / 2], [0, 40, Hh / 2], [0, 0, 1]], f32)
+    pds = PairData(
+        imgA=rng.uniform(0, 1, (npair, Hh, Ww)).astype(f32),
+        imgB=rng.uniform(0, 1, (npair, Hh, Ww)).astype(f32),
+        face_vid=rng.integers(0, nv, (npair, Hh, Ww, 3)).astype(_np.int32),
+        bary=_np.full((npair, Hh, Ww, 3), 1.0 / 3.0, f32),
+        mask=_np.ones((npair, Hh, Ww), bool),
+        KA_R=_np.tile(K, (npair, 1, 1)),
+        KA_t=_np.zeros((npair, 3), f32),
+        KB_R=_np.tile(K, (npair, 1, 1)),
+        KB_t=_np.zeros((npair, 3), f32),
+        sizeB=_np.tile(_np.asarray([Hh, Ww], f32), (npair, 1)),
+    )
+    pds = jax.device_put(pds, sh)
+    adj = jax.device_put(jnp.zeros((nv, 12), jnp.int32) - 1, rep)
+    deg = jax.device_put(jnp.zeros(nv, jnp.float32), rep)
+    z = jax.device_put(jnp.zeros((nv, 3), jnp.float32), rep)
+    v2, _, _, e = _device_steps(verts, z, z, jnp.int32(0), pds, adj, deg,
+                                jnp.float32(0.01), jnp.float32(0.5),
+                                jnp.float32(npair))
+    jax.block_until_ready(v2)
+    print(f"dryrun refine OK: {npair} pairs sharded over {len(devs)} devices, "
+          f"E={float(e):.4f}")

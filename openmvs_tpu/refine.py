@@ -6,14 +6,19 @@ into each view, neighbor images are warped through the surface into the
 reference view, and the photo-consistency (ZNCC) energy plus Laplacian
 rigidity drives vertex movement.
 
-TPU-native design: the reference hand-derives every gradient term
-(ComputePhotometricGradient, SceneRefine.cpp:161-175) — here the energy is
-written once in JAX and autodiff produces the vertex gradients.  The only
-non-differentiable piece, rasterization, runs natively per iteration and its
-(face id, barycentric) maps are treated as constants within the step — the
-same "fixed visibility per iteration" assumption the reference makes.
-Per-pair energies are independent, so pairs shard across devices with a psum
-of vertex gradients (replacing the reference's EventThreadPool pair queue).
+TPU-native design: gradients are hand-derived like the reference's
+(ComputePhotometricGradient, SceneRefine.cpp:161-175) — autodiff is applied
+only to the gather-free windowed-ZNCC tail; the bilinear derivative is the
+exact interpolant gradient and the projective/barycentric chain rule is
+explicit (_pair_energy_grad_manual, validated against jax.grad of the full
+energy on CPU to 8e-6).  This keeps the whole step on the TPU: large fused
+gather autodiff graphs miscompile on this backend.  Rasterization runs
+natively per iteration and its (face id, barycentric) maps are constants
+within the step — the reference's "fixed visibility per iteration"
+assumption.  Stacked pairs are vmapped, and on multi-device systems the
+pair axis shards over a 1-D jax Mesh (GSPMD inserts the gradient
+all-reduce), replacing the reference's EventThreadPool pair queue; 4 Adam
+iterations run on device per host re-rasterization round-trip.
 """
 
 from __future__ import annotations
@@ -270,12 +275,14 @@ def _pair_energy_grad_manual(verts: jnp.ndarray, pd: PairData, half: int = 3):
 
 
 @jax.jit
-def _device_steps(v, m, vv2, it0, pds, adj, deg, step0, reg_w):
+def _device_steps(v, m, vv2, it0, pds, adj, deg, step0, reg_w, n_pairs=None):
     """4 refinement iterations on device (energy+grad+Adam), between host
     re-rasterizations.  Module-level with every constant as an argument so
-    the compiled module is shape-keyed only (persistent-cache friendly)."""
+    the compiled module is shape-keyed only (persistent-cache friendly).
+    n_pairs: true pair count when the pair axis is padded for sharding."""
     b1, b2 = 0.9, 0.999
-    n_pairs = pds.imgA.shape[0]
+    if n_pairs is None:
+        n_pairs = pds.imgA.shape[0]
 
     def energy_grad(v):
         es, gs_pairs = jax.vmap(_pair_energy_grad_manual, in_axes=(None, 0))(v, pds)
@@ -466,16 +473,46 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
     v_np = np.asarray(verts)
     iters = max(4, int(opts.iters * (0.5 if scale < 1.0 else 1.0)))
     if _dev is None:
-        # TPU path: stacked pairs, 4 device iterations per host round-trip
+        # TPU path: stacked pairs, 4 device iterations per host round-trip.
+        # With multiple devices the pair axis is sharded over a 1-D mesh
+        # (the reference's EventThreadPool pair queue, SceneRefine.cpp:303):
+        # GSPMD turns the pair-sum of vertex gradients into an all-reduce.
+        shard_pairs = None
+        devs = jax.devices()
+        n_sh = 1
+        if len(devs) > 1 and len(pairs) > 1:
+            from jax.sharding import Mesh as JMesh, NamedSharding, PartitionSpec
+
+            n_sh = min(len(devs), len(pairs))
+            jmesh = JMesh(np.array(devs[:n_sh]), ("pairs",))
+            shard_pairs = NamedSharding(jmesh, PartitionSpec("pairs"))
+            replicate = NamedSharding(jmesh, PartitionSpec())
+
+        def put(pds):
+            if shard_pairs is None:
+                return pds
+            if pds.imgA.shape[0] % n_sh:
+                # pad with all-masked-out dummy pairs (zero energy and grad)
+                padn = n_sh - pds.imgA.shape[0] % n_sh
+                pds = PairData(*[
+                    np.concatenate([x, np.zeros((padn,) + x.shape[1:], x.dtype)])
+                    for x in pds
+                ])
+            return jax.device_put(pds, shard_pairs)
+
         v_d = jnp.asarray(v_np)
         m_d = jnp.zeros_like(v_d)
         vv2_d = jnp.zeros_like(v_d)
+        if shard_pairs is not None:
+            v_d, m_d, vv2_d, adj_j, deg_j = jax.device_put(
+                (v_d, m_d, vv2_d, adj_j, deg_j), replicate)
         for it in range(0, iters, 4):
             v_np = np.asarray(v_d)
-            pds = build_pds_stacked(v_np)
+            pds = put(build_pds_stacked(v_np))
             v_d, m_d, vv2_d, e = device_steps(
                 v_d, m_d, vv2_d, jnp.int32(it), pds, adj_j, deg_j,
-                jnp.float32(step0), jnp.float32(opts.regularity_weight))
+                jnp.float32(step0), jnp.float32(opts.regularity_weight),
+                jnp.float32(len(pairs)))
             if it % 8 == 0:
                 log.info("  iter %d: E=%.5f", it, float(e))
         v_np = np.asarray(v_d)

@@ -63,3 +63,46 @@ def test_smooth_grad_matches_autodiff():
     assert abs(float(e_ad) - float(e_m)) < 1e-6
     np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_ad),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_device_steps_sharded_parity():
+    """Sharding the pair axis over the 8-device CPU mesh (with dummy-pair
+    padding) must not change the refinement step."""
+    import jax
+
+    if len(jax.local_devices()) < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    from openmvs_tpu.refine import PairData, _device_steps, _vertex_adjacency
+
+    verts, pd0 = _toy_pair(seed=0)
+    _, pd1 = _toy_pair(seed=3)
+    pds = PairData(*[np.stack([np.asarray(a), np.asarray(b)])
+                     for a, b in zip(pd0, pd1)])
+    rng = np.random.default_rng(5)
+    faces = rng.integers(0, verts.shape[0], (40, 3))
+    faces = faces[(faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+                  & (faces[:, 0] != faces[:, 2])]
+    adj, deg = _vertex_adjacency(faces, verts.shape[0])
+    args = (jnp.zeros_like(verts), jnp.zeros_like(verts), jnp.int32(0))
+    common = (jnp.asarray(adj), jnp.asarray(deg, jnp.float32),
+              jnp.float32(0.01), jnp.float32(0.5), jnp.float32(2.0))
+    v1, m1, vv1, e1 = _device_steps(verts, *args[:2], args[2], pds, *common)
+
+    devs = jax.local_devices()[:4]
+    mesh = Mesh(np.array(devs), ("pairs",))
+    sh = NamedSharding(mesh, PartitionSpec("pairs"))
+    rep = NamedSharding(mesh, PartitionSpec())
+    padn = 4 - len(pds.imgA) % 4
+    pds_p = PairData(*[np.concatenate([x, np.zeros((padn,) + x.shape[1:], x.dtype)])
+                       for x in pds])
+    pds_s = jax.device_put(pds_p, sh)
+    vr = jax.device_put(verts, rep)
+    v2, m2, vv2, e2 = _device_steps(
+        vr, jax.device_put(args[0], rep), jax.device_put(args[1], rep),
+        args[2], pds_s, *common)
+    assert abs(float(e1) - float(e2)) < 1e-5
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-5,
+                               atol=1e-7)
