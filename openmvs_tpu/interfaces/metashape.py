@@ -59,7 +59,8 @@ def _parse_sensor(s) -> tuple:
 def import_metashape(xml_path: str, images_folder: str = "") -> mvsio.Interface:
     tree = ET.parse(xml_path)
     root = tree.getroot()
-    chunk = root.find(".//chunk") or root
+    found = root.find(".//chunk")
+    chunk = found if found is not None else root
 
     # component/chunk transform (applied to camera poses)
     Tr = np.eye(4)

@@ -24,8 +24,12 @@ log = get_logger("mvsnet")
 
 
 def _parse_cam(path: str):
+    # Strict numeric regex: real *_cam.txt files contain literal header lines
+    # ("extrinsic"/"intrinsic", InterfaceMVSNet.cpp:277-294) whose letters must
+    # not be picked up as numbers (the lone 'e' of "extrinsic" is not a float).
     txt = open(path).read()
-    nums = [float(x) for x in re.findall(r"[-+0-9.eE]+", txt)]
+    num_re = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
+    nums = [float(x) for x in re.findall(num_re, txt)]
     E = np.array(nums[:16]).reshape(4, 4)        # world-to-camera
     K = np.array(nums[16:25]).reshape(3, 3)
     rest = nums[25:]

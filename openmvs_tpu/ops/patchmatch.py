@@ -56,6 +56,12 @@ def _use_pallas() -> bool:
     if os.environ.get("OMVS_NO_PALLAS"):
         return False
     try:
+        # Respect an explicit jax_default_device (e.g. the test suite pins
+        # CPU while a TPU platform is also initialized): route by where the
+        # computation will actually run, not by platform priority.
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return getattr(dev, "platform", "cpu") not in ("cpu",)
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False

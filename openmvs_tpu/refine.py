@@ -421,7 +421,8 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
     import os as _os
 
     _dev = None
-    if _os.environ.get("OMVS_REFINE_CPU_AD"):
+    _use_cpu_ad = bool(_os.environ.get("OMVS_REFINE_CPU_AD"))
+    if _use_cpu_ad:
         try:
             if jax.default_backend() not in ("cpu",):
                 _dev = jax.devices("cpu")[0]
@@ -472,7 +473,7 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
 
     v_np = np.asarray(verts)
     iters = max(4, int(opts.iters * (0.5 if scale < 1.0 else 1.0)))
-    if _dev is None:
+    if not _use_cpu_ad:
         # TPU path: stacked pairs, 4 device iterations per host round-trip.
         # With multiple devices the pair axis is sharded over a 1-D mesh
         # (the reference's EventThreadPool pair queue, SceneRefine.cpp:303):

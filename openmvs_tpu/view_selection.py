@@ -209,13 +209,34 @@ def select_pairs_global(scene: Scene, opts: DenseOptions) -> dict:
                 S[j, i] += vs.score        # symmetrize
     big = S.max() + 1.0 if S.size else 1.0
     cost = big - S
-    # diagonal = "stay unpaired" at zero-score cost, so an odd image count
-    # cannot force the matching off the strong mutual pairs
+    # diagonal = "stay unpaired" (score 0, i.e. cost `big`): any positive-score
+    # pair beats it, so images pair up whenever a usable partner exists and an
+    # odd image count cannot force the matching off the strong mutual pairs
     rows, cols = linear_sum_assignment(cost)
+    partner = {int(r): int(c) for r, c in zip(rows, cols)}
+    # the permutation may contain k-cycles on the symmetrized matrix; keep only
+    # mutual transpositions, then greedily match the cycle leftovers by score
+    # so every reported pair is guaranteed mutual
     pairs = {}
-    for r, c in zip(rows, cols):
-        if r != c and S[r, c] > 0:
+    leftover = []
+    for r in range(n):
+        c = partner.get(r, r)
+        if r != c and partner.get(c) == r and S[r, c] > 0:
             pairs[ids[r]] = ids[c]
+        elif r == c or partner.get(c) != r:
+            leftover.append(r)
+    free = set(leftover)
+    cand = sorted(
+        ((S[r, c], r, c) for r in leftover for c in leftover
+         if r < c and S[r, c] > 0),
+        reverse=True,
+    )
+    for s, r, c in cand:
+        if r in free and c in free:
+            pairs[ids[r]] = ids[c]
+            pairs[ids[c]] = ids[r]
+            free.discard(r)
+            free.discard(c)
     # restrict each image's neighbor list to its assigned partner
     for i, im in enumerate(scene.images):
         tgt = pairs.get(ids[i])

@@ -1,24 +1,41 @@
 import os
 
-# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware (the driver separately dry-runs them).
-# Exception: the gated full-pipeline test (OMVS_RUN_PIPELINE_TEST=1) keeps
-# the native backend so it exercises the real TPU path.
+# The suite keeps BOTH backends live:
+#   - the CPU platform gets 8 virtual devices so multi-chip sharding paths are
+#     exercised without TPU hardware, and is the DEFAULT device so the bulk of
+#     the suite is fast and deterministic;
+#   - the accelerator platform (when present) stays initialized and reachable,
+#     so TPU-capable tests (Pallas kernel parity, the gated full pipeline) run
+#     for real instead of skipping.
+# The gated full-pipeline test (OMVS_RUN_PIPELINE_TEST=1) keeps the native
+# accelerator as the default device to exercise the production TPU path.
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
 if not os.environ.get("OMVS_RUN_PIPELINE_TEST"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    xla_flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in xla_flags:
-        os.environ["XLA_FLAGS"] = (
-            xla_flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
-
-    import jax  # noqa: E402
-
-    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update(
+            "jax_default_device", jax.local_devices(backend="cpu")[0]
+        )
+    except RuntimeError:  # pragma: no cover - cpu platform always exists
+        pass
 
 import pytest  # noqa: E402
 
 REFERENCE_DATA = "/root/reference/apps/Tests/data"
+
+
+def tpu_devices():
+    """Accelerator devices if any non-CPU platform is initialized, else []."""
+    try:
+        return [d for d in jax.devices() if d.platform != "cpu"]
+    except RuntimeError:
+        return []
 
 
 @pytest.fixture(scope="session")

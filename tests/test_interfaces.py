@@ -228,3 +228,69 @@ def test_polycam_import(tmp_path):
     itf = import_polycam(str(tmp_path))
     assert len(itf.images) == 2
     np.testing.assert_allclose(itf.platforms[1].poses[0].C, [0.3, 0, 0], atol=1e-12)
+
+
+def test_mvsnet_import_real_cam_format(tmp_path):
+    """Real MVSNet *_cam.txt files carry literal 'extrinsic'/'intrinsic'
+    header lines (InterfaceMVSNet.cpp:277-294); the parser must not read the
+    lone 'e' of 'extrinsic' as a number."""
+    from PIL import Image
+    from openmvs_tpu.interfaces.mvsnet import import_mvsnet
+
+    (tmp_path / "cams").mkdir()
+    (tmp_path / "images").mkdir()
+    cam_txt = """extrinsic
+1.0 0.0 0.0 0.5
+0.0 1.0 0.0 0.0
+0.0 0.0 1.0 0.0
+0.0 0.0 0.0 1.0
+
+intrinsic
+600.0 0.0 320.0
+0.0 600.0 240.0
+0.0 0.0 1.0
+
+2.5 0.01 192 4.42
+"""
+    (tmp_path / "cams" / "00000000_cam.txt").write_text(cam_txt)
+    Image.new("RGB", (640, 480)).save(tmp_path / "images" / "00000000.jpg")
+    itf = import_mvsnet(str(tmp_path))
+    assert len(itf.images) == 1
+    np.testing.assert_allclose(itf.platforms[0].poses[0].C, [-0.5, 0, 0])
+    np.testing.assert_allclose(itf.platforms[0].cameras[0].K[0, 0] /
+                               itf.platforms[0].cameras[0].width * 640, 600.0)
+    assert itf.images[0].min_depth == 2.5
+    assert itf.images[0].max_depth == 4.42
+
+
+def test_select_pairs_global_mutual():
+    """Every pair reported by the global stereo pairing must be mutual."""
+    from openmvs_tpu.view_selection import select_pairs_global
+    from openmvs_tpu.config import DenseOptions
+
+    class _M:  # minimal stand-ins
+        def __init__(self, id, vs):
+            self.id = id
+            self.view_scores = vs
+
+    class _I:
+        def __init__(self, meta):
+            self.meta = meta
+
+    class _S:
+        pass
+
+    # scores engineered to produce a 3-cycle on the symmetrized matrix:
+    # 0->1 strong, 1->2 strong, 2->0 strong
+    VS = mvsio.ViewScore
+    sc = _S()
+    sc.images = [
+        _I(_M(0, [VS(id=1, score=10.0), VS(id=2, score=9.0)])),
+        _I(_M(1, [VS(id=2, score=10.0), VS(id=0, score=1.0)])),
+        _I(_M(2, [VS(id=0, score=10.0), VS(id=1, score=1.0)])),
+        _I(_M(3, [VS(id=0, score=0.5)])),
+    ]
+    sc.n_views = 4
+    pairs = select_pairs_global(sc, DenseOptions())
+    for a, b in pairs.items():
+        assert pairs.get(b) == a, f"pair {a}->{b} not mutual"

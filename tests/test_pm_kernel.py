@@ -27,8 +27,11 @@ def _example():
 
 
 def test_pallas_kernel_matches_cpu_scorer():
-    if jax.default_backend() == "cpu":
-        pytest.skip("Pallas TPU kernel requires a TPU backend")
+    from conftest import tpu_devices
+
+    tpus = tpu_devices()
+    if not tpus:
+        pytest.skip("Pallas TPU kernel requires a TPU device")
     from openmvs_tpu.ops import patchmatch as pm
     from openmvs_tpu.ops.pm_kernel import score_view_pallas
 
@@ -42,12 +45,15 @@ def test_pallas_kernel_matches_cpu_scorer():
     )
     with jax.default_device(cpu):
         ref = np.asarray(pm._score_one_view_scan(*args_cpu)[0])
-    out = np.asarray(score_view_pallas(
-        data.views.image[j], data.views.size[j], data.views.Hl[j], data.views.Hm[j],
-        cd, cn, inv_nd, data.X0, data.goff, data.w, data.wtm,
-        data.sum_w, data.norm_sq0,
-        n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust),
-    ))
+    tput = lambda t: jax.tree.map(lambda x: jax.device_put(x, tpus[0]), t)
+    with jax.default_device(tpus[0]):
+        data_t, cd_t, cn_t, ind_t = tput((data, cd, cn, inv_nd))
+        out = np.asarray(score_view_pallas(
+            data_t.views.image[j], data_t.views.size[j], data_t.views.Hl[j],
+            data_t.views.Hm[j], cd_t, cn_t, ind_t, data_t.X0, data_t.goff,
+            data_t.w, data_t.wtm, data_t.sum_w, data_t.norm_sq0,
+            n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust),
+        ))
     valid = np.asarray(cd) > 0
     d = np.abs(out - ref)[valid]
     assert (d < 1e-3).mean() > 0.999
