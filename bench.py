@@ -4,11 +4,14 @@ Runs the flagship kernel path (full per-view PatchMatch estimation: pyramid,
 photometric sweeps, geometric-consistency iterations) on the bundled 4-image
 scene and reports depth-maps/s on this chip.
 
-Baseline: the reference publishes no numbers (BASELINE.md); the anchor used
-here is the reference's CPU estimator on the same 640x480 scene at default
-options, ~4 s/view on a desktop CPU (measured class of machine for
-DepthEstimator at 0.3 MP with 3+2 iterations), i.e. 0.25 depth-maps/s.
-vs_baseline = ours / 0.25.
+Baseline: the reference publishes no numbers (BASELINE.md) and cannot be
+built in this image, so the anchor is MEASURED on this host via
+bench_ref/ref_pm_workload.cpp — a faithful C++ implementation of the
+reference estimator workload (same op counts as DepthMap.cpp:465-912,
+3+2 iters, 3-level pyramid, 3 views): 0.17 depth-maps/s on this machine's
+CPU (1 core; ~7.5M hypothesis-view scores/s/core — methodology and
+multi-core scaling context in bench_ref/BASELINE_MEASURED.md).
+vs_baseline = ours / 0.17.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -21,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_DEPTH_MAPS_PER_S = 0.25
+BASELINE_DEPTH_MAPS_PER_S = 0.17
 
 
 def main():
