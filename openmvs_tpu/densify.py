@@ -54,7 +54,7 @@ def _resize_gray(gray: np.ndarray, scale: float) -> np.ndarray:
     return imio.resize_area(gray, max(1, round(w * scale)), max(1, round(h * scale)))
 
 
-def _build_pm_data(
+def _assemble_pm_host(
     ref_gray: np.ndarray,
     ref_cam: Camera,
     nbr_grays: List[np.ndarray],
@@ -62,15 +62,23 @@ def _build_pm_data(
     opts: DenseOptions,
     d_min: float,
     d_max: float,
-    lowres_prior: Optional[np.ndarray],
     nbr_depths: Optional[List[np.ndarray]] = None,
     usable: Optional[np.ndarray] = None,
-) -> patchmatch.PMData:
-    """Assemble the static per-view arrays consumed by the PatchMatch sweep."""
+    pad_views: int = 0,
+    pad_hw: Optional[Tuple[int, int]] = None,
+) -> dict:
+    """Host-side (numpy) assembly of the per-view pack_pm_data operands.
+
+    pad_views / pad_hw pad the neighbor-view axis and the neighbor-image
+    extents to common sizes so multiple reference views can be stacked for
+    the sharded multi-chip path (a padded view has size (0,0): every sample
+    lands out of bounds, scores th_robust, and min-mean ignores it)."""
     H, W = ref_gray.shape
-    V = len(nbr_grays)
+    V = max(len(nbr_grays), pad_views)
     Hp = max(g.shape[0] for g in nbr_grays)
     Wp = max(g.shape[1] for g in nbr_grays)
+    if pad_hw is not None:
+        Hp, Wp = max(Hp, pad_hw[0]), max(Wp, pad_hw[1])
 
     images = np.zeros((V, Hp, Wp), np.float32)
     sizes = np.zeros((V, 2), np.float32)
@@ -100,26 +108,11 @@ def _build_pm_data(
             Tr[j] = Ki @ Ri @ cam.R.T @ np.linalg.inv(cam.K)
             Tn[j] = Ki @ Ri @ (cam.C - Ci)
 
-    # per-pixel back-projected rays
-    uu, vv = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
-    Kinv = ref_cam.Kinv
-    ones = np.ones_like(uu)
-    X0 = np.stack([uu, vv, ones], axis=-1) @ Kinv.T
     offs = patchmatch.texel_offsets(opts)
+    Kinv = ref_cam.Kinv
     goff = np.concatenate([offs, np.zeros((len(offs), 1), np.float32)], axis=-1) @ Kinv.T
 
-    ref_j = jnp.asarray(ref_gray, jnp.float32)
-    w_, wtm, sum_w, norm_sq0 = patchmatch.compute_patch_weights(ref_j, opts)
-
-    # valid: full window inside + textured (or has a low-res prior)
-    b = opts.window_half
-    inside = np.zeros((H, W), bool)
-    inside[b : H - b, b : W - b] = True
-    th_mag_sq = opts.descriptor_min_magnitude ** 2 if opts.descriptor_min_magnitude > 0 else -1.0
-    textured = norm_sq0 >= th_mag_sq  # on device: no host sync per level
-    lowres = lowres_prior if lowres_prior is not None else np.zeros((H, W), np.float32)
-    lowres = jnp.asarray(lowres, jnp.float32)
-    valid = jnp.asarray(inside) & (textured | (lowres > 0))
+    um = np.ones((H, W), bool)
     if usable is not None:
         um = usable
         if um.shape != (H, W):
@@ -127,34 +120,40 @@ def _build_pm_data(
 
             um = cv2.resize(um.astype(np.uint8), (W, H),
                             interpolation=cv2.INTER_NEAREST).astype(bool)
-        valid = valid & jnp.asarray(um)
 
-    views = patchmatch.PMViews(
-        image=jnp.asarray(images),
-        size=jnp.asarray(sizes),
-        Hl=jnp.asarray(Hl),
-        Hm=jnp.asarray(Hm),
-        depth=jnp.asarray(depths),
-        Tl=jnp.asarray(Tl),
-        Tm=jnp.asarray(Tm),
-        Tr=jnp.asarray(Tr),
-        Tn=jnp.asarray(Tn),
+    return dict(
+        ref_gray=ref_gray.astype(np.float32), images=images, sizes=sizes,
+        Hl=Hl, Hm=Hm, depths=depths, Tl=Tl, Tm=Tm, Tr=Tr, Tn=Tn,
+        KinvT=np.ascontiguousarray(Kinv.T).astype(np.float32),
+        goff=goff.astype(np.float32),
+        d_min=np.float32(d_min), d_max=np.float32(d_max), usable=um,
     )
-    uv_px = np.stack([uu, vv], axis=-1).astype(np.float32)
-    return patchmatch.PMData(
-        ref=ref_j,
-        X0=jnp.asarray(X0, jnp.float32),
-        goff=jnp.asarray(goff, jnp.float32),
-        w=w_,
-        wtm=wtm,
-        sum_w=sum_w,
-        norm_sq0=norm_sq0,
-        views=views,
-        d_min=jnp.float32(d_min),
-        d_max=jnp.float32(d_max),
-        lowres=lowres,
-        valid=valid,
-        uv=jnp.asarray(uv_px),
+
+
+def _build_pm_data(
+    ref_gray: np.ndarray,
+    ref_cam: Camera,
+    nbr_grays: List[np.ndarray],
+    nbr_cams: List[Camera],
+    opts: DenseOptions,
+    d_min: float,
+    d_max: float,
+    lowres_prior: Optional[np.ndarray],
+    nbr_depths: Optional[List[np.ndarray]] = None,
+    usable: Optional[np.ndarray] = None,
+) -> patchmatch.PMData:
+    """Assemble the static per-view arrays consumed by the PatchMatch sweep.
+
+    One jit call = one host->device transfer for everything (X0/uv/valid are
+    derived on-device from iota + Kinv)."""
+    h = _assemble_pm_host(ref_gray, ref_cam, nbr_grays, nbr_cams, opts,
+                          d_min, d_max, nbr_depths, usable)
+    H, W = ref_gray.shape
+    lowres = lowres_prior if lowres_prior is not None else np.zeros((H, W), np.float32)
+    return patchmatch.pack_pm_data(
+        opts, h["ref_gray"], h["images"], h["sizes"], h["Hl"], h["Hm"],
+        h["depths"], h["Tl"], h["Tm"], h["Tr"], h["Tn"], h["KinvT"],
+        h["goff"], h["d_min"], h["d_max"], lowres, h["usable"],
     )
 
 
@@ -259,16 +258,24 @@ def estimate_depth_map(
         state = patchmatch.init_state(
             data, opts, key, jnp.asarray(sd), jnp.asarray(sn), nV, is_geometric
         )
-        # exact scoring everywhere: on TPU it rides the Pallas kernel (fast
-        # AND the only correct gather path on this backend); on CPU the XLA
-        # scorer is exact by construction.  "nn"/"warp" modes remain for
-        # experimentation via sweep() directly.
+        # Sweep schedule: candidate-SEARCH sweeps sample nearest-texel ("nn";
+        # on TPU via the Pallas kernel's nearest mode, ~1.5x faster) with the
+        # full 8-offset propagation early and 4 offsets once information has
+        # travelled; the FINAL sweep is exact bilinear so the surviving
+        # hypotheses and confidences match reference scoring semantics
+        # (DepthMap.cpp:465-564).  The mode switch triggers an exact rescore
+        # of the incumbent state so candidates compete on comparable scores.
+        all_exact = bool(os.environ.get("OMVS_ALL_EXACT"))
+        prop8 = bool(os.environ.get("OMVS_PROP8"))
         prev_mode = None
         for it in range(n_iters):
-            mode = "exact"
+            last = it == n_iters - 1
+            mode = "exact" if (last or all_exact) else "nn"
+            n_prop = 8 if (prop8 or (it < 2 and not is_geometric)) else 4
             state = patchmatch.sweep(
                 state, data, opts, jax.random.fold_in(key, it + 1), nV, is_geometric,
                 mode=mode, rescore_state=(prev_mode is not None and mode != prev_mode),
+                n_prop=n_prop,
             )
             prev_mode = mode
         state_np = (state.depth, state.normal)  # stays on device
@@ -276,9 +283,14 @@ def estimate_depth_map(
 
     geometric_follows = (not is_geometric) and opts.estimation_geometric_iters > 0
     final = patchmatch.finalize(result_state, data, opts, geometric_follows)
-    depth = np.asarray(final.depth).copy()
-    normal = np.asarray(final.normal).copy()
-    conf = np.asarray(final.conf).copy()
+    # single packed download: one transfer instead of three round-trips.
+    # np.array(copy=True): the zero-copy view from the device buffer is
+    # read-only, and depending on its layout a slice can alias it — the
+    # results must be writable (optimize_depth_map mutates in place)
+    packed = np.asarray(patchmatch.pack_state(final))
+    depth = np.array(packed[..., 0], np.float32, copy=True, order="C")
+    normal = np.array(packed[..., 1:4], np.float32, copy=True, order="C")
+    conf = np.array(packed[..., 4], np.float32, copy=True, order="C")
     return DepthMapResult(
         image_idx=ref_idx,
         depth=depth,
@@ -408,8 +420,14 @@ def dense_reconstruction(
     max_dim: Optional[int] = None,
     save_dmaps_to: Optional[str] = None,
     devices: Optional[list] = None,
+    mesh=None,
 ) -> PointCloud:
     """Full dense pipeline: estimate all depth maps, filter, fuse.
+
+    mesh: a jax.sharding.Mesh with ("views", "tile") axes routes estimation
+    through the production multi-chip path (parallel.sharded — views
+    data-parallel, rows halo-exchanged over ICI); results are identical to
+    the serial path (position-anchored candidate RNG).
 
     With multiple local devices (TPU chips), reference views are distributed
     across them (one view's estimation per chip, the analogue of the
@@ -437,21 +455,68 @@ def dense_reconstruction(
     if len(devices) > 1:
         log.info("distributing views over %d devices", len(devices))
 
-    # pass 1: photometric estimation
+    # per-view resume: views whose final .dmap already exists skip
+    # re-estimation entirely and serve as neighbor inputs (the reference
+    # skips existing depthNNNN.dmap files on rerun, SceneDensify.cpp:2010-2029)
     results: Dict[int, DepthMapResult] = {}
+    resumed: set = set()
+    if save_dmaps_to:
+        id_to_idx0 = {im.meta.id: i for i, im in enumerate(scene.images)}
+        for img in scene.images:
+            p = os.path.join(save_dmaps_to, f"depth{img.meta.id:04d}.dmap")
+            if not os.path.exists(p):
+                continue
+            dd = dmapio.load(p)
+            results[img.meta.id] = DepthMapResult(
+                image_idx=id_to_idx0[img.meta.id],
+                depth=dd.depth,
+                normal=dd.normal if dd.normal is not None
+                else np.zeros(dd.depth.shape + (3,), np.float32),
+                conf=dd.conf if dd.conf is not None
+                else (dd.depth > 0).astype(np.float32),
+                d_min=dd.depth_min, d_max=dd.depth_max,
+                neighbor_ids=[int(v) for v in dd.view_ids[1:]],
+                camera=Camera(dd.K, dd.R, dd.C),
+            )
+            resumed.add(img.meta.id)
+        if resumed:
+            log.info("resume: %d views loaded from existing dmaps", len(resumed))
+
+    # pass 1: photometric estimation
+    use_sharded = (
+        mesh is not None and int(np.prod(mesh.devices.shape)) > 1
+        and opts.estimator != "sgm"
+    )
+    if use_sharded:
+        from openmvs_tpu.parallel import sharded as shmod
+
+        with timed(log, f"photometric pass sharded {tuple(mesh.devices.shape)}"):
+            results.update(shmod.estimate_views_sharded(
+                scene, opts, mesh, skip_ids=resumed))
+        for gi in range(opts.estimation_geometric_iters):
+            with timed(log, f"geometric pass {gi} sharded"):
+                new = shmod.estimate_views_sharded(
+                    scene, opts, mesh, prev_results=results, geometric_iter=gi,
+                    skip_ids=resumed)
+                new.update({rid: results[rid] for rid in resumed if rid in results})
+                results = new
     estimator = estimate_depth_map_sgm if opts.estimator == "sgm" else estimate_depth_map
-    with timed(log, f"photometric pass ({scene.n_views} views)"):
-        raw = _run_views_parallel(
-            lambda i: estimator(scene, i, opts), range(scene.n_views), devices
-        )
-    for i, r in raw.items():
-        if r is not None:
-            results[scene.images[i].meta.id] = r
+    if not use_sharded:
+        todo = [i for i in range(scene.n_views)
+                if scene.images[i].meta.id not in resumed]
+        with timed(log, f"photometric pass ({len(todo)} views)"):
+            raw = _run_views_parallel(
+                lambda i: estimator(scene, i, opts), todo, devices
+            )
+        for i, r in raw.items():
+            if r is not None:
+                results[scene.images[i].meta.id] = r
 
     # pass 2: geometric-consistency re-estimation
-    for gi in range(opts.estimation_geometric_iters):
+    for gi in range(opts.estimation_geometric_iters if not use_sharded else 0):
         have = [i for i in range(scene.n_views)
-                if scene.images[i].meta.id in results]
+                if scene.images[i].meta.id in results
+                and scene.images[i].meta.id not in resumed]
         with timed(log, f"geometric pass {gi} ({len(have)} views)"):
             raw = _run_views_parallel(
                 lambda i: estimate_depth_map(
@@ -514,29 +579,83 @@ def dense_reconstruction(
 
     # fusion
     with timed(log, "fuse depth maps"):
-        id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
-        vdd = []
-        for rid, r in results.items():
-            img = scene.images[id_to_idx[rid]]
-            color = img.color
-            if color is not None and color.shape[:2] != r.depth.shape:
-                color = imio.resize_area(color, r.depth.shape[1], r.depth.shape[0])
-            vdd.append(
-                fusion.ViewDepthData(
-                    image_idx=r.image_idx,
-                    image_id=rid,
-                    camera=r.camera,
-                    depth=r.depth,
-                    normal=r.normal,
-                    conf=r.conf,
-                    color=color,
-                    neighbor_ids=r.neighbor_ids,
-                )
+        use_stream = (opts.fuse_mode != "merge" and save_dmaps_to
+                      and len(results) > 16)
+        if use_stream:
+            # large scene: FREE the in-RAM maps and stream them back from
+            # the .dmap files on demand — fusion peak memory is bounded by
+            # the provider cache, not the view count (the reference's
+            # ref-counted dmap unload, DepthMap.h:217-218)
+            meta = [(rid, r.image_idx, list(r.neighbor_ids))
+                    for rid, r in results.items()]
+            max_nb = max((len(m[2]) for m in meta), default=2)
+            for r in results.values():
+                r.depth = r.normal = r.conf = None
+            provider = fusion.ViewProvider(
+                [m[0] for m in meta],
+                _dmap_fusion_loader(scene, save_dmaps_to, meta),
+                max_cached=max_nb + 2,
             )
-        fuse_fn = (fusion.merge_depth_maps if opts.fuse_mode == "merge"
-                   else fusion.fuse_depth_maps)
-        pc = fuse_fn(
-            vdd, opts, estimate_color=opts.estimate_colors > 0, estimate_normal=opts.estimate_normals > 0
-        )
+            pc = fusion.fuse_depth_maps(
+                None, opts, estimate_color=opts.estimate_colors > 0,
+                estimate_normal=opts.estimate_normals > 0, provider=provider)
+        else:
+            id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
+            vdd = []
+            for rid, r in results.items():
+                img = scene.images[id_to_idx[rid]]
+                color = img.color
+                if color is not None and color.shape[:2] != r.depth.shape:
+                    color = imio.resize_area(color, r.depth.shape[1], r.depth.shape[0])
+                vdd.append(
+                    fusion.ViewDepthData(
+                        image_idx=r.image_idx,
+                        image_id=rid,
+                        camera=r.camera,
+                        depth=r.depth,
+                        normal=r.normal,
+                        conf=r.conf,
+                        color=color,
+                        neighbor_ids=r.neighbor_ids,
+                    )
+                )
+            fuse_fn = (fusion.merge_depth_maps if opts.fuse_mode == "merge"
+                       else fusion.fuse_depth_maps)
+            pc = fuse_fn(
+                vdd, opts, estimate_color=opts.estimate_colors > 0,
+                estimate_normal=opts.estimate_normals > 0
+            )
+    if save_dmaps_to and opts.remove_dmaps:
+        # --remove-dmaps role (DensifyPointCloud.cpp): artifacts are only
+        # intermediate, delete after fusion
+        for rid in results:
+            p = os.path.join(save_dmaps_to, f"depth{rid:04d}.dmap")
+            if os.path.exists(p):
+                os.remove(p)
     log.info("dense point cloud: %d points", len(pc))
     return pc
+
+
+def _dmap_fusion_loader(scene, folder: str, meta_list):
+    """ViewProvider loader reading final per-view .dmap files."""
+    meta = {rid: (image_idx, nbr_ids) for rid, image_idx, nbr_ids in meta_list}
+
+    def load(vid):
+        path = os.path.join(folder, f"depth{vid:04d}.dmap")
+        if vid not in meta or not os.path.exists(path):
+            return None
+        dd = dmapio.load(path)
+        image_idx, nbr_ids = meta[vid]
+        img = scene.images[image_idx]
+        color = img.color
+        if color is not None and color.shape[:2] != dd.depth.shape:
+            color = imio.resize_area(color, dd.depth.shape[1], dd.depth.shape[0])
+        return fusion.ViewDepthData(
+            image_idx=image_idx, image_id=vid,
+            camera=Camera(dd.K, dd.R, dd.C),
+            depth=dd.depth,
+            normal=dd.normal, conf=dd.conf, color=color,
+            neighbor_ids=nbr_ids,
+        )
+
+    return load

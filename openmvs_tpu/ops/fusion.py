@@ -45,22 +45,112 @@ def conf2weight(conf: np.ndarray, depth: np.ndarray) -> np.ndarray:
     return 1.0 / (np.maximum(1.0 - conf, 0.03) * depth * depth)
 
 
+class ViewProvider:
+    """Serves ViewDepthData by image id for fusion.
+
+    The streamed variant bounds fusion memory to O(max_cached) loaded depth
+    maps (the role of the reference's ref-counted lazy dmap load/unload,
+    DepthMap.h:217-218): maps are (re)loaded from .dmap files on demand and
+    evicted LRU; conflict invalidations are kept as per-view overlays so an
+    evicted-and-reloaded map keeps its zeroed pixels.
+    """
+
+    def __init__(self, view_ids: Sequence[int], loader, max_cached: int = 6):
+        from collections import OrderedDict
+
+        self._ids = list(view_ids)
+        self._loader = loader
+        self._max = max(2, max_cached)
+        self._cache: "OrderedDict[int, ViewDepthData]" = OrderedDict()
+        self._invalid: Dict[int, np.ndarray] = {}   # vid -> linear idx array
+        self._meta: Dict[int, tuple] = {}           # vid -> (shape, nbr_ids)
+
+    def ids(self) -> List[int]:
+        return list(self._ids)
+
+    def _load(self, vid: int) -> Optional[ViewDepthData]:
+        v = self._loader(vid)
+        if v is None:
+            return None
+        inv = self._invalid.get(vid)
+        if inv is not None and len(inv):
+            v.depth.reshape(-1)[inv] = 0
+        self._meta[vid] = (v.depth.shape, tuple(v.neighbor_ids))
+        return v
+
+    def get(self, vid: int) -> Optional[ViewDepthData]:
+        if vid in self._cache:
+            self._cache.move_to_end(vid)
+            return self._cache[vid]
+        v = self._load(vid)
+        if v is None:
+            return None
+        self._cache[vid] = v
+        if len(self._cache) > self._max:
+            self._cache.popitem(last=False)
+        return v
+
+    def meta(self, vid: int):
+        if vid not in self._meta:
+            self.get(vid)
+        return self._meta.get(vid)
+
+    def invalidate(self, vid: int, lin: np.ndarray) -> None:
+        v = self._cache.get(vid)
+        if v is not None:
+            v.depth.reshape(-1)[lin] = 0
+        prev = self._invalid.get(vid)
+        self._invalid[vid] = lin if prev is None else np.union1d(prev, lin)
+
+
+class _InMemoryProvider(ViewProvider):
+    """All views resident; depth maps are COPIED on entry so fusion's
+    conflict invalidation never mutates the caller's arrays (reference
+    semantics zero them in place, SceneDensify.cpp:1504-1603 — surprising
+    for a functional API and unsafe for retries)."""
+
+    def __init__(self, views: List[ViewDepthData]):
+        self._views = {
+            v.image_id: ViewDepthData(
+                image_idx=v.image_idx, image_id=v.image_id, camera=v.camera,
+                depth=v.depth.copy(), normal=v.normal, conf=v.conf,
+                color=v.color, neighbor_ids=v.neighbor_ids)
+            for v in views
+        }
+        super().__init__([v.image_id for v in views],
+                         lambda vid: self._views.get(vid),
+                         max_cached=len(views) + 1)
+
+
+
 def fuse_depth_maps(
-    views: List[ViewDepthData],
-    opts: DenseOptions,
+    views: Optional[List[ViewDepthData]] = None,
+    opts: DenseOptions = None,
     estimate_color: bool = True,
     estimate_normal: bool = True,
+    provider: Optional[ViewProvider] = None,
 ) -> PointCloud:
+    """Greedy claim-based multi-view fusion (FuseDepthMaps,
+    SceneDensify.cpp:1372-1646).
+
+    Pass either `views` (all maps resident; inputs are copied, never
+    mutated) or a `provider` (streamed: maps loaded from disk on demand,
+    memory bounded by the provider's cache size)."""
+    if provider is None:
+        provider = _InMemoryProvider(views)
     n_min_fuse = opts.min_views_fuse
     cos_normal_err = np.cos(np.radians(opts.normal_diff_threshold))
-    by_id: Dict[int, ViewDepthData] = {v.image_id: v for v in views}
     # ownership: per view, map pixel -> fused point index (-1 free, -2 consumed)
-    owner: Dict[int, np.ndarray] = {
-        v.image_id: np.full(v.depth.shape, -1, np.int64) for v in views
-    }
+    owner: Dict[int, np.ndarray] = {}
+
+    def own(vid, shape):
+        if vid not in owner:
+            owner[vid] = np.full(shape, -1, np.int64)
+        return owner[vid]
 
     # process best-connected images first (connection score = #neighbors)
-    order = sorted(range(len(views)), key=lambda i: -len(views[i].neighbor_ids))
+    ids = provider.ids()
+    order = sorted(ids, key=lambda vid: -len((provider.meta(vid) or ((), ()))[1]))
 
     all_pts: List[np.ndarray] = []
     all_views: List[np.ndarray] = []     # flattened (point, view) pairs
@@ -70,10 +160,12 @@ def fuse_depth_maps(
     all_normals: List[np.ndarray] = []
     next_point_idx = 0
 
-    for oi in order:
-        ref = views[oi]
+    for vid in order:
+        ref = provider.get(vid)
+        if ref is None:
+            continue
         h, w = ref.depth.shape
-        own_ref = owner[ref.image_id]
+        own_ref = own(ref.image_id, ref.depth.shape)
         yy, xx = np.nonzero((ref.depth > 0) & (own_ref == -1))
         if len(yy) == 0:
             continue
@@ -105,7 +197,7 @@ def fuse_depth_maps(
         claims: List[tuple] = []  # (view_id, candidate_rows, lin_pixels)
 
         for nb_id in ref.neighbor_ids:
-            nb = by_id.get(nb_id)
+            nb = provider.get(nb_id)
             if nb is None:
                 continue
             hb, wb = nb.depth.shape
@@ -120,7 +212,7 @@ def fuse_depth_maps(
             ix_c = np.clip(ix, 0, wb - 1)
             iy_c = np.clip(iy, 0, hb - 1)
             db = nb.depth[iy_c, ix_c].astype(np.float64)
-            own_nb = owner[nb.image_id]
+            own_nb = own(nb.image_id, nb.depth.shape)
             free = own_nb[iy_c, ix_c] == -1
             has_depth = inside & (db > 0) & free
             similar = has_depth & (np.abs(zb - db) < opts.depth_diff_threshold * zb)
@@ -159,13 +251,11 @@ def fuse_depth_maps(
                 # invalidate conflicting neighbor depths in front of the point
                 conflict = has_depth & ~similar & (zb > db)
                 if conflict.any():
-                    cl = np.unique(lin[conflict])
-                    nb.depth.reshape(-1)[cl] = 0
+                    provider.invalidate(nb.image_id, np.unique(lin[conflict]))
             else:
                 conflict = has_depth & ~similar & (zb > db)
                 if conflict.any():
-                    cl = np.unique(lin[conflict])
-                    nb.depth.reshape(-1)[cl] = 0
+                    provider.invalidate(nb.image_id, np.unique(lin[conflict]))
 
         keep = n_views_pt >= n_min_fuse
         # mark ownership for kept points; release claims of dropped points

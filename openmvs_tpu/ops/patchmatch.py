@@ -132,6 +132,67 @@ def texel_offsets(opts: DenseOptions) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
+def pack_pm_data(
+    opts: DenseOptions,
+    ref_gray,      # (H, W)
+    images,        # (V, Hp, Wp)
+    sizes,         # (V, 2)
+    Hl,            # (V, 3, 3)
+    Hm,            # (V, 3)
+    depths,        # (V, Hp, Wp) neighbor depth maps (zeros when photometric)
+    Tl, Tm, Tr, Tn,
+    KinvT,         # (3, 3) ref Kinv transposed
+    goff,          # (T, 3)
+    d_min, d_max,  # scalars
+    lowres,        # (H, W) low-res prior (zeros when none)
+    usable,        # (H, W) bool mask
+) -> PMData:
+    """Assemble PMData fully on-device from ONE host->device upload.
+
+    Separate jnp.asarray calls pay a transfer round-trip each on tunneled
+    backends (~25 ms x ~14 arrays was ~0.4 s per pyramid level); a single jit
+    call ships every host operand in one transfer and derives X0/uv/valid
+    with device iota math.
+    """
+    H, W = ref_gray.shape
+    ref_j = ref_gray.astype(jnp.float32)
+    w_, wtm, sum_w, norm_sq0 = compute_patch_weights(ref_j, opts)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    # elementwise (NOT @/einsum): tiny matmuls silently lower to MXU default
+    # precision on this backend, which is fatal for pixel-coordinate math
+    KT = KinvT.astype(jnp.float32)
+    X0 = jnp.stack(
+        [uu * KT[0, j] + vv * KT[1, j] + KT[2, j] for j in range(3)], axis=-1
+    )
+    b = opts.window_half
+    inside = (uu >= b) & (uu < W - b) & (vv >= b) & (vv < H - b)
+    th_mag_sq = (
+        opts.descriptor_min_magnitude ** 2
+        if opts.descriptor_min_magnitude > 0 else -1.0
+    )
+    lowres = lowres.astype(jnp.float32)
+    valid = inside & ((norm_sq0 >= th_mag_sq) | (lowres > 0)) & usable
+    views = PMViews(
+        image=images.astype(jnp.float32), size=sizes.astype(jnp.float32),
+        Hl=Hl.astype(jnp.float32), Hm=Hm.astype(jnp.float32),
+        depth=depths.astype(jnp.float32), Tl=Tl.astype(jnp.float32),
+        Tm=Tm.astype(jnp.float32), Tr=Tr.astype(jnp.float32),
+        Tn=Tn.astype(jnp.float32),
+    )
+    return PMData(
+        ref=ref_j,
+        X0=X0,
+        goff=goff.astype(jnp.float32),
+        w=w_, wtm=wtm, sum_w=sum_w, norm_sq0=norm_sq0,
+        views=views,
+        d_min=jnp.float32(d_min), d_max=jnp.float32(d_max),
+        lowres=lowres, valid=valid,
+        uv=jnp.stack([uu, vv], axis=-1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
 def compute_patch_weights(ref: jnp.ndarray, opts: DenseOptions):
     """Bilateral patch weights and weighted texel stats for every pixel.
 
@@ -458,7 +519,7 @@ def score_hypotheses(
         return jnp.minimum(s, 2.0)
 
     big = jnp.full(depth.shape, jnp.inf, jnp.float32)
-    if mode == "exact" and _use_pallas():
+    if mode in ("exact", "nn") and _use_pallas():
         from openmvs_tpu.ops.pm_kernel import score_view_pallas
 
         s0, s1 = big, big
@@ -468,6 +529,7 @@ def score_hypotheses(
                 depth, normal, inv_nd, data.X0, data.goff, data.w, data.wtm,
                 data.sum_w, data.norm_sq0,
                 n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust),
+                nearest=(mode == "nn"),
             ), None
             s = finish_view(s, v.depth[j], v.size[j], v.Tl[j], v.Tm[j],
                             v.Tr[j], v.Tn[j])
@@ -534,28 +596,55 @@ def _dir_to_normal(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
 _RAND_BLK = 8
 
 
-def _block_uniform(key, shape, minval=0.0, maxval=1.0):
-    H, W = shape
-    hb = -(-H // _RAND_BLK)
-    wb = -(-W // _RAND_BLK)
-    u = jax.random.uniform(key, (hb, wb), minval=minval, maxval=maxval)
-    u = jnp.repeat(jnp.repeat(u, _RAND_BLK, axis=0), _RAND_BLK, axis=1)
-    return u[:H, :W]
+def _block_uniform(key, uv, minval=0.0, maxval=1.0):
+    """Position-anchored per-block uniforms.
+
+    A counter-based hash of (key, GLOBAL block coordinates) rather than a
+    draw shaped like the local array: a pixel sees the same value no matter
+    how the image is sharded, row-tiled, or parity-compacted — the property
+    the multi-chip tile sharding relies on for cross-sharding determinism
+    (parallel/sharded.py).  `uv` is data.uv, the global pixel coordinates.
+    """
+    if _os.environ.get("OMVS_OLD_RNG"):  # diagnostic: shape-based draws
+        H, W = uv.shape[:2]
+        hb = -(-H // _RAND_BLK)
+        wb = -(-W // _RAND_BLK)
+        u = jax.random.uniform(key, (hb, wb), minval=minval, maxval=maxval)
+        u = jnp.repeat(jnp.repeat(u, _RAND_BLK, axis=0), _RAND_BLK, axis=1)
+        return u[:H, :W]
+    kd = key
+    if hasattr(jax.random, "key_data"):
+        try:
+            kd = jax.random.key_data(key)
+        except Exception:
+            kd = key
+    kd = jnp.asarray(kd).reshape(-1).astype(jnp.uint32)
+    bx = (uv[..., 0].astype(jnp.int32) // _RAND_BLK).astype(jnp.uint32)
+    by = (uv[..., 1].astype(jnp.int32) // _RAND_BLK).astype(jnp.uint32)
+    h = kd[0] ^ (bx * jnp.uint32(0x85EBCA6B)) ^ (by * jnp.uint32(0x9E3779B9)) ^ kd[-1]
+    # murmur3-style avalanche
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    u = h.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    return minval + u * (maxval - minval)
 
 
-def _random_normal(key, shape, view_dir):
+def _random_normal(key, uv, view_dir):
     """Random camera-facing normal (DepthMap.h:439-444)."""
     k1, k2 = jax.random.split(key)
-    theta = _block_uniform(k1, shape, minval=0.0, maxval=math.pi)
-    phi = _block_uniform(k2, shape, minval=math.pi / 2, maxval=math.pi)
+    theta = _block_uniform(k1, uv, minval=0.0, maxval=math.pi)
+    phi = _block_uniform(k2, uv, minval=math.pi / 2, maxval=math.pi)
     n = _dir_to_normal(theta, phi)
     flip = jnp.einsum("hwc,hwc->hw", n, view_dir) > 0
     return jnp.where(flip[..., None], -n, n)
 
 
-def _random_depth(key, shape, d_min, d_max):
+def _random_depth(key, uv, d_min, d_max):
     """sqrt-space uniform random depth (DepthMap.h:435-438)."""
-    u = _block_uniform(key, shape)
+    u = _block_uniform(key, uv)
     r = jnp.sqrt(d_min) + u * (jnp.sqrt(d_max) - jnp.sqrt(d_min))
     return r * r
 
@@ -594,17 +683,17 @@ def _perturb_candidate(data: PMData, state: PMState, opts: DenseOptions, key, ex
     scale = (0.5 ** idx_scale) * extra_scale
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     depth_range = state.depth * opts.random_depth_ratio
-    d_new = state.depth + (_block_uniform(k1, conf.shape) * 2 - 1) * depth_range * scale
+    d_new = state.depth + (_block_uniform(k1, data.uv) * 2 - 1) * depth_range * scale
     theta, phi = _normal_to_dir(state.normal)
     a1 = math.radians(opts.random_angle1_range)
     a2 = math.radians(opts.random_angle2_range)
-    theta = theta + (_block_uniform(k2, conf.shape) * 2 - 1) * a1 * scale
-    phi = phi + (_block_uniform(k3, conf.shape) * 2 - 1) * a2 * scale
+    theta = theta + (_block_uniform(k2, data.uv) * 2 - 1) * a1 * scale
+    phi = phi + (_block_uniform(k3, data.uv) * 2 - 1) * a2 * scale
     n_new = _dir_to_normal(theta, phi)
 
     # fully random restart where the current estimate is hopeless
-    rand_d = _random_depth(k4, conf.shape, data.d_min, data.d_max)
-    rand_n = _random_normal(k5, conf.shape, data.X0)
+    rand_d = _random_depth(k4, data.uv, data.d_min, data.d_max)
+    rand_n = _random_normal(k5, data.uv, data.X0)
     hopeless = conf >= opts.th_conf_rand
     d_new = jnp.where(hopeless, rand_d, d_new)
     n_new = jnp.where(hopeless[..., None], rand_n, n_new)
@@ -638,16 +727,16 @@ def _probe_candidates(data: PMData, state: PMState, opts: DenseOptions, key):
     a2 = math.radians(opts.random_angle2_range)
     for kk in (k1, k2):
         ka, kb = jax.random.split(kk)
-        t2 = theta + (_block_uniform(ka, state.conf.shape) * 2 - 1) * a1
-        p2 = phi + (_block_uniform(kb, state.conf.shape) * 2 - 1) * a2
+        t2 = theta + (_block_uniform(ka, data.uv) * 2 - 1) * a1
+        p2 = phi + (_block_uniform(kb, data.uv) * 2 - 1) * a2
         n_new = _dir_to_normal(t2, p2)
         ok = (state.depth > 0) & (jnp.einsum("hwc,hwc->hw", n_new, data.X0) < 0)
         out.append((state.depth, n_new, ok))
     # block-random restart where hopeless
-    rand_d = _random_depth(k3, state.conf.shape, data.d_min, data.d_max)
-    rand_n = _random_normal(k4, state.conf.shape, data.X0)
+    rand_d = _random_depth(k3, data.uv, data.d_min, data.d_max)
+    rand_n = _random_normal(k4, data.uv, data.X0)
     hopeless = state.conf >= opts.th_conf_rand
-    d_new = jnp.where(hopeless, rand_d, state.depth * (1.0 + (_block_uniform(k3, state.conf.shape) * 2 - 1) * 16 * r))
+    d_new = jnp.where(hopeless, rand_d, state.depth * (1.0 + (_block_uniform(k3, data.uv) * 2 - 1) * 16 * r))
     n_new = jnp.where(hopeless[..., None], rand_n, state.normal)
     ok = (d_new >= data.d_min) & (d_new <= data.d_max)
     out.append((d_new, n_new, ok))
@@ -684,7 +773,7 @@ def _scatter_parity(full: jnp.ndarray, sub: jnp.ndarray, parity: int) -> jnp.nda
 PROP_OFFSETS = ((0, 1), (0, -1), (1, 0), (-1, 0), (0, 5), (0, -5), (5, 0), (-5, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state"))
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop"))
 def sweep(
     state: PMState,
     data: PMData,
@@ -695,6 +784,7 @@ def sweep(
     n_perturb: int = 3,
     mode: str = "nn",
     rescore_state: bool = False,
+    n_prop: int = len(PROP_OFFSETS),
 ) -> PMState:
     """One full PatchMatch iteration = two checkerboard half-steps.
 
@@ -702,11 +792,6 @@ def sweep(
     4x fewer gathers); the final iterations use mode="exact" so surviving
     confidences are bilinear-accurate; mode="warp" is the cheapest
     (warp-once field scoring) and suits coarse pyramid levels."""
-    H, W = state.depth.shape
-    uu = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    vv = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    parity_map = (uu + vv) % 2
-
     if rescore_state:
         # scores from a different scoring mode are not comparable: rescore
         # the incumbent state with THIS mode before candidates compete
@@ -718,70 +803,94 @@ def sweep(
                         conf=jnp.where(data.valid, cur, 2.0))
 
     for parity in (0, 1):
-        active = (parity_map == parity) & data.valid
+        state = _sweep_parity(state, data, opts, key, n_views, use_geom,
+                              n_perturb, mode, parity, n_prop)
+    return state
 
-        cand_d, cand_n, cand_ok = [], [], []
-        for dy, dx in PROP_OFFSETS:
-            d, n, ok = _propagate_candidate(data, state, opts, dy, dx)
+
+@functools.partial(jax.jit, static_argnames=(
+    "opts", "n_views", "use_geom", "n_perturb", "mode", "parity", "n_prop"))
+def sweep_half(state, data, opts, key, n_views, use_geom=False, n_perturb=3,
+               mode="nn", parity=0, n_prop=len(PROP_OFFSETS)) -> PMState:
+    """One checkerboard half-step (one parity), jitted standalone.
+
+    The multi-chip row-tiled path (parallel/sharded.py) interleaves these
+    with halo exchanges so a shard boundary behaves exactly like the interior
+    of a single-device sweep."""
+    return _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb,
+                         mode, parity, n_prop)
+
+
+def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
+                  parity, n_prop):
+    H, W = state.depth.shape
+    # GLOBAL parity from data.uv — a row-tiled shard keeps the same lattice
+    # as the full image (a local iota would flip parity on odd-offset tiles)
+    parity_map = (data.uv[..., 0] + data.uv[..., 1]).astype(jnp.int32) % 2
+    active = (parity_map == parity) & data.valid
+
+    cand_d, cand_n, cand_ok = [], [], []
+    for dy, dx in PROP_OFFSETS[:n_prop]:
+        d, n, ok = _propagate_candidate(data, state, opts, dy, dx)
+        cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
+    if mode == "warp":
+        ck = jax.random.fold_in(key, parity * 131)
+        for d, n, ok in _probe_candidates(data, state, opts, ck):
             cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-        if mode == "warp":
-            ck = jax.random.fold_in(key, parity * 131)
-            for d, n, ok in _probe_candidates(data, state, opts, ck):
-                cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-        else:
-            for r in range(n_perturb):
-                ck = jax.random.fold_in(key, parity * 131 + r)
-                d, n, ok = _perturb_candidate(data, state, opts, ck, SCALE_RANGES[r])
-                cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-        cd = jnp.stack(cand_d)               # (C, H, W)
-        cn = jnp.stack(cand_n)               # (C, H, W, 3)
-        cok = jnp.stack(cand_ok)             # (C, H, W)
+    else:
+        for r in range(n_perturb):
+            ck = jax.random.fold_in(key, parity * 131 + r)
+            d, n, ok = _perturb_candidate(data, state, opts, ck, SCALE_RANGES[r])
+            cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
+    cd = jnp.stack(cand_d)               # (C, H, W)
+    cn = jnp.stack(cand_n)               # (C, H, W, 3)
+    cok = jnp.stack(cand_ok)             # (C, H, W)
 
-        if W % 2 == 0 and H % 2 == 0 and _COMPACT_SWEEPS:
-            # checkerboard compaction: score only the active parity's pixels
-            # (the reference's red/black kernels process exactly half each
-            # step, PatchMatchCUDA.cu:597-609) — 2x less scoring work
-            comp = lambda x: _compact_parity(x, parity)
-            data_c = data._replace(
-                ref=comp(data.ref), X0=comp(data.X0),
-                w=jax.vmap(comp)(data.w), wtm=jax.vmap(comp)(data.wtm),
-                sum_w=comp(data.sum_w), norm_sq0=comp(data.norm_sq0),
-                lowres=comp(data.lowres), valid=comp(data.valid),
-                uv=comp(data.uv),
-            )
-            state_c = PMState(depth=comp(state.depth), normal=comp(state.normal),
-                              conf=comp(state.conf))
-            cd_c = jax.vmap(comp)(cd)
-            cn_c = jax.vmap(comp)(cn)
-            cok_c = jax.vmap(comp)(cok)
-            bonus_full = _smoothness_bonus(data, opts, state, cd, cn)
-            s = score_hypotheses(
-                data_c, opts, state_c, cd_c, cn_c, n_views, use_geom, mode,
-                bonus=jax.vmap(comp)(bonus_full),
-            )
-            s = jnp.where(cok_c, s, jnp.inf)
-            best = jnp.argmin(s, axis=0)
-            s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
-            d_best = jnp.take_along_axis(cd_c, best[None], axis=0)[0]
-            n_best = jnp.take_along_axis(cn_c, best[None, ..., None], axis=0)[0]
-            take = comp(active) & (s_best < state_c.conf)
-            nd = _scatter_parity(state.depth, jnp.where(take, d_best, state_c.depth), parity)
-            nn = _scatter_parity(state.normal, jnp.where(take[..., None], n_best, state_c.normal), parity)
-            nc = _scatter_parity(state.conf, jnp.where(take, s_best, state_c.conf), parity)
-            state = PMState(depth=nd, normal=nn, conf=nc)
-        else:
-            s = score_hypotheses(data, opts, state, cd, cn, n_views, use_geom, mode)
-            s = jnp.where(cok, s, jnp.inf)
-            best = jnp.argmin(s, axis=0)         # (H, W)
-            s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
-            d_best = jnp.take_along_axis(cd, best[None], axis=0)[0]
-            n_best = jnp.take_along_axis(cn, best[None, ..., None], axis=0)[0]
-            take = active & (s_best < state.conf)
-            state = PMState(
-                depth=jnp.where(take, d_best, state.depth),
-                normal=jnp.where(take[..., None], n_best, state.normal),
-                conf=jnp.where(take, s_best, state.conf),
-            )
+    if W % 2 == 0 and H % 2 == 0 and _COMPACT_SWEEPS:
+        # checkerboard compaction: score only the active parity's pixels
+        # (the reference's red/black kernels process exactly half each
+        # step, PatchMatchCUDA.cu:597-609) — 2x less scoring work
+        comp = lambda x: _compact_parity(x, parity)
+        data_c = data._replace(
+            ref=comp(data.ref), X0=comp(data.X0),
+            w=jax.vmap(comp)(data.w), wtm=jax.vmap(comp)(data.wtm),
+            sum_w=comp(data.sum_w), norm_sq0=comp(data.norm_sq0),
+            lowres=comp(data.lowres), valid=comp(data.valid),
+            uv=comp(data.uv),
+        )
+        state_c = PMState(depth=comp(state.depth), normal=comp(state.normal),
+                          conf=comp(state.conf))
+        cd_c = jax.vmap(comp)(cd)
+        cn_c = jax.vmap(comp)(cn)
+        cok_c = jax.vmap(comp)(cok)
+        bonus_full = _smoothness_bonus(data, opts, state, cd, cn)
+        s = score_hypotheses(
+            data_c, opts, state_c, cd_c, cn_c, n_views, use_geom, mode,
+            bonus=jax.vmap(comp)(bonus_full),
+        )
+        s = jnp.where(cok_c, s, jnp.inf)
+        best = jnp.argmin(s, axis=0)
+        s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
+        d_best = jnp.take_along_axis(cd_c, best[None], axis=0)[0]
+        n_best = jnp.take_along_axis(cn_c, best[None, ..., None], axis=0)[0]
+        take = comp(active) & (s_best < state_c.conf)
+        nd = _scatter_parity(state.depth, jnp.where(take, d_best, state_c.depth), parity)
+        nn = _scatter_parity(state.normal, jnp.where(take[..., None], n_best, state_c.normal), parity)
+        nc = _scatter_parity(state.conf, jnp.where(take, s_best, state_c.conf), parity)
+        state = PMState(depth=nd, normal=nn, conf=nc)
+    else:
+        s = score_hypotheses(data, opts, state, cd, cn, n_views, use_geom, mode)
+        s = jnp.where(cok, s, jnp.inf)
+        best = jnp.argmin(s, axis=0)         # (H, W)
+        s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
+        d_best = jnp.take_along_axis(cd, best[None], axis=0)[0]
+        n_best = jnp.take_along_axis(cn, best[None, ..., None], axis=0)[0]
+        take = active & (s_best < state.conf)
+        state = PMState(
+            depth=jnp.where(take, d_best, state.depth),
+            normal=jnp.where(take[..., None], n_best, state.normal),
+            conf=jnp.where(take, s_best, state.conf),
+        )
     return state
 
 
@@ -801,8 +910,8 @@ def init_state(
     """
     shape = data.ref.shape
     k1, k2 = jax.random.split(key, 2)
-    rand_d = _random_depth(k1, shape, data.d_min, data.d_max)
-    rand_n = _random_normal(k2, shape, data.X0)
+    rand_d = _random_depth(k1, data.uv, data.d_min, data.d_max)
+    rand_n = _random_normal(k2, data.uv, data.X0)
     has_seed = (seed_depth >= data.d_min) & (seed_depth <= data.d_max)
     depth = jnp.where(has_seed, seed_depth, rand_d)
     nrm = jnp.linalg.norm(seed_normal, axis=-1)
@@ -815,6 +924,15 @@ def init_state(
     conf = jnp.where(data.valid, conf, 2.0)
     depth = jnp.where(data.valid, depth, 0.0)
     return PMState(depth=depth, normal=normal, conf=conf)
+
+
+@jax.jit
+def pack_state(state: PMState) -> jnp.ndarray:
+    """(H, W, 5) = [depth, normal xyz, conf] — downloaded in ONE transfer
+    (three separate np.asarray calls pay a round-trip each on this backend)."""
+    return jnp.concatenate(
+        [state.depth[..., None], state.normal, state.conf[..., None]], axis=-1
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "geometric_follows"))

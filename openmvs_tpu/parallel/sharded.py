@@ -208,14 +208,19 @@ def dryrun(n_devices: int) -> None:
         f"core state shape={tuple(core.depth.shape)}, valid depths={int(n_valid)}"
     )
 
-    # refine step: pair axis sharded over a flat device mesh (the production
-    # multi-chip path in refine.py — GSPMD all-reduces the vertex gradients)
+    dryrun_refine(mesh.devices.reshape(-1))
+
+
+def dryrun_refine(devs) -> None:
+    """Refine-pair sharding demo: pair axis over a flat device list (the
+    production multi-chip path in refine.py — GSPMD all-reduces the vertex
+    gradients)."""
     import numpy as _np
 
     from jax.sharding import Mesh as _JM, NamedSharding as _NS, PartitionSpec as _P
     from openmvs_tpu.refine import PairData, _device_steps
 
-    devs = mesh.devices.reshape(-1)
+    devs = np.asarray(devs).reshape(-1)
     jm = _JM(devs, ("pairs",))
     sh = _NS(jm, _P("pairs"))
     rep = _NS(jm, _P())
@@ -247,3 +252,363 @@ def dryrun(n_devices: int) -> None:
     jax.block_until_ready(v2)
     print(f"dryrun refine OK: {npair} pairs sharded over {len(devs)} devices, "
           f"E={float(e):.4f}")
+
+
+# ===================================================================
+# Production multi-chip estimation: the REAL estimate_depth_map chain
+# (pyramid, candidate schedule, geometric passes) laid out on the
+# (views, tile) mesh.  Views shard data-parallel (the reference's
+# per-image event pipeline, SceneDensify.cpp:1883-1903); image rows
+# shard over `tile` with a HALO refreshed by ppermute after every
+# checkerboard half-step, so a shard boundary behaves exactly like the
+# interior of a single-device sweep.  All candidate randomness is
+# position-anchored (patchmatch._block_uniform hashes global pixel
+# coordinates), making results bitwise-identical across shardings.
+# ===================================================================
+
+
+def _extend_rows(x, axis: str, rows_axis: int = 0):
+    """Concat HALO rows fetched from the adjacent tile shards (zeros at the
+    global image top/bottom, where ppermute has no source)."""
+    n = jax.lax.axis_size(axis)
+    if n == 1:
+        pads = [(0, 0)] * x.ndim
+        pads[rows_axis] = (HALO, HALO)
+        return jnp.pad(x, pads)
+    bot_edge = jax.lax.slice_in_dim(x, x.shape[rows_axis] - HALO, x.shape[rows_axis], axis=rows_axis)
+    top_edge = jax.lax.slice_in_dim(x, 0, HALO, axis=rows_axis)
+    # un-permuted destinations receive zeros (ppermute semantics)
+    from_above = jax.lax.ppermute(bot_edge, axis, [(i, i + 1) for i in range(n - 1)])
+    from_below = jax.lax.ppermute(top_edge, axis, [(i, i - 1) for i in range(1, n)])
+    return jnp.concatenate([from_above, x, from_below], axis=rows_axis)
+
+
+def _extend_pm_data(d: patchmatch.PMData, axis: str) -> patchmatch.PMData:
+    dd = {}
+    for name, x in d._asdict().items():
+        if name in ROW_TILED:
+            dd[name] = _extend_rows(x, axis, 0)
+        elif name in ROW_TILED_T:
+            dd[name] = _extend_rows(x, axis, 1)
+        else:
+            dd[name] = x
+    return patchmatch.PMData(**dd)
+
+
+def _extend_state(st: patchmatch.PMState, axis: str) -> patchmatch.PMState:
+    return patchmatch.PMState(
+        depth=_extend_rows(st.depth, axis),
+        normal=_extend_rows(st.normal, axis),
+        conf=_extend_rows(st.conf, axis),
+    )
+
+
+def _core(x, rows_axis: int = 0):
+    return jax.lax.slice_in_dim(x, HALO, x.shape[rows_axis] - HALO, axis=rows_axis)
+
+
+def _pm_specs(n_t_axis: bool = True):
+    """PartitionSpec pytree for a views-stacked PMData."""
+    specs = {}
+    for name in patchmatch.PMData._fields:
+        if name == "views":
+            specs[name] = patchmatch.PMViews(
+                *[P("views") for _ in patchmatch.PMViews._fields])
+        elif name in ROW_TILED:
+            specs[name] = P("views", "tile")
+        elif name in ROW_TILED_T:
+            specs[name] = P("views", None, "tile")
+        else:
+            specs[name] = P("views")
+    return patchmatch.PMData(**specs)
+
+
+def make_level_step(mesh: Mesh, opts, n_views: int, schedule, use_geom: bool):
+    """Jitted (views, tile)-sharded estimation for one pyramid level.
+
+    schedule: tuple of (mode, n_prop) per sweep iteration — identical to the
+    serial estimate_depth_map schedule so results match bit for bit.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    data_specs = _pm_specs()
+    state_spec = P("views", "tile")
+
+    def body(data_l, sd, sn, keys):
+        n_local = sd.shape[0]
+        outs = []
+        for i in range(n_local):
+            d_i = jax.tree.map(lambda x: x[i], data_l)
+            d_ext = _extend_pm_data(d_i, "tile")
+            sd_e = _extend_rows(sd[i], "tile")
+            sn_e = _extend_rows(sn[i], "tile")
+            key = keys[i]
+            st = patchmatch.init_state(d_ext, opts, key, sd_e, sn_e,
+                                       n_views, use_geom)
+            st = halo_exchange(st, "tile")
+            prev_mode = None
+            for it, (mode, n_prop) in enumerate(schedule):
+                ik = jax.random.fold_in(key, it + 1)
+                if prev_mode is not None and mode != prev_mode:
+                    cur = patchmatch.score_hypotheses(
+                        d_ext, opts, st, st.depth[None], st.normal[None],
+                        n_views, use_geom, mode)[0]
+                    st = patchmatch.PMState(
+                        depth=st.depth, normal=st.normal,
+                        conf=jnp.where(d_ext.valid, cur, 2.0))
+                for parity in (0, 1):
+                    st = patchmatch._sweep_parity(
+                        st, d_ext, opts, ik, n_views, use_geom, 3, mode,
+                        parity, n_prop)
+                    st = halo_exchange(st, "tile")
+                prev_mode = mode
+            outs.append(jax.tree.map(_core, st))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    step = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(data_specs, state_spec, state_spec, P("views")),
+        out_specs=patchmatch.PMState(depth=state_spec, normal=state_spec,
+                                     conf=state_spec),
+        check_rep=False,
+    )
+    return jax.jit(step)
+
+
+def estimate_views_sharded(scene, opts, mesh: Mesh, prev_results=None,
+                           geometric_iter: int = -1, rng_seed: int = 0,
+                           skip_ids=()):
+    """Sharded equivalent of densify.estimate_depth_map over ALL views.
+
+    Returns {image_id: DepthMapResult}, matching the serial path's results
+    (bitwise on CPU meshes; kernel-rounding-identical on TPU meshes).
+    """
+    import cv2
+
+    from openmvs_tpu import densify as D
+    from openmvs_tpu.io import images as imio
+    from openmvs_tpu.ops import seed as seedmod
+    from jax.sharding import NamedSharding
+
+    n_views_axis, n_tile = mesh.devices.shape
+    is_geometric = geometric_iter >= 0
+    levels = 0 if is_geometric else opts.sub_resolution_levels
+    n_iters = 1 if is_geometric else opts.estimation_iters
+
+    id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
+
+    # ---- host prep per view (identical to the serial path) ----
+    views_info = []
+    for ref_idx in range(scene.n_views):
+        img = scene.images[ref_idx]
+        if img.meta.id in skip_ids:
+            continue
+        neighbors = img.meta.view_scores
+        if not neighbors:
+            continue
+        if is_geometric and (prev_results is None or
+                             img.meta.id not in prev_results):
+            continue
+        num = opts.num_views if opts.num_views > 0 else len(neighbors)
+        nbr_ids = [vs.id for vs in neighbors[:num] if vs.id in id_to_idx]
+        nbr_imgs = [scene.images[id_to_idx[i]] for i in nbr_ids]
+        pts_sel, trusted = [], []
+        for i, v in enumerate(scene.pointcloud.views):
+            if img.meta.id in v:
+                pts_sel.append(scene.pointcloud.points[i])
+                trusted.append(len(v) >= opts.min_views_trust_point)
+        pts_sel = np.asarray(pts_sel, np.float64).reshape(-1, 3)
+        trusted = np.asarray(trusted, bool)
+        cam = img.working_camera()
+        H, W = img.gray.shape
+        sd, sn, d_min, d_max = seedmod.seed_depth_normal(
+            cam, W, H, pts_sel, trusted)
+        if prev_results is not None and is_geometric:
+            pr = prev_results[img.meta.id]
+            d_min, d_max = pr.d_min, pr.d_max
+            sd, sn = pr.depth, pr.normal
+        if d_max <= d_min:
+            continue
+        views_info.append(dict(
+            ref_idx=ref_idx, img=img, nbr_ids=nbr_ids, nbr_imgs=nbr_imgs,
+            cam=cam, sd=sd, sn=sn, d_min=d_min, d_max=d_max))
+    if not views_info:
+        return {}
+
+    V = max(len(vi["nbr_imgs"]) for vi in views_info)
+    Vv = len(views_info)
+    Vpad = -(-Vv // n_views_axis) * n_views_axis
+
+    import jax as _jax
+
+    results = {}
+    state_g = None
+    prev_log = None          # previous level's logical (h, w)
+    for level in range(levels, -1, -1):
+        s = 1.0 / (2 ** level)
+        hosts, seeds_d, seeds_n, keys = [], [], [], []
+        Hl_ = Wl_ = 0
+        lvl_grays = []
+        for vi in views_info:
+            ref_gray = D._resize_gray(vi["img"].gray, s)
+            lvl_grays.append(ref_gray)
+            Hl_ = max(Hl_, ref_gray.shape[0])
+            Wl_ = max(Wl_, ref_gray.shape[1])
+        # pad rows so the tile axis divides them into 8-aligned cores
+        h_log, w_log = Hl_, Wl_
+        Hl_ = -(-Hl_ // (n_tile * 8)) * (n_tile * 8)
+        Wl_ = -(-Wl_ // 2) * 2
+        Hp = Wp = 0
+        lvl_nbrs = []
+        for vi in views_info:
+            nbr_grays = [D._resize_gray(n.gray, s) for n in vi["nbr_imgs"]]
+            lvl_nbrs.append(nbr_grays)
+            Hp = max([Hp] + [g.shape[0] for g in nbr_grays])
+            Wp = max([Wp] + [g.shape[1] for g in nbr_grays])
+        for k, vi in enumerate(views_info):
+            ref_gray = lvl_grays[k]
+            h, w = ref_gray.shape
+            if (h, w) != (Hl_, Wl_):
+                ref_gray = np.pad(ref_gray, ((0, Hl_ - h), (0, Wl_ - w)))
+            ref_cam = vi["cam"].scaled(lvl_grays[k].shape[1] / vi["img"].gray.shape[1]) \
+                if s != 1.0 else vi["cam"]
+            nbr_cams = [
+                n.working_camera().scaled(g.shape[1] / n.gray.shape[1])
+                if s != 1.0 else n.working_camera()
+                for n, g in zip(vi["nbr_imgs"], lvl_nbrs[k])
+            ]
+            nbr_depths = None
+            if is_geometric and prev_results is not None:
+                nbr_depths = []
+                for i in vi["nbr_ids"]:
+                    r = prev_results.get(i)
+                    nbr_depths.append(r.depth if r is not None
+                                      else np.zeros((8, 8), np.float32))
+            # usable: the serial mask resized at the LOGICAL size, False in
+            # the bottom/right padding rows (keeps validity identical to the
+            # unpadded serial arrays)
+            um = np.zeros((Hl_, Wl_), bool)
+            um_src = vi["img"].usable_mask(opts.ignore_mask_label)
+            b_ = opts.window_half
+            if um_src is not None:
+                if um_src.shape != (h, w):
+                    um_src = cv2.resize(um_src.astype(np.uint8), (w, h),
+                                        interpolation=cv2.INTER_NEAREST).astype(bool)
+                um[:h, :w] = um_src
+            else:
+                um[:h, :w] = True
+            # the padded canvas shifts the window-inside test at the image
+            # bottom/right; clamp validity to the serial (unpadded) region
+            um[max(h - b_, 0):, :] = False
+            um[:, max(w - b_, 0):] = False
+            hosts.append(D._assemble_pm_host(
+                ref_gray, ref_cam, lvl_nbrs[k], nbr_cams, opts,
+                vi["d_min"], vi["d_max"], nbr_depths,
+                usable=um, pad_views=V, pad_hw=(Hp, Wp)))
+            if state_g is None:
+                # level seeds from the sparse cloud (or prev geometric state)
+                sdf, snf = vi["sd"], vi["sn"]
+                if s != 1.0:
+                    sd = np.zeros((Hl_, Wl_), np.float32)
+                    sn = np.zeros((Hl_, Wl_, 3), np.float32)
+                    ys, xs = np.nonzero(sdf > 0)
+                    yy = np.clip((ys * s).astype(int), 0, Hl_ - 1)
+                    xx = np.clip((xs * s).astype(int), 0, Wl_ - 1)
+                    sd[yy, xx] = sdf[ys, xs]
+                    sn[yy, xx] = snf[ys, xs]
+                else:
+                    sd = np.zeros((Hl_, Wl_), np.float32)
+                    sn = np.zeros((Hl_, Wl_, 3), np.float32)
+                    sd[: sdf.shape[0], : sdf.shape[1]] = sdf
+                    sn[: snf.shape[0], : snf.shape[1]] = snf
+                seeds_d.append(sd)
+                seeds_n.append(sn)
+            keys.append(np.asarray(_jax.random.PRNGKey(
+                rng_seed * 7919 + vi["ref_idx"] * 131 + level
+                + 1000 * max(geometric_iter, 0))))
+
+        # stack + pad the views axis
+        def stackpad(arrs):
+            a = np.stack(arrs)
+            if Vpad != Vv:
+                a = np.concatenate(
+                    [a, np.zeros((Vpad - Vv,) + a.shape[1:], a.dtype)])
+            return a
+
+        stacked = {k: stackpad([h[k] for h in hosts]) for k in hosts[0]}
+        keys_a = stackpad(keys)
+        if state_g is None:
+            sd_g = stackpad(seeds_d)
+            sn_g = stackpad(seeds_n)
+        else:
+            # upsample previous level's state on the global sharded arrays
+            # over the LOGICAL extents (GSPMD inserts the boundary comms;
+            # numerics match the serial jax.image.resize exactly), then pad
+            ph, pw = prev_log
+
+            @_jax.jit
+            def _upsample(st):
+                dep = _jax.image.resize(st.depth[:, :ph, :pw],
+                                        (Vpad, h_log, w_log), "linear")
+                nrm = _jax.image.resize(st.normal[:, :ph, :pw],
+                                        (Vpad, h_log, w_log, 3), "nearest")
+                dep = jnp.pad(dep, ((0, 0), (0, Hl_ - h_log), (0, Wl_ - w_log)))
+                nrm = jnp.pad(nrm, ((0, 0), (0, Hl_ - h_log), (0, Wl_ - w_log), (0, 0)))
+                return dep, nrm
+
+            sd_g, sn_g = _upsample(state_g)
+            stacked["lowres"] = sd_g
+        if "lowres" not in stacked:
+            stacked["lowres"] = np.zeros((Vpad, Hl_, Wl_), np.float32)
+
+        sh_vt = NamedSharding(mesh, P("views", "tile"))
+        sh_v = NamedSharding(mesh, P("views"))
+        put = {}
+        for k, x in stacked.items():
+            if k in ("ref_gray", "usable", "lowres"):
+                put[k] = _jax.device_put(x, sh_vt)
+            else:
+                put[k] = _jax.device_put(x, sh_v)
+        sd_g = _jax.device_put(sd_g, sh_vt)
+        sn_g = _jax.device_put(sn_g, sh_vt)
+        keys_a = _jax.device_put(keys_a, sh_v)
+
+        vpack = _jax.jit(_jax.vmap(
+            functools.partial(patchmatch.pack_pm_data, opts)))
+        data_g = vpack(
+            put["ref_gray"], put["images"], put["sizes"], put["Hl"],
+            put["Hm"], put["depths"], put["Tl"], put["Tm"], put["Tr"],
+            put["Tn"], put["KinvT"], put["goff"], put["d_min"],
+            put["d_max"], put["lowres"], put["usable"])
+
+        all_exact = bool(__import__("os").environ.get("OMVS_ALL_EXACT"))
+        schedule = []
+        for it in range(n_iters):
+            last = it == n_iters - 1
+            mode = "exact" if (last or all_exact) else "nn"
+            n_prop = 8 if (it < 2 and not is_geometric) else 4
+            schedule.append((mode, n_prop))
+        step = make_level_step(mesh, opts, V, tuple(schedule), is_geometric)
+        state_g = step(data_g, sd_g, sn_g, keys_a)
+        prev_log = (h_log, w_log)
+
+    geometric_follows = (not is_geometric) and opts.estimation_geometric_iters > 0
+    vfin = _jax.jit(_jax.vmap(
+        lambda st, d: patchmatch.pack_state(
+            patchmatch.finalize(st, d, opts, geometric_follows))))
+    packed = np.asarray(vfin(state_g, data_g))
+
+    for k, vi in enumerate(views_info):
+        Hf, Wf = vi["img"].gray.shape
+        pk = packed[k][:Hf, :Wf]
+        results[vi["img"].meta.id] = D.DepthMapResult(
+            image_idx=vi["ref_idx"],
+            depth=np.array(pk[..., 0], np.float32, copy=True, order="C"),
+            normal=np.array(pk[..., 1:4], np.float32, copy=True, order="C"),
+            conf=np.array(pk[..., 4], np.float32, copy=True, order="C"),
+            d_min=vi["d_min"], d_max=vi["d_max"],
+            neighbor_ids=vi["nbr_ids"],
+            camera=vi["cam"],   # final level is full working resolution
+        )
+    return results

@@ -49,7 +49,8 @@ def process_scene(scene_path: str, out: str, args) -> None:
 
         scene = Scene.load(scene_path)
         opts = DenseOptions(estimator="sgm" if args.preset == "MVS_SGM" else "patchmatch")
-        pc = dense_reconstruction(scene, opts, save_dmaps_to=out)
+        pc = dense_reconstruction(scene, opts, save_dmaps_to=out,
+                                  mesh=getattr(args, "mesh", None))
         scene.pointcloud = pc
         scene.save(dense_mvs)
         pc.save_ply(dense_mvs.replace(".mvs", ".ply"))
@@ -95,6 +96,39 @@ def process_scene(scene_path: str, out: str, args) -> None:
     run_stage("texture", texture_obj, texture)
 
 
+def init_distributed(args):
+    """Multi-host runtime: jax.distributed over DCN + a local (views, tile)
+    device mesh over ICI.
+
+    Each host runs this same driver; chunks are dealt round-robin by
+    process_index (the DCN-level scale-out — the analogue of farming
+    `Scene::Split` chunks to machines by hand, MvsScalablePipeline.py:11-27),
+    while the chips local to a host cooperate through the sharded estimation
+    mesh (parallel.sharded — ICI collectives).
+    """
+    import jax
+
+    if args.coordinator:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.host_id,
+        )
+    mesh = None
+    if args.mesh_shape:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        nv, nt = (int(x) for x in args.mesh_shape.split("x"))
+        devs = jax.local_devices()[: nv * nt]
+        if len(devs) == nv * nt:
+            mesh = Mesh(np.array(devs).reshape(nv, nt), ("views", "tile"))
+        else:
+            print(f"warning: {nv*nt} devices requested, "
+                  f"{len(devs)} available; running unsharded")
+    return mesh
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene")
@@ -104,7 +138,16 @@ def main():
     ap.add_argument("--decimate", type=float, default=1.0)
     ap.add_argument("--split-max-points", type=int, default=0,
                     help="split into sub-scene chunks first (scalable pipeline)")
+    ap.add_argument("--coordinator", default="",
+                    help="jax.distributed coordinator host:port (multi-host)")
+    ap.add_argument("--num-hosts", type=int, default=1)
+    ap.add_argument("--host-id", type=int, default=int(os.environ.get("OMVS_HOST_ID", "0")))
+    ap.add_argument("--mesh-shape", default="",
+                    help="local (views x tile) estimation mesh, e.g. 2x4")
     args = ap.parse_args()
+
+    mesh = init_distributed(args)
+    args.mesh = mesh
 
     if args.split_max_points > 0:
         from openmvs_tpu.scene import Scene
@@ -113,7 +156,10 @@ def main():
         scene = Scene.load(args.scene)
         chunks = split_scene(scene, max_points=args.split_max_points)
         paths = export_chunks(scene, chunks, os.path.join(args.out, "chunks"))
-        for p in paths:
+        # deal chunks round-robin across hosts (per-host resume still applies)
+        for ci, p in enumerate(paths):
+            if ci % max(args.num_hosts, 1) != args.host_id % max(args.num_hosts, 1):
+                continue
             process_scene(p, os.path.join(args.out, os.path.splitext(os.path.basename(p))[0]), args)
     else:
         process_scene(args.scene, args.out, args)

@@ -70,10 +70,14 @@ def test_device_steps_sharded_parity():
     padding) must not change the refinement step."""
     import jax
 
-    if len(jax.local_devices()) < 2:
+    try:
+        cpu_devs = jax.local_devices(backend="cpu")
+    except RuntimeError:
+        cpu_devs = []
+    if len(cpu_devs) < 2:
         import pytest
 
-        pytest.skip("needs multiple devices")
+        pytest.skip("needs multiple CPU devices")
     from jax.sharding import Mesh, NamedSharding, PartitionSpec
     from openmvs_tpu.refine import PairData, _device_steps, _vertex_adjacency
 
@@ -91,7 +95,7 @@ def test_device_steps_sharded_parity():
               jnp.float32(0.01), jnp.float32(0.5), jnp.float32(2.0))
     v1, m1, vv1, e1 = _device_steps(verts, *args[:2], args[2], pds, *common)
 
-    devs = jax.local_devices()[:4]
+    devs = cpu_devs[:4]
     mesh = Mesh(np.array(devs), ("pairs",))
     sh = NamedSharding(mesh, PartitionSpec("pairs"))
     rep = NamedSharding(mesh, PartitionSpec())

@@ -72,10 +72,14 @@ def test_dense_reconstruction_multidevice_parity():
     devices in the suite)."""
     import jax
 
-    if len(jax.local_devices()) < 2:
+    try:
+        cpu_devs = jax.local_devices(backend="cpu")
+    except RuntimeError:
+        cpu_devs = []
+    if len(cpu_devs) < 2:
         import pytest
 
-        pytest.skip("needs multiple devices")
+        pytest.skip("needs multiple CPU devices")
     import numpy as np
     import cv2
     from openmvs_tpu.config import DenseOptions
@@ -127,7 +131,7 @@ def test_dense_reconstruction_multidevice_parity():
     opts = DenseOptions(sub_resolution_levels=0, estimation_iters=2,
                         estimation_geometric_iters=1, max_resolution=W)
     pc_par = dense_reconstruction(scene, opts, max_dim=W,
-                                  devices=jax.local_devices()[:4])
+                                  devices=cpu_devs[:4])
     pc_seq = dense_reconstruction(scene, opts, max_dim=W, devices=[])
     assert len(pc_par) == len(pc_seq)
     np.testing.assert_allclose(pc_par.points, pc_seq.points, atol=1e-5)
