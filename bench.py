@@ -58,29 +58,45 @@ def main():
     )
 
     # timed: all photometric depth maps + geometric iterations (the dense
-    # estimation work of DenseReconstruction, excluding IO/fusion)
+    # estimation work of DenseReconstruction, excluding IO/fusion), with
+    # the production 2-deep pipeline: view i+1's host prep + dispatch
+    # overlaps view i's device chain + download (defer_download)
     t0 = time.time()
     results = {}
     n_maps = 0
-    for i in range(scene.n_views):
-        r = densify.estimate_depth_map(scene, i, opts)
-        if r is not None:
-            results[scene.images[i].meta.id] = r
+
+    def drain(pending, limit):
+        nonlocal n_maps
+        while len(pending) > limit:
+            rid, dr = pending.pop(0)
+            results[rid] = dr.resolve()
             n_maps += 1
+
+    pending = []
+    for i in range(scene.n_views):
+        d = densify.estimate_depth_map(scene, i, opts, defer_download=True)
+        if d is None:
+            continue
+        pending.append((scene.images[i].meta.id, d))
+        drain(pending, 1)
+    drain(pending, 0)
     for gi in range(opts.estimation_geometric_iters):
-        new_results = {}
+        prev_results, results = results, {}
+        pending = []
         for i in range(scene.n_views):
             rid = scene.images[i].meta.id
-            if rid not in results:
+            if rid not in prev_results:
                 continue
-            r = densify.estimate_depth_map(
-                scene, i, opts, prev=results[rid],
-                neighbor_results=results, geometric_iter=gi,
+            d = densify.estimate_depth_map(
+                scene, i, opts, prev=prev_results[rid],
+                neighbor_results=prev_results, geometric_iter=gi,
+                defer_download=True,
             )
-            if r is not None:
-                new_results[rid] = r
-                n_maps += 1
-        results = new_results
+            if d is None:
+                continue
+            pending.append((rid, d))
+            drain(pending, 1)
+        drain(pending, 0)
     dt = time.time() - t0
 
     value = n_maps / dt

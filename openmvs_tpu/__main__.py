@@ -113,6 +113,12 @@ def main(argv=None):
     p.add_argument("-i", "--images", default="")
     p.add_argument("-o", "--output", required=True)
 
+    p = sub.add_parser("import-bundler")
+    p.add_argument("out_file", help="bundle.out")
+    p.add_argument("--list", dest="list_file", default="", help="image list.txt")
+    p.add_argument("-i", "--images", default="")
+    p.add_argument("-o", "--output", required=True)
+
     p = sub.add_parser("import-metashape")
     p.add_argument("xml")
     p.add_argument("-i", "--images", default="")
@@ -241,6 +247,10 @@ def main(argv=None):
         from openmvs_tpu.interfaces.visualsfm import import_nvm
 
         itf = import_nvm(args.nvm, args.images)
+    elif args.cmd == "import-bundler":
+        from openmvs_tpu.interfaces.visualsfm import import_bundler
+
+        itf = import_bundler(args.out_file, args.list_file, args.images)
         mvsio.save(itf, args.output)
         print(f"imported {len(itf.images)} views -> {args.output}")
 

@@ -57,9 +57,11 @@ class DenseOptions:
     descriptor_min_magnitude: float = 0.02  # min patch stddev (texture test)
     depth_diff_threshold: float = 0.01      # relative depth agreement
     normal_diff_threshold: float = 25.0     # deg, normal agreement in fusion
-    pairwise_mul: float = 0.3
-    optimizer_eps: float = 0.001
-    optimizer_max_iters: int = 80
+    # NOTE: the reference's fPairwiseMul / fOptimizerEps / nOptimizerMaxIters
+    # (DepthMap.cpp:94-96) tune the TRW-S solve of the nNumViews==1 pairing
+    # MRF; the pairing here is solved EXACTLY as a max-weight matching
+    # (view_selection.select_pairs_global), so those knobs have no role and
+    # are intentionally not declared.
 
     # -- post-filters (DepthMap.cpp:100-102) --
     speckle_size: int = 100        # connected segments smaller than this removed
@@ -78,8 +80,11 @@ class DenseOptions:
     estimation_iters: int = 5           # PatchMatch iterations
     estimation_geometric_iters: int = 2 # geometric-consistency iterations
     estimation_geometric_weight: float = 0.1
-    random_iters: int = 6               # random-refinement candidates per pixel
-    random_max_scale: int = 2
+    # random-refinement budget per pixel per iteration; each checkerboard
+    # iteration runs 2 half-steps x (random_iters // 2) perturbations, so
+    # the default 6 matches the reference's nRandomIters=6 per pixel
+    random_iters: int = 6
+    random_max_scale: int = 2           # initial scale-range skip cap (nRandomMaxScale)
     random_depth_ratio: float = 0.003
     random_angle1_range: float = 16.0   # deg
     random_angle2_range: float = 10.0   # deg
@@ -91,9 +96,6 @@ class DenseOptions:
     # -- patch window (DepthMap.h:277-281) --
     window_half: int = 4   # 9x9 window
     window_step: int = 2   # sampled every 2 px -> 5x5 = 25 texels
-
-    # -- fusion --
-    prob_estimate_normals: bool = True
 
     # -- alternative estimator (reference fusionMode < 0: SGM path) --
     estimator: str = "patchmatch"   # "patchmatch" | "sgm"

@@ -157,6 +157,24 @@ def _build_pm_data(
     )
 
 
+class DeferredResult:
+    """estimate_depth_map output with the packed (H, W, 5) result still on
+    device: dispatch is async, so the CALLER can prepare the next view's
+    host data while this one computes; resolve() downloads and finalizes."""
+
+    def __init__(self, packed, template: DepthMapResult):
+        self._packed = packed
+        self._template = template
+
+    def resolve(self) -> DepthMapResult:
+        packed = np.asarray(self._packed)
+        r = self._template
+        r.depth = np.array(packed[..., 0], np.float32, copy=True, order="C")
+        r.normal = np.array(packed[..., 1:4], np.float32, copy=True, order="C")
+        r.conf = np.array(packed[..., 4], np.float32, copy=True, order="C")
+        return r
+
+
 def estimate_depth_map(
     scene: Scene,
     ref_idx: int,
@@ -165,7 +183,8 @@ def estimate_depth_map(
     neighbor_results: Optional[Dict[int, DepthMapResult]] = None,
     geometric_iter: int = -1,
     rng_seed: int = 0,
-) -> Optional[DepthMapResult]:
+    defer_download: bool = False,
+):
     """PatchMatch depth estimation for one reference view.
 
     geometric_iter < 0: photometric pass with the sub-resolution pyramid
@@ -195,7 +214,8 @@ def estimate_depth_map(
     ref_cam_full = img.working_camera()
     H, W = img.gray.shape
     seed_depth_full, seed_normal_full, d_min, d_max = seed.seed_depth_normal(
-        ref_cam_full, W, H, pts_sel, trusted
+        ref_cam_full, W, H, pts_sel, trusted,
+        interpolate=not opts.init_sparse, add_corners=opts.add_corners,
     )
     if prev is not None:
         d_min, d_max = prev.d_min, prev.d_max
@@ -265,17 +285,23 @@ def estimate_depth_map(
         # hypotheses and confidences match reference scoring semantics
         # (DepthMap.cpp:465-564).  The mode switch triggers an exact rescore
         # of the incumbent state so candidates compete on comparable scores.
+        # Measured on the bundled scene (scripts/dev_gate_counts.py): the
+        # far (+-5 px) propagation offsets are load-bearing for field
+        # coherence in EVERY sweep — dropping them after sweep 2 keeps the
+        # point count but doubles the raw mesh face count (noisier depth
+        # shells).  Keep all 8 offsets; search with nearest sampling except
+        # the final two sweeps (nearest-only search loses ~12% raw faces).
         all_exact = bool(os.environ.get("OMVS_ALL_EXACT"))
-        prop8 = bool(os.environ.get("OMVS_PROP8"))
+        n_exact = max(1, opts.exact_final_iters)
+        n_pert = max(1, opts.random_iters // 2)
         prev_mode = None
         for it in range(n_iters):
-            last = it == n_iters - 1
-            mode = "exact" if (last or all_exact) else "nn"
-            n_prop = 8 if (prop8 or (it < 2 and not is_geometric)) else 4
+            final_exact = it >= n_iters - n_exact
+            mode = "exact" if (final_exact or all_exact) else "nn"
             state = patchmatch.sweep(
                 state, data, opts, jax.random.fold_in(key, it + 1), nV, is_geometric,
                 mode=mode, rescore_state=(prev_mode is not None and mode != prev_mode),
-                n_prop=n_prop,
+                n_perturb=n_pert, n_prop=8,
             )
             prev_mode = mode
         state_np = (state.depth, state.normal)  # stays on device
@@ -287,20 +313,19 @@ def estimate_depth_map(
     # np.array(copy=True): the zero-copy view from the device buffer is
     # read-only, and depending on its layout a slice can alias it — the
     # results must be writable (optimize_depth_map mutates in place)
-    packed = np.asarray(patchmatch.pack_state(final))
-    depth = np.array(packed[..., 0], np.float32, copy=True, order="C")
-    normal = np.array(packed[..., 1:4], np.float32, copy=True, order="C")
-    conf = np.array(packed[..., 4], np.float32, copy=True, order="C")
-    return DepthMapResult(
+    template = DepthMapResult(
         image_idx=ref_idx,
-        depth=depth,
-        normal=normal,
-        conf=conf,
+        depth=None, normal=None, conf=None,
         d_min=d_min,
         d_max=d_max,
         neighbor_ids=nbr_ids,
         camera=result_cam,
     )
+    packed_dev = patchmatch.pack_state(final)
+    deferred = DeferredResult(packed_dev, template)
+    if defer_download:
+        return deferred
+    return deferred.resolve()
 
 
 def estimate_depth_map_sgm(
@@ -394,10 +419,26 @@ def _run_views_parallel(fn, view_indices, devices):
     results = {}
     if len(devices) <= 1:
         # measured: 2 threads sharing ONE device is 4x SLOWER here (the
-        # interleaved programs serialize badly on the device queue) — overlap
-        # only pays when each worker owns a device
+        # interleaved programs serialize badly on the device queue).  Instead
+        # overlap HOST work with device compute via deferred downloads:
+        # dispatch view i (async), prepare + dispatch view i+1 while i's
+        # device chain runs, then resolve i (the reference's IO/estimation
+        # event overlap, SceneDensify.cpp:54-64,1883-1903).
+        from collections import deque
+
+        pending = deque()
         for i in view_indices:
-            results[i] = fn(i)
+            r = fn(i)
+            if isinstance(r, DeferredResult):
+                pending.append((i, r))
+                if len(pending) > 1:
+                    j, rj = pending.popleft()
+                    results[j] = rj.resolve()
+            else:
+                results[i] = r
+        while pending:
+            j, rj = pending.popleft()
+            results[j] = rj.resolve()
         return results
 
     n_workers = len(devices)
@@ -504,16 +545,26 @@ def dense_reconstruction(
     if not use_sharded:
         todo = [i for i in range(scene.n_views)
                 if scene.images[i].meta.id not in resumed]
+        defer = len(devices) <= 1 and opts.estimator != "sgm"
         with timed(log, f"photometric pass ({len(todo)} views)"):
             raw = _run_views_parallel(
-                lambda i: estimator(scene, i, opts), todo, devices
+                lambda i: estimator(scene, i, opts, defer_download=defer)
+                if defer else estimator(scene, i, opts),
+                todo, devices
             )
         for i, r in raw.items():
             if r is not None:
                 results[scene.images[i].meta.id] = r
 
     # pass 2: geometric-consistency re-estimation
-    for gi in range(opts.estimation_geometric_iters if not use_sharded else 0):
+    # SGM results are fused across pairs by the SGM path itself; running
+    # PatchMatch geometric re-estimation on top would re-estimate with
+    # constant normals and nearest-warped seeds, degrading rather than
+    # refining (the reference's SGM fusionMode skips PM re-estimation,
+    # SceneDensify.cpp:2045-2057)
+    n_geo = (0 if (use_sharded or opts.estimator == "sgm")
+             else opts.estimation_geometric_iters)
+    for gi in range(n_geo):
         have = [i for i in range(scene.n_views)
                 if scene.images[i].meta.id in results
                 and scene.images[i].meta.id not in resumed]
@@ -522,6 +573,7 @@ def dense_reconstruction(
                 lambda i: estimate_depth_map(
                     scene, i, opts, prev=results[scene.images[i].meta.id],
                     neighbor_results=results, geometric_iter=gi,
+                    defer_download=len(devices) <= 1,
                 ),
                 have, devices,
             )

@@ -188,19 +188,27 @@ def _find(folder: str, stem: str) -> str:
 
 
 # ----------------------------------------------------------------- import
-def import_colmap(sparse_folder: str, images_folder: str = "") -> mvsio.Interface:
-    """COLMAP sparse model -> .mvs Interface (undistorted PINHOLE expected)."""
+def import_colmap(sparse_folder: str, images_folder: str = "",
+                  undistort_dir: str = "") -> mvsio.Interface:
+    """COLMAP sparse model -> .mvs Interface.
+
+    Distorted camera models (SIMPLE_RADIAL/RADIAL/OPENCV/...) are undistorted
+    on import when `undistort_dir` is given (default: `<sparse>/undistorted`)
+    — the reference expects `colmap image_undistorter` output; importing raw
+    distorted images silently breaks the homography warps."""
     cams = read_cameras(_find(sparse_folder, "cameras"))
     imgs = read_images(_find(sparse_folder, "images"))
     xyz, rgb, tracks = read_points3d(_find(sparse_folder, "points3D"))
 
+    from openmvs_tpu.interfaces import undistort as und
+
     itf = mvsio.Interface()
     cam_to_platform: Dict[int, int] = {}
+    plat_dists: Dict[int, object] = {}
     for cid, cam in sorted(cams.items()):
-        if cam.model not in ("PINHOLE", "SIMPLE_PINHOLE"):
-            log.warning("camera %d model %s has distortion; using pinhole part "
-                        "(undistort images first, as the reference expects)",
-                        cid, cam.model)
+        dist = und.colmap_dist_coeffs(cam.model, cam.params)
+        if dist is not None:
+            plat_dists[len(itf.platforms)] = dist
         # normalized K (reference stores K normalized by max dimension when
         # resolution is unset; we keep absolute K + resolution)
         rig = mvsio.CameraRig(
@@ -225,6 +233,11 @@ def import_colmap(sparse_folder: str, images_folder: str = "") -> mvsio.Interfac
         )
         id_map[iid] = len(itf.images)
         itf.images.append(meta)
+
+    if plat_dists:
+        und.undistort_interface_images(
+            itf, plat_dists,
+            undistort_dir or os.path.join(sparse_folder, "undistorted"))
 
     itf.points = xyz.astype(np.float32)
     itf.colors = rgb

@@ -678,7 +678,8 @@ def _perturb_candidate(data: PMData, state: PMState, opts: DenseOptions, key, ex
     """
     conf = state.conf
     idx_scale = jnp.where(
-        conf <= opts.th_conf_small, 2, jnp.where(conf <= opts.th_conf_big, 1, 0)
+        conf <= opts.th_conf_small, opts.random_max_scale,
+        jnp.where(conf <= opts.th_conf_big, min(1, opts.random_max_scale), 0)
     ).astype(jnp.float32)
     scale = (0.5 ** idx_scale) * extra_scale
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)

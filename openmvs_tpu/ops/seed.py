@@ -25,11 +25,20 @@ def seed_depth_normal(
     height: int,
     points: np.ndarray,
     trusted: np.ndarray,
+    interpolate: bool = False,
+    add_corners: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, float, float]:
     """Seed (h, w) depth and (h, w, 3) camera-space normal maps.
 
     points: (N, 3) world points visible in this view; trusted: (N,) bool mask
     of points with enough observing views to be used as seeds.
+
+    interpolate (OPTDENSE bInitSparse==0): rasterize the 2D Delaunay
+    triangulation of the seeds so EVERY pixel starts from an interpolated
+    depth instead of sparse splats (TriangulatePoints2DepthMap,
+    DepthMap.cpp:1117-1427); add_corners additionally inserts the 4 image
+    corners at the median seed depth so the triangulation covers the full
+    frame (the reference's bAddCorners role).
     """
     depth_map = np.zeros((height, width), np.float32)
     normal_map = np.zeros((height, width, 3), np.float32)
@@ -68,6 +77,37 @@ def seed_depth_normal(
             # orient towards the camera: n . ray < 0
             flip = np.einsum("ij,ij->i", normals.astype(np.float64), Xc) > 0
             normals[flip] = -normals[flip]
+        except Exception:
+            pass
+
+    if add_corners and len(Xc) >= 3:
+        med = float(np.median(depth))
+        cuv = np.array([[0.0, 0.0], [width - 1.0, 0.0],
+                        [0.0, height - 1.0], [width - 1.0, height - 1.0]])
+        proj = np.concatenate([proj, cuv])
+        # camera-space position of each corner at the median depth
+        Kinv = camera.Kinv
+        ch = np.concatenate([cuv, np.ones((4, 1))], axis=1) @ Kinv.T * med
+        Xc = np.concatenate([Xc, ch])
+        depth = np.concatenate([depth, np.full(4, med)])
+        normals = np.concatenate(
+            [normals, np.tile(np.array([0, 0, -1], np.float32), (4, 1))])
+        trusted = np.concatenate([trusted, np.zeros(4, bool)])
+
+    if interpolate and len(Xc) >= 4:
+        # full-frame init: rasterize the lifted triangulation (screen-space
+        # z interpolation — a seed, refined by the first sweeps)
+        try:
+            from openmvs_tpu import native
+
+            tri = Delaunay(proj)
+            pr = np.concatenate([proj, depth[:, None]], axis=1)
+            fid, zmap, _ = native.rasterize(pr, tri.simplices.astype(np.int32),
+                                            height, width, want_bary=False)
+            hit = fid >= 0
+            depth_map[hit] = zmap[hit]
+            f0 = tri.simplices[np.where(hit, fid, 0)][..., 0]
+            normal_map[hit] = normals[f0][hit]
         except Exception:
             pass
 

@@ -358,8 +358,8 @@ def make_level_step(mesh: Mesh, opts, n_views: int, schedule, use_geom: bool):
                         conf=jnp.where(d_ext.valid, cur, 2.0))
                 for parity in (0, 1):
                     st = patchmatch._sweep_parity(
-                        st, d_ext, opts, ik, n_views, use_geom, 3, mode,
-                        parity, n_prop)
+                        st, d_ext, opts, ik, n_views, use_geom,
+                        max(1, opts.random_iters // 2), mode, parity, n_prop)
                     st = halo_exchange(st, "tile")
                 prev_mode = mode
             outs.append(jax.tree.map(_core, st))
@@ -423,7 +423,8 @@ def estimate_views_sharded(scene, opts, mesh: Mesh, prev_results=None,
         cam = img.working_camera()
         H, W = img.gray.shape
         sd, sn, d_min, d_max = seedmod.seed_depth_normal(
-            cam, W, H, pts_sel, trusted)
+            cam, W, H, pts_sel, trusted,
+            interpolate=not opts.init_sparse, add_corners=opts.add_corners)
         if prev_results is not None and is_geometric:
             pr = prev_results[img.meta.id]
             d_min, d_max = pr.d_min, pr.d_max
@@ -582,13 +583,16 @@ def estimate_views_sharded(scene, opts, mesh: Mesh, prev_results=None,
             put["Tn"], put["KinvT"], put["goff"], put["d_min"],
             put["d_max"], put["lowres"], put["usable"])
 
+        # identical schedule to the serial estimate_depth_map (exact for
+        # the last two sweeps, all 8 propagation offsets — see the comment
+        # there for the measured reasons)
         all_exact = bool(__import__("os").environ.get("OMVS_ALL_EXACT"))
+        n_exact = max(1, opts.exact_final_iters)
         schedule = []
         for it in range(n_iters):
-            last = it == n_iters - 1
-            mode = "exact" if (last or all_exact) else "nn"
-            n_prop = 8 if (it < 2 and not is_geometric) else 4
-            schedule.append((mode, n_prop))
+            final_exact = it >= n_iters - n_exact
+            mode = "exact" if (final_exact or all_exact) else "nn"
+            schedule.append((mode, 8))
         step = make_level_step(mesh, opts, V, tuple(schedule), is_geometric)
         state_g = step(data_g, sd_g, sn_g, keys_a)
         prev_log = (h_log, w_log)

@@ -451,8 +451,15 @@ def generate_texture(
             remaining = [i for i in remaining if pg_pos[i] is None]
         log.info("texture atlas split into %d pages", page + 1)
     n_pages = int(patch_page.max()) + 1
-    tw = 1 << int(np.ceil(np.log2(max(used_w, 1))))
-    th = 1 << int(np.ceil(np.log2(max(used_h, 1))))
+    if opts.texture_size_multiple > 1:
+        # round atlas dims up to the requested multiple
+        # (RectsBinPack::ComputeTextureSize nTextureSizeMultiple role)
+        m = opts.texture_size_multiple
+        tw = -(-max(used_w, 1) // m) * m
+        th = -(-max(used_h, 1) // m) * m
+    else:
+        tw = 1 << int(np.ceil(np.log2(max(used_w, 1))))
+        th = 1 << int(np.ceil(np.log2(max(used_h, 1))))
     tw = min(tw, opts.max_texture_size)
     th = min(th, opts.max_texture_size)
     pages = []

@@ -294,3 +294,73 @@ def test_select_pairs_global_mutual():
     pairs = select_pairs_global(sc, DenseOptions())
     for a, b in pairs.items():
         assert pairs.get(b) == a, f"pair {a}->{b} not mutual"
+
+
+def test_colmap_distorted_import_undistorts(tmp_path):
+    """A SIMPLE_RADIAL model must import with images undistorted on disk
+    (reference behavior: undistort before densify, InterfaceVisualSFM.cpp:457;
+    COLMAP models via image_undistorter)."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    H, W, f, k1 = 120, 160, 140.0, -0.25
+    # ground-truth pinhole image: smooth random texture
+    base = cv2.GaussianBlur(rng.uniform(0, 255, (H, W)).astype(np.float32), (0, 0), 2.0)
+    # synthesize the DISTORTED observation: sample base at undistorted coords
+    # x_u such that distort(x_u) = pixel — i.e. remap with the inverse model,
+    # approximated by cv2.undistortPoints on the pixel grid
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    dist = np.array([k1, 0, 0, 0, 0.0])
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
+    pts = np.stack([uu.ravel(), vv.ravel()], -1)[:, None, :]
+    und = cv2.undistortPoints(pts, K, dist, P=K).reshape(H, W, 2)
+    distorted = cv2.remap(base, und[..., 0], und[..., 1], cv2.INTER_LINEAR)
+
+    folder = tmp_path / "sparse"
+    folder.mkdir()
+    cv2.imwrite(str(tmp_path / "im0.png"), distorted.astype(np.uint8))
+    cv2.imwrite(str(tmp_path / "im1.png"), distorted.astype(np.uint8))
+    (folder / "cameras.txt").write_text(
+        f"1 SIMPLE_RADIAL {W} {H} {f} {W/2} {H/2} {k1}\n")
+    lines = ["# imgs"]
+    for i in range(2):
+        lines.append(f"{i+1} 1 0 0 0 0 0 {0.5*i} 1 im{i}.png")
+        lines.append("")
+    (folder / "images.txt").write_text("\n".join(lines) + "\n")
+    (folder / "points3D.txt").write_text(
+        "1 0 0 5 10 20 30 0.1 1 0 2 0\n")
+
+    itf = colmap.import_colmap(str(folder), str(tmp_path),
+                               undistort_dir=str(tmp_path / "und"))
+    # meta now points at undistorted copies
+    assert all("und" in m.name for m in itf.images)
+    out = cv2.imread(itf.images[0].name, cv2.IMREAD_UNCHANGED).astype(np.float32)
+    # interior must match the pinhole ground truth closely
+    c = 25
+    err = np.abs(out[c:-c, c:-c] - base[c:-c, c:-c])
+    assert err.mean() < 3.0, err.mean()
+
+
+def test_bundler_import(tmp_path):
+    from PIL import Image
+    from openmvs_tpu.interfaces.visualsfm import import_bundler
+
+    for i in range(2):
+        Image.new("RGB", (64, 48)).save(tmp_path / f"im{i}.jpg")
+    (tmp_path / "list.txt").write_text("im0.jpg\nim1.jpg\n")
+    # camera 0: identity (OpenGL), at origin; camera 1 shifted +x
+    out = ["# Bundle file v0.3", "2 1"]
+    for i in range(2):
+        out += ["100 0 0", "1 0 0", "0 1 0", "0 0 1", f"{-0.4*i} 0 0"]
+    out += ["0 0 -5", "10 20 30", "2 0 0 0 0 1 0 0 0"]
+    (tmp_path / "bundle.out").write_text("\n".join(out) + "\n")
+    itf = import_bundler(str(tmp_path / "bundle.out"))
+    assert len(itf.images) == 2
+    # GL->CV: R = diag(1,-1,-1) @ I; C = -R^T t = [0.4, 0, 0] for camera 1
+    np.testing.assert_allclose(itf.platforms[1].poses[0].C, [0.4, 0, 0], atol=1e-12)
+    # GL point (0,0,-5) should be IN FRONT in CV convention: z_cam > 0
+    R = itf.platforms[0].poses[0].R
+    X = itf.points[0].astype(float)
+    z = (R @ X)[2]
+    assert z > 0
+    assert len(itf.point_views[0]) == 2
