@@ -98,10 +98,17 @@ class DenseOptions:
     window_step: int = 2   # sampled every 2 px -> 5x5 = 25 texels
 
     # -- alternative estimator (reference fusionMode < 0: SGM path) --
+    # P1/P2/alpha/beta on uint8 costs (SemiGlobalMatcher ctor defaults:
+    # P1=3 P2=4 P2alpha=14 P2beta=38; beta here at unit intensity scale)
     estimator: str = "patchmatch"   # "patchmatch" | "sgm"
-    sgm_num_disparities: int = 128
-    sgm_p1: float = 0.1
-    sgm_p2: float = 0.8
+    sgm_num_disparities: int = 128  # fallback global range without seeds
+    sgm_p1: float = 3.0
+    sgm_p2: float = 4.0
+    sgm_p2_alpha: float = 14.0
+    sgm_p2_beta: float = 38.0 / 255.0
+    sgm_subpixel_mode: str = "lc_blend"  # na|linear|poly4|parabola|sine|cosine|lc_blend
+    sgm_subpixel_steps: int = 4
+    sgm_num_dirs: int = 8
 
     # ---- derived quantities (reference DepthEstimator ctor, DepthMap.cpp:360-410) ----
     @property

@@ -332,70 +332,131 @@ def estimate_depth_map_sgm(
     scene: Scene,
     ref_idx: int,
     opts: DenseOptions,
+    dimap_dir: Optional[str] = None,
     **_ignored,
 ) -> Optional[DepthMapResult]:
-    """Depth from semi-global matching against the best-scored neighbor
-    (the reference's SGM estimation path, SceneDensify.cpp:2045-2057 with
-    SemiGlobalMatcher::Match/Fuse): rectify the pair, aggregate the cost
-    volume, cross-check, convert disparity to depth, and un-rectify back to
-    the reference view."""
+    """Depth from tSGM stereo FUSED over all scored neighbor pairs
+    (SemiGlobalMatcher::Match + ::Fuse, SemiGlobalMatcher.cpp:530-737,739):
+    per pair — rectify, coarse-to-fine SGM with per-pixel disparity windows,
+    WZNCC costs, cross-check, sub-pixel refine; then cluster-fuse the
+    per-pair depth maps in the reference frame (largest agreeing trust
+    regions, min_views gate).  Pair disparities are cached as .dimap files
+    when dimap_dir is given (per-pair resume, Match's File::isPresent skip).
+    """
     from openmvs_tpu.ops import sgm
-    import cv2
+    from openmvs_tpu.io import dimap as dimapio
 
     img = scene.images[ref_idx]
     neighbors = img.meta.view_scores
     if not neighbors:
         return None
+    num = opts.num_views if opts.num_views > 0 else len(neighbors)
     id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
-    nb = None
-    for vs in neighbors:
-        j = id_to_idx.get(vs.id)
-        if j is not None:
-            nb = scene.images[j]
-            break
-    if nb is None:
-        return None
-
     camA = img.working_camera()
-    camB = nb.working_camera()
-    rectA, rectB, info = sgm.rectify_pair(camA, camB, img.gray, nb.gray)
-    disp, conf = sgm.match_rectified(
-        rectA, rectB, d_min=0, num_d=opts.sgm_num_disparities,
-        p1=opts.sgm_p1, p2=opts.sgm_p2,
-    )
-    z_rect = sgm.disparity_to_depth(disp, info)
-    # un-rectify depth to the reference frame: depth is defined along the
-    # rectified z-axis; map pixels back with the inverse homography and
-    # convert to reference-camera depth
     H, W = img.gray.shape
-    TAinv = np.linalg.inv(info["TA"])
-    z_ref = cv2.warpPerspective(
-        np.nan_to_num(z_rect, nan=0.0), TAinv.astype(np.float64), (W, H),
-        flags=cv2.INTER_NEAREST,
-    )
-    conf_ref = cv2.warpPerspective(
-        np.nan_to_num(conf, nan=0.0), TAinv.astype(np.float64), (W, H),
-        flags=cv2.INTER_NEAREST,
-    )
-    # rectified depth is along the rectified optical axis Rn[2]; depth in the
-    # reference camera = z_rect * (ray_ref . Rn2) adjustments are second
-    # order for mild rectifying rotations; keep the direct mapping
-    valid = z_ref > 0
-    d_min = float(np.percentile(z_ref[valid], 2)) if valid.any() else 0.0
-    d_max = float(np.percentile(z_ref[valid], 98)) if valid.any() else 0.0
+
+    # sparse points seen by the reference (for disparity-range seeding)
+    pts_ref = np.asarray(
+        [scene.pointcloud.points[i]
+         for i, v in enumerate(scene.pointcloud.views) if img.meta.id in v],
+        np.float64).reshape(-1, 3)
+
+    pair_maps = []
+    for vs in neighbors[:num]:
+        j = id_to_idx.get(vs.id)
+        if j is None:
+            continue
+        nb = scene.images[j]
+        camB = nb.working_camera()
+        try:
+            rectA, rectB, info = sgm.rectify_pair(camA, camB, img.gray, nb.gray)
+        except ValueError:
+            continue
+        info["C1"] = camA.C
+
+        cache = None
+        if dimap_dir:
+            cache = os.path.join(
+                dimap_dir, f"{img.meta.id:04d}_{nb.meta.id:04d}.dimap")
+        disp = cost = None
+        if cache and os.path.exists(cache):
+            dd = dimapio.load(cache)
+            disp = dd.disparity.astype(np.float32)
+            disp[~np.isfinite(disp)] = np.nan
+            cost = (dd.cost.astype(np.float32)
+                    if dd.cost is not None else np.zeros_like(disp))
+        if disp is None:
+            # global disparity range from the shared sparse points projected
+            # into the rectified pair (reference seeds from the triangulated
+            # sparse depth map, SemiGlobalMatcher.cpp:610-637)
+            d_lo, d_hi = -opts.sgm_num_disparities, 0
+            if len(pts_ref) >= 4:
+                Kn, Rn = info["Kn"], info["Rn"]
+
+                def rect_u(C):
+                    Xc = (Rn @ (pts_ref - C).T)
+                    z = Xc[2]
+                    ok = z > 1e-9
+                    return (Kn[0, 0] * Xc[0] / np.where(ok, z, 1)
+                            + Kn[0, 2]), ok
+
+                uA, okA = rect_u(camA.C)
+                uB, okB = rect_u(camB.C)
+                ok = okA & okB
+                if ok.sum() >= 4:
+                    d = (uB - uA)[ok]
+                    d_lo = int(np.floor(np.percentile(d, 1))) - 4
+                    d_hi = int(np.ceil(np.percentile(d, 99))) + 4
+            disp, cost = sgm.match_pair_tsgm(
+                rectA, rectB, d_lo, d_hi,
+                p1=opts.sgm_p1, p2=opts.sgm_p2, alpha=opts.sgm_p2_alpha,
+                beta=opts.sgm_p2_beta,
+                subpixel_mode=opts.sgm_subpixel_mode,
+                num_dirs=opts.sgm_num_dirs,
+            )
+            if cache:
+                Q = np.eye(4)
+                Q[:3, :3] = info["Rn"]
+                Q[:3, 3] = info["C1"]
+                Q[3, 0] = info["baseline"]
+                dd = dimapio.DisparityData(
+                    disparity=disp.astype(np.float32),
+                    image_width=W, image_height=H,
+                    H=info["TA"], Q=Q,
+                    subpixel_steps=opts.sgm_subpixel_steps,
+                    cost=np.clip(np.nan_to_num(cost), 0, 65535).astype(np.uint16),
+                )
+                os.makedirs(dimap_dir, exist_ok=True)
+                dimapio.save(dd, cache)
+
+        pm = sgm.project_disparity_to_depth(
+            disp, np.nan_to_num(cost), info, camA, (H, W),
+            subpixel_steps=float(opts.sgm_subpixel_steps))
+        pair_maps.append(pm)
+
+    if not pair_maps:
+        return None
+    depth, conf = sgm.fuse_pair_depths(pair_maps, max(1, opts.min_views - 1)
+                                       if len(pair_maps) > 1 else 1)
+    if depth is None or not (depth > 0).any():
+        return None
+    valid = depth > 0
+    d_min = float(np.percentile(depth[valid], 2))
+    d_max = float(np.percentile(depth[valid], 98))
     normal = np.zeros((H, W, 3), np.float32)
     normal[..., 2] = np.where(valid, -1.0, 0.0)
-    conf_n = np.where(valid, np.clip(conf_ref / max(conf_ref.max(), 1e-6), 0.05, 1.0), 0.0)
+    conf_n = np.where(valid, np.clip(conf, 0.05, 1.0), 0.0)
     return DepthMapResult(
         image_idx=ref_idx,
-        depth=z_ref.astype(np.float32),
+        depth=depth.astype(np.float32),
         normal=normal,
         conf=conf_n.astype(np.float32),
         d_min=d_min,
         d_max=d_max,
-        neighbor_ids=[nb.meta.id],
+        neighbor_ids=[vs.id for vs in neighbors[:num] if vs.id in id_to_idx],
         camera=camA,
     )
+
 
 
 def optimize_depth_map(res: DepthMapResult, opts: DenseOptions) -> None:

@@ -119,7 +119,8 @@ def zncc_cost_volume(
 
 # ------------------------------------------------------------- DP aggregation
 def _dp_pass(cost: jnp.ndarray, grad: jnp.ndarray, p1: float, p2: float,
-             alpha: float, axis: int, reverse: bool) -> jnp.ndarray:
+             alpha: float, axis: int, reverse: bool,
+             beta: float = 0.1) -> jnp.ndarray:
     """One directional aggregation along `axis` (0=vertical, 1=horizontal).
 
     cost: (H, W, D); grad: (H, W) intensity gradient along the direction;
@@ -127,7 +128,6 @@ def _dp_pass(cost: jnp.ndarray, grad: jnp.ndarray, p1: float, p2: float,
     homogeneous areas (SemiGlobalMatcher.cpp:518-523).
     """
     D = cost.shape[-1]
-    beta = 0.1
     p2_eff = p2 * (1.0 + alpha * jnp.exp(-(grad * grad) / (2 * beta * beta)))
 
     xs = jnp.moveaxis(cost, axis, 0)          # (N, M, D)
@@ -272,3 +272,496 @@ def disparity_to_depth(disp: np.ndarray, info: dict) -> np.ndarray:
     z[~np.isfinite(z)] = 0
     z[z < 0] = 0
     return z
+
+
+# ===================================================================
+# tSGM parity extension (round 2)
+#
+# The reference compresses per-pixel disparity ranges into ragged
+# arrays (PixelData{idx,range}, SemiGlobalMatcher.h:79-88) to bound
+# CPU cache misses; the TPU-native analogue keeps a DENSE (H, W, D)
+# volume over the level's global range and MASKS costs outside each
+# pixel's [lo, hi) window to the invalid cost (255) — identical
+# search-restriction semantics with static shapes (the memory the
+# reference saves is cheap on HBM; the SEARCH restriction is what
+# drives tSGM's quality/speed).
+# ===================================================================
+
+CMAX = np.uint8(255)          # invalid / worst cost (SemiGlobalMatcher.cpp)
+
+
+def wzncc_weights(gray: jnp.ndarray, half_x: int = 3, half_y: int = 3):
+    """Per-pixel bilateral patch weights for WZNCC (7x7 window), matching
+    the reference's WeightedPatch precompute (SemiGlobalMatcher.cpp:900-947):
+      weight = exp(colorDelta^2 * sigmaColor + spatialDist^2 * sigmaSpatial)
+      sigmaColor = -1/(2 (0.3)^2) on [0,1] intensities (the reference uses
+      the L1-squared COLOR distance at 255 scale; gray at unit scale is the
+      single-channel equivalent), sigmaSpatial = -1/(2 (0.4*7)^2).
+
+    Returns (w, tw, sum_w, norm_sq0) with w/tw stacked (T, H, W)."""
+    offs = [(dy, dx) for dy in range(-half_y, half_y + 1)
+            for dx in range(-half_x, half_x + 1)]
+    sigma_color = -1.0 / (2.0 * 0.3 ** 2)
+    wsz = 2 * max(half_x, half_y) + 1
+    sigma_spatial = -1.0 / (2.0 * (0.4 * wsz) ** 2)
+    H, W = gray.shape
+    pad = max(half_x, half_y)
+    gp = jnp.pad(gray, pad, mode="edge")
+    texels = jnp.stack([
+        jax.lax.dynamic_slice(gp, (dy + pad, dx + pad), (H, W))
+        for dy, dx in offs
+    ])
+    dcol = texels - gray[None]
+    dsp = jnp.asarray([float(dy * dy + dx * dx) for dy, dx in offs])
+    w = jnp.exp(dcol * dcol * sigma_color + dsp[:, None, None] * sigma_spatial)
+    sum_w = jnp.sum(w, axis=0)
+    tm = jnp.sum(w * texels, axis=0) / sum_w
+    t_centered = texels - tm[None]
+    tw = w * t_centered
+    norm_sq0 = jnp.sum(tw * t_centered, axis=0)
+    return w, tw, sum_w, norm_sq0
+
+
+@functools.partial(jax.jit, static_argnames=("d_min", "num_d", "half_x", "half_y"))
+def wzncc_cost_volume(
+    left: jnp.ndarray, right: jnp.ndarray, d_min: int, num_d: int,
+    half_x: int = 3, half_y: int = 3,
+) -> jnp.ndarray:
+    """(H, W, D) uint8 bilateral-weighted ZNCC costs
+    (SemiGlobalMatcher.cpp:948-975): cost = 255 for ncc <= 0 or
+    out-of-image, else round((1 - min(ncc,1)) * 255)."""
+    H, W = left.shape
+    eps = 1e-3
+    w, tw, sum_w, norm_sq0 = wzncc_weights(left, half_x, half_y)
+    offs = [(dy, dx) for dy in range(-half_y, half_y + 1)
+            for dx in range(-half_x, half_x + 1)]
+    pad = max(half_x, half_y)
+
+    # right texel stacks shifted per disparity: pad right along x by the
+    # disparity range so each d is a pure static slice
+    lo_pad = max(0, d_min + num_d - 1 + half_x) + pad
+    hi_pad = max(0, -d_min + half_x) + pad
+    rp = jnp.pad(right, ((pad, pad), (hi_pad, lo_pad)))
+
+    def cost_at(i):
+        d = d_min + i
+        texr = jnp.stack([
+            jax.lax.dynamic_slice(
+                rp, (dy + pad, dx + d + hi_pad), (H, W))
+            for dy, dx in offs
+        ])
+        s = jnp.sum(w * texr, axis=0)
+        sq = jnp.sum(w * texr * texr, axis=0)
+        nom = jnp.sum(tw * texr, axis=0)
+        norm_sq1 = sq - s * s / sum_w
+        ncc = nom * jax.lax.rsqrt(jnp.maximum(norm_sq0 * norm_sq1 + eps, 1e-12))
+        c = jnp.where(ncc <= 0, 255.0,
+                      jnp.round((1.0 - jnp.minimum(ncc, 1.0)) * 255.0))
+        # out-of-image columns invalid
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) + d
+        c = jnp.where((xs < 0) | (xs >= W), 255.0, c)
+        return c.astype(jnp.uint8)
+
+    vol = jnp.stack([cost_at(i) for i in range(num_d)], axis=-1)
+    return vol
+
+
+def disparity_range_map(prior_disp: np.ndarray, out_shape,
+                        min_num_disp: int = 3, min_num_disp_invalid: int = 16,
+                        max_valid: int = 32, max_invalid: int = 64,
+                        global_range=None):
+    """Per-pixel disparity search windows from the previous (half-res)
+    level's disparity (Disparity2RangeMap, SemiGlobalMatcher.cpp:1350-1445).
+
+    prior_disp: (h, w) float with NaN invalid, at HALF the target
+    resolution; returns (lo, hi) int16 maps at out_shape with disparities
+    DOUBLED.  Valid pixels search min/max of a 7x7 window (span capped at
+    max_valid); invalid pixels a 41x41 window (capped at max_invalid);
+    windows with <3 samples fall back to +-min_num_disp_invalid (or the
+    provided global_range)."""
+    from scipy import ndimage
+
+    d = np.asarray(prior_disp, np.float32)
+    valid = np.isfinite(d)
+    dfill_min = np.where(valid, d, np.inf)
+    dfill_max = np.where(valid, d, -np.inf)
+
+    def window_stats(size):
+        mn = ndimage.minimum_filter(dfill_min, size=size, mode="nearest")
+        mx = ndimage.maximum_filter(dfill_max, size=size, mode="nearest")
+        cnt = ndimage.uniform_filter(valid.astype(np.float32), size=size,
+                                     mode="nearest") * size * size
+        return mn, mx, cnt
+
+    mn7, mx7, c7 = window_stats(7)
+    mn41, mx41, c41 = window_stats(41)
+    # median approximated by the window midpoint (the reference takes the
+    # exact median of the collected samples; the midpoint keeps the same
+    # center-of-window semantics with separable filters)
+    mn = np.where(valid, mn7, mn41)
+    mx = np.where(valid, mx7, mx41)
+    cnt = np.where(valid, c7, c41)
+    cap = np.where(valid, max_valid, max_invalid).astype(np.int32)
+
+    center = (mn + mx)  # = median*2 in doubled units
+    span = (mx - mn) * 2.0
+    ok = np.isfinite(mn) & np.isfinite(mx) & (cnt >= 3)
+    num = np.clip(span, min_num_disp, cap)
+    lo = np.where(ok, center - num / 2, 0).astype(np.float32)
+    hi = np.where(ok, center + (num + 1) / 2, 0).astype(np.float32)
+    if global_range is None:
+        g_lo, g_hi = -min_num_disp_invalid, min_num_disp_invalid
+    else:
+        g_lo, g_hi = global_range
+    lo = np.where(ok, lo, g_lo)
+    hi = np.where(ok, hi, g_hi)
+
+    # upscale 2x to the target level
+    H, W = out_shape
+    lo2 = np.repeat(np.repeat(lo, 2, 0), 2, 1)[:H, :W]
+    hi2 = np.repeat(np.repeat(hi, 2, 0), 2, 1)[:H, :W]
+    if lo2.shape != (H, W):
+        lo2 = np.pad(lo2, ((0, H - lo2.shape[0]), (0, W - lo2.shape[1])),
+                     mode="edge")
+        hi2 = np.pad(hi2, ((0, H - hi2.shape[0]), (0, W - hi2.shape[1])),
+                     mode="edge")
+    return lo2.astype(np.int16), hi2.astype(np.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("d_min",))
+def mask_volume(vol: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                d_min: int) -> jnp.ndarray:
+    """Set costs outside each pixel's [lo, hi) window to CMAX — the dense
+    equivalent of the reference's compressed per-pixel ranges."""
+    D = vol.shape[-1]
+    ds = jnp.arange(D, dtype=jnp.int32) + d_min
+    inwin = (ds[None, None, :] >= lo[..., None].astype(jnp.int32)) & (
+        ds[None, None, :] < hi[..., None].astype(jnp.int32))
+    return jnp.where(inwin, vol, jnp.uint8(255))
+
+
+def _dp_pass_diag(cost, grad, p1, p2, alpha, dx: int, reverse: bool,
+                  beta: float = 38.0 / 255.0):
+    """Diagonal DP pass: scan over rows with the carry shifted one column
+    per step (direction (dy=1, dx) forward, reversed for the opposite)."""
+    p2_eff = p2 * (1.0 + alpha * jnp.exp(-(grad * grad) / (2 * beta * beta)))
+    xs = cost
+    p2s = p2_eff
+    if reverse:
+        xs = xs[::-1]
+        p2s = p2s[::-1]
+    big = jnp.float32(1e9)
+
+    def shift_cols(L, s):
+        if s == 0:
+            return L
+        if s > 0:
+            return jnp.concatenate(
+                [jnp.full_like(L[:s], big), L[:-s]], axis=0)
+        return jnp.concatenate([L[-s:], jnp.full_like(L[:(-s)], big)], axis=0)
+
+    def step(carry, x):
+        Lp = shift_cols(carry, dx)             # (W, D) carry moved diagonally
+        c, p2row = x
+        minLp = jnp.min(Lp, axis=-1, keepdims=True)
+        shift_m = jnp.concatenate([jnp.full_like(Lp[:, :1], big), Lp[:, :-1]], axis=-1)
+        shift_p = jnp.concatenate([Lp[:, 1:], jnp.full_like(Lp[:, :1], big)], axis=-1)
+        best = jnp.minimum(
+            jnp.minimum(Lp, minLp + p2row[:, None]),
+            jnp.minimum(shift_m + p1, shift_p + p1),
+        )
+        L = c + best - jnp.minimum(minLp, big * 0.5)
+        L = jnp.minimum(L, big)
+        return L, L
+
+    init = xs[0]
+    _, out = jax.lax.scan(step, init, (xs[1:], p2s[1:]))
+    out = jnp.concatenate([init[None], out], axis=0)
+    if reverse:
+        out = out[::-1]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "alpha", "num_dirs", "beta"))
+def aggregate8(cost_u8: jnp.ndarray, image: jnp.ndarray, p1: float = 3.0,
+               p2: float = 4.0, alpha: float = 14.0,
+               num_dirs: int = 8, beta: float = 38.0 / 255.0) -> jnp.ndarray:
+    """Sum of directional passes on a uint8 cost volume: 4 axis-aligned +
+    (num_dirs == 8) 4 diagonals (the reference's numDirs=4 runs each of its
+    4 directions forward AND backward = 8 passes,
+    SemiGlobalMatcher.cpp:1203-1265)."""
+    cost = cost_u8.astype(jnp.float32)
+    gy, gx = jnp.gradient(image)
+    total = _dp_pass(cost, jnp.abs(gx), p1, p2, alpha, 1, False, beta)
+    total = total + _dp_pass(cost, jnp.abs(gx), p1, p2, alpha, 1, True, beta)
+    total = total + _dp_pass(cost, jnp.abs(gy), p1, p2, alpha, 0, False, beta)
+    total = total + _dp_pass(cost, jnp.abs(gy), p1, p2, alpha, 0, True, beta)
+    if num_dirs >= 8:
+        gd = 0.5 * (jnp.abs(gx) + jnp.abs(gy))
+        for dx in (1, -1):
+            total = total + _dp_pass_diag(cost, gd, p1, p2, alpha, dx, False, beta)
+            total = total + _dp_pass_diag(cost, gd, p1, p2, alpha, dx, True, beta)
+    return total
+
+
+# ------------------------------------------------------------- sub-pixel
+def _fit_linear(x):
+    return x / 2.0
+
+
+def _fit_poly4(x):
+    return (x ** 4 + x) / 4.0
+
+
+def _fit_parabola(x):
+    return x / (x + 1.0)
+
+
+def _fit_sine(x):
+    return 0.5 * (np.sin((x - 1.0) * (np.pi / 2)) + 1.0)
+
+
+def _fit_cosine(x):
+    return 1.0 - np.cos(x * (np.pi / 3.0))
+
+
+def _fit_lc_blend(x):
+    factor = 1.195 - np.cos(x * (np.pi / 2.3))
+    return _fit_cosine(x) * factor + _fit_linear(x) * (1.0 - factor)
+
+
+_SUBPIXEL_FITS = {
+    "linear": _fit_linear,
+    "poly4": _fit_poly4,
+    "parabola": _fit_parabola,
+    "sine": _fit_sine,
+    "cosine": _fit_cosine,
+    "lc_blend": _fit_lc_blend,
+}
+
+
+def refine_subpixel(agg: np.ndarray, disp_int: np.ndarray, d_min: int,
+                    mode: str = "lc_blend") -> np.ndarray:
+    """Sub-pixel offset from the three accumulated costs around the winner
+    (RefineDisparityMap, SemiGlobalMatcher.cpp:1693-1800): pick the
+    interpolation direction from the smaller neighbor delta, map the delta
+    ratio x through the chosen fit, offset = (fit(x) - 0.5) * sign."""
+    if mode in ("na", None):
+        return disp_int.astype(np.float32)
+    fit = _SUBPIXEL_FITS[mode]
+    D = agg.shape[-1]
+    idx = np.clip((disp_int - d_min).astype(np.int64), 0, D - 1)
+    take = lambda i: np.take_along_axis(agg, i[..., None], axis=-1)[..., 0]
+    c0 = take(idx)
+    cm = take(np.clip(idx - 1, 0, D - 1))
+    cp = take(np.clip(idx + 1, 0, D - 1))
+    ld = cm - c0
+    rd = cp - c0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_r = np.where(rd > 0, ld / np.maximum(rd, 1e-12), 0.0)
+        x_l = np.where(ld > 0, rd / np.maximum(ld, 1e-12), 0.0)
+    use_r = ld < rd
+    x = np.clip(np.where(use_r, x_r, x_l), 0.0, 1.0)
+    val = fit(x)
+    off = (val - 0.5) * np.where(use_r, 1.0, -1.0)
+    # two-value edge cases (semisubpixel): prev==center or center==next
+    off = np.where((cm == c0) & (cp != c0), 0.5 * (c0 / np.maximum(cp, 1e-12)), off)
+    off = np.where((cp == c0) & (cm != c0), -0.5 * (c0 / np.maximum(cm, 1e-12)), off)
+    off = np.where((cm == c0) & (cp == c0), 0.0, off)
+    return disp_int.astype(np.float32) + np.clip(off, -0.5, 0.5)
+
+
+# ------------------------------------------------------- tSGM pair pipeline
+def _flip_disparity(disp: np.ndarray) -> np.ndarray:
+    """Left-reference disparity -> right-reference prior (FlipDirection,
+    SemiGlobalMatcher.cpp: dR(x + dL) = -dL), NaN where nothing lands."""
+    H, W = disp.shape
+    out = np.full((H, W), np.nan, np.float32)
+    ys, xs = np.nonzero(np.isfinite(disp))
+    d = disp[ys, xs]
+    xr = np.round(xs + d).astype(np.int64)
+    ok = (xr >= 0) & (xr < W)
+    out[ys[ok], xr[ok]] = -d[ok]
+    return out
+
+
+def _speckle_filter(disp: np.ndarray, max_size: int = 100,
+                    max_diff: float = 5.0) -> np.ndarray:
+    """cv2.filterSpeckles on a float disparity with NaN invalid."""
+    import cv2
+
+    d16 = np.where(np.isfinite(disp), disp * 16.0, -32768).astype(np.int16)
+    cv2.filterSpeckles(d16, -32768, max_size, int(max_diff * 16))
+    out = d16.astype(np.float32) / 16.0
+    out[d16 == -32768] = np.nan
+    return out
+
+
+def match_pair_tsgm(
+    rectA: np.ndarray, rectB: np.ndarray,
+    d_lo: int, d_hi: int,
+    p1: float = 3.0, p2: float = 4.0, alpha: float = 14.0,
+    beta: float = 38.0 / 255.0,
+    min_resolution: int = 320,
+    subpixel_mode: str = "lc_blend",
+    num_dirs: int = 8,
+    max_num_d: int = 256,
+):
+    """Coarse-to-fine tSGM on a rectified pair (SemiGlobalMatcher::Match,
+    SemiGlobalMatcher.cpp:530-737): per-pixel disparity windows from the
+    previous level restrict the search (range masking == the reference's
+    range compression), both directions matched, cross-checked each level,
+    speckle-filtered at the coarsest, sub-pixel refined at the finest.
+
+    d_lo/d_hi: full-resolution global disparity bounds (e.g. from sparse
+    matches).  Returns (disparity float32 with NaN invalid, accumulated
+    winner cost float32)."""
+    import cv2
+
+    H, W = rectA.shape
+    # pyramid scales: halve until min(min_resolution, full)
+    scales = [1.0]
+    while min(H, W) * scales[-1] * 0.5 >= min_resolution and scales[-1] * 0.5 >= 1 / 16:
+        scales.append(scales[-1] * 0.5)
+    scales = scales[::-1]          # coarse -> fine
+    tsgm = len(scales) > 1
+
+    disp = None
+    cost_map = None
+    first_up = True
+    for li, s in enumerate(scales):
+        hs, ws = max(1, round(H * s)), max(1, round(W * s))
+        A = cv2.resize(rectA, (ws, hs), interpolation=cv2.INTER_AREA) if s != 1 else rectA
+        B = cv2.resize(rectB, (ws, hs), interpolation=cv2.INTER_AREA) if s != 1 else rectB
+        glo, ghi = int(np.floor(d_lo * s)) - 8, int(np.ceil(d_hi * s)) + 8
+        if disp is None:
+            lo = np.full((hs, ws), glo, np.int16)
+            hi = np.full((hs, ws), ghi, np.int16)
+            loR = np.full((hs, ws), -ghi, np.int16)
+            hiR = np.full((hs, ws), -glo, np.int16)
+        else:
+            mnd, mnd_i = (11, 33) if first_up else (5, 7)
+            first_up = False
+            lo, hi = disparity_range_map(disp, (hs, ws), mnd, mnd_i,
+                                         global_range=(glo, ghi))
+            dR = _flip_disparity(disp)
+            loR, hiR = disparity_range_map(dR, (hs, ws), mnd, mnd_i,
+                                           global_range=(-ghi, -glo))
+        # level-global bounds from the per-pixel windows
+        l_min = int(min(lo.min(), glo))
+        l_max = int(max(hi.max(), ghi))
+        num_d = min(l_max - l_min, max_num_d)
+        if num_d <= 1:
+            num_d = 2
+
+        volL = mask_volume(
+            wzncc_cost_volume(jnp.asarray(A), jnp.asarray(B), l_min, num_d),
+            jnp.asarray(lo), jnp.asarray(hi), l_min)
+        aggL = aggregate8(volL, jnp.asarray(A), p1, p2, alpha, num_dirs, beta)
+        dintL = np.asarray(jnp.argmin(aggL, axis=-1)).astype(np.int32) + l_min
+        costL = np.asarray(jnp.min(aggL, axis=-1))
+
+        r_min = -(l_min + num_d - 1)
+        volR = mask_volume(
+            wzncc_cost_volume(jnp.asarray(B), jnp.asarray(A), r_min, num_d),
+            jnp.asarray(loR), jnp.asarray(hiR), r_min)
+        aggR = aggregate8(volR, jnp.asarray(B), p1, p2, alpha, num_dirs, beta)
+        dintR = np.asarray(jnp.argmin(aggR, axis=-1)).astype(np.int32) + r_min
+
+        if li == len(scales) - 1:
+            dsub = refine_subpixel(np.asarray(aggL), dintL, l_min, subpixel_mode)
+        else:
+            dsub = dintL.astype(np.float32)
+        # cross-check |dL(x) + dR(x + dL)| <= 1
+        xs = np.arange(ws)[None, :] + dintL
+        xi = np.clip(xs, 0, ws - 1)
+        dr = np.take_along_axis(dintR, xi, axis=1)
+        ok = (np.abs(dintL + dr) <= 1) & (xs >= 0) & (xs < ws)
+        disp = np.where(ok, dsub, np.nan).astype(np.float32)
+        if li == 0 and tsgm:
+            disp = _speckle_filter(disp)
+        cost_map = costL
+    return disp, cost_map
+
+
+def project_disparity_to_depth(
+    disp: np.ndarray, cost: np.ndarray, info: dict, cam_ref,
+    out_shape, subpixel_steps: float = 4.0,
+):
+    """Rectified disparity -> depth/conf/trust-range maps in the ORIGINAL
+    reference camera (ProjectDisparity2DepthMap,
+    SemiGlobalMatcher.cpp:1570-1650).
+
+    Returns (depth, range_lo, range_hi, conf) at out_shape; 0 = invalid."""
+    Kn, Rn, b = info["Kn"], info["Rn"], info["baseline"]
+    f = Kn[0, 0]
+    H, W = disp.shape
+    ys, xs = np.nonzero(np.isfinite(disp) & (disp < -1e-3))
+    out_d = np.zeros(out_shape, np.float32)
+    out_lo = np.zeros(out_shape, np.float32)
+    out_hi = np.zeros(out_shape, np.float32)
+    out_c = np.zeros(out_shape, np.float32)
+    if len(ys) == 0:
+        return out_d, out_lo, out_hi, out_c
+    d = disp[ys, xs].astype(np.float64)
+    # z in the rectified frame: uA - uB = f b / z and d = uB - uA => z = -f b / d
+    z = -f * b / d
+    dd = 0.5 / subpixel_steps
+    z_hi = -f * b / np.minimum(d + dd, -1e-6)
+    z_lo = -f * b / (d - dd)
+    good = (z > 0) & np.isfinite(z)
+    ys, xs, d, z, z_lo, z_hi = ys[good], xs[good], d[good], z[good], z_lo[good], z_hi[good]
+    uv1 = np.stack([xs, ys, np.ones_like(xs)], axis=0).astype(np.float64)
+    Xc_rect = np.linalg.inv(Kn) @ uv1 * z
+    C1 = info.get("C1")
+    Xw = (Rn.T @ Xc_rect).T + C1
+    # project into the original reference camera
+    Xc = (cam_ref.R @ (Xw - cam_ref.C).T)
+    zr = Xc[2]
+    front = zr > 0
+    u = cam_ref.K[0, 0] * Xc[0] / zr + cam_ref.K[0, 2] + cam_ref.K[0, 1] * Xc[1] / zr
+    v = cam_ref.K[1, 1] * Xc[1] / zr + cam_ref.K[1, 2]
+    ui = np.round(u).astype(np.int64)
+    vi = np.round(v).astype(np.int64)
+    Ho, Wo = out_shape
+    ok = front & (ui >= 0) & (ui < Wo) & (vi >= 0) & (vi < Ho)
+    ui, vi, zr = ui[ok], vi[ok], zr[ok]
+    scale = zr / z[ok]           # rectified-z -> reference-z scale per point
+    c = 1.0 / (1.0 + cost[ys[ok], xs[ok]] / 255.0)
+    # z-buffer scatter: nearest depth wins
+    lin = vi * Wo + ui
+    order = np.argsort(zr, kind="stable")[::-1]    # far first, near overwrites
+    out_d.reshape(-1)[lin[order]] = zr[order]
+    out_lo.reshape(-1)[lin[order]] = (z_lo[ok] * scale)[order]
+    out_hi.reshape(-1)[lin[order]] = (z_hi[ok] * scale)[order]
+    out_c.reshape(-1)[lin[order]] = c[order]
+    return out_d, out_lo, out_hi, out_c
+
+
+def fuse_pair_depths(pair_maps, min_views: int):
+    """Cluster-based per-pixel fusion across pair depth maps
+    (SemiGlobalMatcher::Fuse, SemiGlobalMatcher.cpp:795-850): a pixel's
+    depth = the average of the LARGEST cluster of pairwise depths whose
+    trust regions overlap; clusters below min_views are dropped.
+
+    pair_maps: list of (depth, lo, hi, conf) tuples at a common shape."""
+    P = len(pair_maps)
+    if P == 0:
+        return None, None
+    D = np.stack([m[0] for m in pair_maps])      # (P, H, W)
+    LO = np.stack([m[1] for m in pair_maps])
+    HI = np.stack([m[2] for m in pair_maps])
+    C = np.stack([m[3] for m in pair_maps])
+    valid = D > 0
+    # member[s, q]: pair q's depth inside seed s's trust region
+    member = (D[None] >= np.minimum(LO, HI)[:, None]) & (
+        D[None] <= np.maximum(LO, HI)[:, None]) & valid[None] & valid[:, None]
+    counts = member.sum(axis=1)                  # (P, H, W)
+    best = np.argmax(counts, axis=0)             # (H, W)
+    bm = np.take_along_axis(member, best[None, None], axis=0)[0]   # (P, H, W)
+    n = np.take_along_axis(counts, best[None], axis=0)[0]
+    wsum = (bm * valid).sum(axis=0)
+    keep = (n >= min_views) & (wsum > 0)
+    depth = np.where(keep, (D * bm).sum(axis=0) / np.maximum(wsum, 1), 0.0)
+    conf = np.where(keep, (C * bm).sum(axis=0) / np.maximum(wsum, 1), 0.0)
+    return depth.astype(np.float32), conf.astype(np.float32)

@@ -66,15 +66,16 @@ def halo_exchange(state: patchmatch.PMState, axis: str) -> patchmatch.PMState:
         rows = x.shape[0]
         core_top = jax.lax.slice_in_dim(x, HALO, 2 * HALO, axis=0)
         core_bot = jax.lax.slice_in_dim(x, rows - 2 * HALO, rows - HALO, axis=0)
-        up = [(i, (i - 1) % n) for i in range(n)]
-        down = [(i, (i + 1) % n) for i in range(n)]
-        from_below = jax.lax.ppermute(core_top, axis, perm=down)  # sent by tile i+1
-        from_above = jax.lax.ppermute(core_bot, axis, perm=up)    # sent by tile i-1
-        idx = jax.lax.axis_index(axis)
-        top = jnp.where(idx > 0, from_above, jnp.zeros_like(from_above))
-        bot = jnp.where(idx < n - 1, from_below, jnp.zeros_like(from_below))
+        # tile i's TOP halo = tile (i-1)'s core BOTTOM rows: send core_bot
+        # downward (i -> i+1); its BOTTOM halo = tile (i+1)'s core TOP rows:
+        # send core_top upward (i -> i-1).  Un-permuted edges receive zeros
+        # (ppermute semantics), which is the image-border behavior.
+        from_above = jax.lax.ppermute(
+            core_bot, axis, perm=[(i, i + 1) for i in range(n - 1)])
+        from_below = jax.lax.ppermute(
+            core_top, axis, perm=[(i, i - 1) for i in range(1, n)])
         mid = jax.lax.slice_in_dim(x, HALO, rows - HALO, axis=0)
-        return jnp.concatenate([top, mid, bot], axis=0)
+        return jnp.concatenate([from_above, mid, from_below], axis=0)
 
     return patchmatch.PMState(
         depth=refresh(state.depth), normal=refresh(state.normal), conf=refresh(state.conf)

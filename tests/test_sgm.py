@@ -84,3 +84,88 @@ def test_rectify_and_depth_roundtrip():
     sel[:, :20] = False
     assert sel.mean() > 0.5
     assert abs(np.median(z[sel]) - z_true) / z_true < 0.05
+
+
+def _shifted_pair(H=96, W=128, d_true=-6.5, seed=0):
+    """Synthetic rectified pair with constant GT disparity d (xB = xA + d)."""
+    rng = np.random.default_rng(seed)
+    import cv2
+
+    big = cv2.GaussianBlur(rng.uniform(0, 1, (H, W + 64)).astype(np.float32),
+                           (0, 0), 1.5)
+    x0 = 32
+    left = big[:, x0 : x0 + W]
+    # right(x) must satisfy right(x + d) == left(x) -> right(x) = big[x0 + x - d]
+    M = np.float32([[1, 0, d_true - 0 ], [0, 1, 0]])
+    right = cv2.warpAffine(big, np.float32([[1, 0, -(x0 - d_true)], [0, 1, 0]]),
+                           (W, H))
+    return left, right
+
+
+def test_wzncc_volume_minimum_at_truth():
+    from openmvs_tpu.ops import sgm
+
+    left, right = _shifted_pair(d_true=-6.0)
+    vol = np.asarray(sgm.wzncc_cost_volume(left, right, -12, 13))
+    best = vol[8:-8, 20:-20].argmin(axis=-1) - 12
+    assert np.median(best) == -6
+
+
+def test_match_pair_tsgm_accuracy():
+    """tSGM pyramid recovers a constant sub-pixel disparity within 0.5 px."""
+    from openmvs_tpu.ops import sgm
+
+    left, right = _shifted_pair(d_true=-6.5)
+    disp, cost = sgm.match_pair_tsgm(left, right, d_lo=-16, d_hi=0,
+                                     min_resolution=48)
+    core = disp[10:-10, 20:-20]
+    ok = np.isfinite(core)
+    assert ok.mean() > 0.8
+    err = np.abs(core[ok] - (-6.5))
+    assert np.median(err) < 0.5, np.median(err)
+
+
+def test_subpixel_modes():
+    from openmvs_tpu.ops import sgm
+
+    # V-shaped costs around the winner: symmetric -> offset 0
+    agg = np.zeros((1, 1, 5), np.float32)
+    agg[0, 0] = [9, 4, 1, 4, 9]
+    for mode in ("linear", "poly4", "parabola", "sine", "cosine", "lc_blend"):
+        d = sgm.refine_subpixel(agg, np.array([[2]]), 0, mode)
+        assert abs(float(d[0, 0]) - 2.0) < 1e-5, mode
+    # asymmetric: left neighbor lower -> negative offset
+    agg[0, 0] = [9, 2, 1, 6, 9]
+    for mode in ("linear", "parabola", "lc_blend"):
+        d = sgm.refine_subpixel(agg, np.array([[2]]), 0, mode)
+        assert -0.5 <= float(d[0, 0]) - 2.0 < 0.0, (mode, d)
+
+
+def test_disparity_range_map():
+    from openmvs_tpu.ops import sgm
+
+    prior = np.full((20, 20), 5.0, np.float32)
+    prior[5:8, 5:8] = np.nan
+    lo, hi = sgm.disparity_range_map(prior, (40, 40))
+    # valid areas search a tight window around 2*5
+    assert lo[0, 0] <= 10 <= hi[0, 0]
+    assert (hi[0, 0] - lo[0, 0]) <= 32
+    # invalid areas get a wider window
+    assert (hi[12, 12] - lo[12, 12]) >= (hi[0, 0] - lo[0, 0])
+
+
+def test_fuse_pair_depths_clusters():
+    from openmvs_tpu.ops import sgm
+
+    H = W = 4
+    mk = lambda z: (np.full((H, W), z, np.float32),
+                    np.full((H, W), z - 0.1, np.float32),
+                    np.full((H, W), z + 0.1, np.float32),
+                    np.full((H, W), 0.5, np.float32))
+    # three pairs agree at depth 5, one outlier at 9
+    depth, conf = sgm.fuse_pair_depths([mk(5.0), mk(5.05), mk(5.02), mk(9.0)],
+                                       min_views=2)
+    assert np.allclose(depth, (5.0 + 5.05 + 5.02) / 3, atol=1e-5)
+    # outlier cluster of one loses; min_views respected
+    depth2, _ = sgm.fuse_pair_depths([mk(5.0), mk(9.0)], min_views=2)
+    assert (depth2 == 0).all()
