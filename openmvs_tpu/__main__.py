@@ -63,6 +63,15 @@ def main(argv=None):
                    help="cylindrical-scene prior: 0 off, 1 replace cloud, "
                         "2 append, 3 select neighbors, 4 select+append, "
                         "negative to force (DensifyPointCloud --towermode)")
+    p.add_argument("--estimate-roi", type=int, default=2,
+                   help="0 off, 1 estimate unless already set, 2 estimate "
+                        "and weight (Scene::EstimateROI; reference default 2)")
+    p.add_argument("--crop-to-roi", action="store_true",
+                   help="crop the fused cloud to the scene ROI "
+                        "(DensifyPointCloud.cpp:273-432 behavior)")
+    p.add_argument("--filter-point-cloud", type=int, default=0,
+                   help="<0: filter the dense cloud by ray visibility with "
+                        "this threshold (Scene::PointCloudFilter)")
     _add_dataclass_args(p, DenseOptions)
 
     p = sub.add_parser("mesh", help="graph-cut mesh reconstruction")
@@ -142,8 +151,18 @@ def main(argv=None):
             from openmvs_tpu.tower import init_tower_scene
 
             init_tower_scene(scene, args.tower_mode, opts)
+        if args.estimate_roi > 0 and (args.estimate_roi > 1
+                                      or not scene.is_bounded()):
+            scene.estimate_roi()
         pc = dense_reconstruction(scene, opts, save_dmaps_to=args.dmaps_folder)
         scene.pointcloud = pc
+        if args.crop_to_roi and scene.is_bounded():
+            removed = scene.crop_to_roi()
+            print(f"ROI crop: removed {removed} points")
+        if args.filter_point_cloud < 0:
+            removed = scene.point_cloud_filter(args.filter_point_cloud)
+            print(f"visibility filter: removed {removed} points")
+        pc = scene.pointcloud
         out = args.output or args.scene.replace(".mvs", "_dense.mvs")
         scene.save(out)
         pc.save_ply(out.replace(".mvs", ".ply"))

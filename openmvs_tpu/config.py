@@ -195,8 +195,12 @@ class RefineOptions:
     max_face_area: int = 32
     scales: int = 3
     scale_step: float = 0.5
+    # nReduceMemory trades cached per-image mean/var for recomputation; this
+    # implementation never caches them across iterations (each energy
+    # evaluation computes its windowed stats in-graph), i.e. it always
+    # behaves like the reduce_memory=1 reference path
     reduce_memory: int = 1
-    alternative_pair: int = 0
+    alternative_pair: int = 0   # 0 both directions, 1 alternate, 2 (i,j), 3 (j,i)
     regularity_weight: float = 0.2
     rigidity_elasticity_ratio: float = 0.9
     gradient_step: float = 45.05

@@ -119,6 +119,52 @@ def _vertex_adjacency(faces: np.ndarray, nv: int, max_deg: int = 12):
     return out, deg
 
 
+def _vertex_boundary(faces: np.ndarray, nv: int) -> np.ndarray:
+    """(nv,) bool: vertices on an open mesh border (edges used by only one
+    face) — excluded from smoothing like the reference's vertexBoundary
+    (SceneRefine.cpp:968)."""
+    from collections import Counter
+
+    cnt = Counter()
+    for a, b, c in faces:
+        for x, y in ((a, b), (b, c), (c, a)):
+            cnt[(min(x, y), max(x, y))] += 1
+    boundary = np.zeros(nv, bool)
+    for (x, y), n in cnt.items():
+        if n == 1:
+            boundary[x] = boundary[y] = True
+    return boundary
+
+
+def _collapse_vertices(verts: np.ndarray, faces: np.ndarray,
+                       adj: np.ndarray, deg: np.ndarray, kill: np.ndarray):
+    """Remove `kill` vertices by collapsing each into its nearest surviving
+    one-ring neighbor (Mesh::Decimate(vertexRemove) role).  Returns
+    (new_faces reindexed, remap old->new with -1 removed) or (None, None)
+    if nothing could be collapsed."""
+    nv = len(verts)
+    target = np.arange(nv)
+    for v in np.nonzero(kill)[0]:
+        ring = adj[v, : deg[v]]
+        ring = ring[ring >= 0]
+        ring = ring[~kill[ring]]
+        if len(ring) == 0:
+            continue
+        d = np.linalg.norm(verts[ring] - verts[v], axis=1)
+        target[v] = ring[np.argmin(d)]
+    if (target == np.arange(nv)).all():
+        return None, None
+    f2 = target[faces]
+    good = ((f2[:, 0] != f2[:, 1]) & (f2[:, 1] != f2[:, 2])
+            & (f2[:, 0] != f2[:, 2]))
+    f2 = f2[good]
+    used = np.zeros(nv, bool)
+    used[f2.reshape(-1)] = True
+    remap = np.full(nv, -1, np.int64)
+    remap[used] = np.arange(int(used.sum()))
+    return remap[f2].astype(faces.dtype), remap
+
+
 # ------------------------------------------------------------------ energy
 class PairData(NamedTuple):
     """Per (reference view A, neighbor B) constants for one scale."""
@@ -275,20 +321,35 @@ def _pair_energy_grad_manual(verts: jnp.ndarray, pd: PairData, half: int = 3):
 
 
 @jax.jit
-def _device_steps(v, m, vv2, it0, pds, adj, deg, step0, reg_w, n_pairs=None):
+def _device_steps(v, m, vv2, it0, pds, adj, deg, step0, reg_w, n_pairs=None,
+                  boundary=None, ratio=None):
     """4 refinement iterations on device (energy+grad+Adam), between host
     re-rasterizations.  Module-level with every constant as an argument so
     the compiled module is shape-keyed only (persistent-cache friendly).
-    n_pairs: true pair count when the pair axis is padded for sharding."""
+    n_pairs: true pair count when the pair axis is padded for sharding.
+
+    boundary/ratio: the reference's two-ring regularizer — descent direction
+    rigidity*g1 - elasticity*g2 with rigidity=(1-ratio)*w, elasticity=
+    ratio*w (SceneRefine.cpp:642-656); ratio>=1 uses only the elastic term.
+    boundary=None falls back to the round-1 first-order energy."""
     b1, b2 = 0.9, 0.999
     if n_pairs is None:
         n_pairs = pds.imgA.shape[0]
 
     def energy_grad(v):
         es, gs_pairs = jax.vmap(_pair_energy_grad_manual, in_axes=(None, 0))(v, pds)
-        es2, gs2 = _smooth_energy_grad_manual(v, adj, deg)
         w = reg_w * n_pairs
-        return jnp.sum(es) + w * es2, jnp.sum(gs_pairs, axis=0) + w * gs2
+        if boundary is None:
+            es2, gs2 = _smooth_energy_grad_manual(v, adj, deg)
+            return jnp.sum(es) + w * es2, jnp.sum(gs_pairs, axis=0) + w * gs2
+        g1, g2, score = _smooth_grads_tworing(v, adj, deg, boundary)
+        nv = v.shape[0]
+        scale = w * 2.0 / nv          # the round-1 energy-gradient scale
+        r = 0.9 if ratio is None else ratio
+        g_reg = jnp.where(
+            r >= 1.0, scale * g2,
+            scale * (r * g2 - (1.0 - r) * g1))
+        return jnp.sum(es) + w * score / nv, jnp.sum(gs_pairs, axis=0) + g_reg
 
     def body(i, carry):
         v, m, vv2, _ = carry
@@ -323,6 +384,29 @@ def _smooth_energy_grad_manual(verts: jnp.ndarray, adj: jnp.ndarray,
     )
     g = (2.0 / nv) * (Mt_r - r)
     return e, g
+
+
+def _smooth_grads_tworing(verts, adj, deg, boundary):
+    """Reference two-ring smoothing gradients (ComputeSmoothnessGradient1/2,
+    SceneRefine.cpp:958-1012):
+      g1[v] = mean(one-ring) - v                (umbrella Laplacian)
+      g2[v] = (sum g1[nb]/N - g1[v]) / (1 + mean(1/deg[nb]))
+    both zero at boundary vertices; returns (g1, g2, score=sum|g1|)."""
+    w = (adj >= 0).astype(jnp.float32)
+    interior = (~boundary) & (deg > 0)
+    safe_adj = jnp.maximum(adj, 0)
+    nb = verts[safe_adj]
+    degf = jnp.maximum(deg.astype(jnp.float32), 1.0)
+    mean = jnp.sum(nb * w[..., None], axis=1) / degf[:, None]
+    g1 = jnp.where(interior[:, None], mean - verts, 0.0)
+    invdeg = jnp.where(deg > 0, 1.0 / degf, 0.0)
+    wsum = jnp.sum(invdeg[safe_adj] * w, axis=1) / degf
+    nrm = 1.0 / (1.0 + wsum)
+    sum_g1 = jnp.sum(g1[safe_adj] * w[..., None], axis=1)
+    g2 = (sum_g1 / degf[:, None] - g1) * nrm[:, None]
+    g2 = jnp.where(interior[:, None], g2, 0.0)
+    score = jnp.sum(jnp.linalg.norm(g1, axis=-1))
+    return g1, g2, score
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -361,14 +445,42 @@ def refine_mesh(
     if not scene.images[0].meta.view_scores:
         select_views_for_scene(scene, DenseOptions())
 
-    # select pairs: each view with its best-scoring neighbor(s)
+    # pre-refinement mesh conditioning (SceneRefine.cpp:1291-1307 /
+    # RefineMesh app): optional decimation, hole closing, isotropic remesh
+    if 0 < opts.decimate < 1 or opts.close_holes > 0:
+        from openmvs_tpu import mesh_ops
+
+        mesh = mesh_ops.clean_mesh(
+            mesh,
+            decimate=opts.decimate if 0 < opts.decimate < 1 else 1.0,
+            close_holes_size=opts.close_holes,
+            remove_spurious_percent=0.0, do_remove_spikes=False,
+            smooth_iters=0, last_clean=False)
+    if opts.ensure_edge_size > 0:
+        from openmvs_tpu import mesh_ops
+
+        e = mesh.vertices[mesh.faces[:, 0]] - mesh.vertices[mesh.faces[:, 1]]
+        med = float(np.median(np.linalg.norm(e, axis=1)))
+        # cap edges at ~2x the median (EnsureEdgeSize default policy)
+        mesh = mesh_ops.ensure_edge_size(mesh, 2.0 * med,
+                                         max_rounds=opts.ensure_edge_size)
+
+    # select pairs: each view with its best-scoring neighbor(s);
+    # alternative_pair (nAlternatePair): 0 both directions, 1 alternate by
+    # scale parity, 2 only (i, j), 3 only (j, i) (SceneRefine.cpp:198)
     pairs: List[Tuple[int, int]] = []
     id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
     for i, img in enumerate(scene.images):
         for vs in img.meta.view_scores[: max(1, opts.max_views // 4)]:
             j = id_to_idx.get(vs.id)
             if j is not None and (i, j) not in pairs:
+                if opts.alternative_pair == 3:
+                    if (j, i) not in pairs:
+                        pairs.append((j, i))
+                    continue
                 pairs.append((i, j))
+                if opts.alternative_pair == 0 and (j, i) not in pairs:
+                    pairs.append((j, i))
     if not pairs:
         # no sparse points to score views: pair by camera distance
         Cs = np.stack([im.camera.C for im in scene.images])
@@ -406,6 +518,7 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
     adj, deg = _vertex_adjacency(faces, len(mesh.vertices))
     adj_j = jnp.asarray(adj)
     deg_j = jnp.asarray(deg, jnp.float32)
+    bnd_j = jnp.asarray(_vertex_boundary(faces, len(mesh.vertices)))
 
     # step scaled to the local geometry: a fraction of the median edge
     # length (movement per iteration stays sub-facet, keeping the fixed
@@ -507,15 +620,60 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
         if shard_pairs is not None:
             v_d, m_d, vv2_d, adj_j, deg_j = jax.device_put(
                 (v_d, m_d, vv2_d, adj_j, deg_j), replicate)
+        # iteration schedule (SceneRefine.cpp:1362-1370): the elastic-only
+        # regularizer takes over after 70% of the iterations; planar-vertex
+        # pruning runs periodically from 40% when planar_vertex_ratio > 0
+        iter_stop = iters * 7 // 10
+        iter_start = iters * 4 // 10 if opts.planar_vertex_ratio > 0 else 1 << 30
+        boundary_np = np.asarray(bnd_j)
         for it in range(0, iters, 4):
-            v_np = np.asarray(v_d)
-            pds = put(build_pds_stacked(v_np))
+            v_prev = np.asarray(v_d)
+            pds = put(build_pds_stacked(v_prev))
+            ratio_it = (opts.rigidity_elasticity_ratio
+                        if it <= iter_stop else 1.0)
             v_d, m_d, vv2_d, e = device_steps(
                 v_d, m_d, vv2_d, jnp.int32(it), pds, adj_j, deg_j,
                 jnp.float32(step0), jnp.float32(opts.regularity_weight),
-                jnp.float32(len(pairs)))
+                jnp.float32(len(pairs)), bnd_j, jnp.float32(ratio_it))
             if it % 8 == 0:
                 log.info("  iter %d: E=%.5f", it, float(e))
+            if it >= iter_start and iters - it > 5:
+                # planar-vertex pruning (SceneRefine.cpp:1377-1399): remove
+                # interior vertices that barely moved AND sit on a flat
+                # one-ring; threshold = viewing depth * planar_vertex_ratio
+                v_now = np.asarray(v_d)
+                move = np.linalg.norm(v_now - v_prev, axis=1)
+                wmask = (adj >= 0)
+                nbm = v_now[np.maximum(adj, 0)]
+                mean_nb = (nbm * wmask[..., None]).sum(1) / np.maximum(
+                    deg[:, None], 1)
+                g1n = np.linalg.norm(mean_nb - v_now, axis=1)
+                dists = np.linalg.norm(
+                    v_now[None] - np.stack([c.C for c in cams])[:, None], axis=-1)
+                th = dists.min(axis=0) * opts.planar_vertex_ratio
+                kill = (~boundary_np) & (move < th) & (g1n < th) & (deg > 0)
+                if kill.sum() > max(16, 0.002 * len(v_now)):
+                    keep_faces, remap = _collapse_vertices(
+                        v_now, faces, adj, deg, kill)
+                    if keep_faces is not None:
+                        log.info("  planar pruning: -%d vertices",
+                                 int(kill.sum()))
+                        v_now = v_now[remap >= 0]
+                        faces = keep_faces
+                        adj, deg = _vertex_adjacency(faces, len(v_now))
+                        adj_j = jnp.asarray(adj)
+                        deg_j = jnp.asarray(deg, jnp.float32)
+                        bnd_j = jnp.asarray(_vertex_boundary(faces, len(v_now)))
+                        boundary_np = np.asarray(bnd_j)
+                        if shard_pairs is not None:
+                            adj_j, deg_j, bnd_j = jax.device_put(
+                                (adj_j, deg_j, bnd_j), replicate)
+                        v_d = jnp.asarray(v_now)
+                        m_d = jnp.zeros_like(v_d)
+                        vv2_d = jnp.zeros_like(v_d)
+                        if shard_pairs is not None:
+                            v_d, m_d, vv2_d = jax.device_put(
+                                (v_d, m_d, vv2_d), replicate)
         v_np = np.asarray(v_d)
         return Mesh(vertices=v_np.astype(np.float32), faces=faces)
 

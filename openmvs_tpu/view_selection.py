@@ -106,6 +106,17 @@ def select_neighbor_views(
     w_scale = np.where(dB <= 0, 0.0, w_scale)
 
     contrib = np.maximum(w_angle, 0.1) * w_scale
+
+    # ROI membership weighting (nPointInsideROI, Scene.cpp:824-836):
+    # mode 2 counts only in-ROI points, mode 1 down-weights outsiders to 0.7
+    if opts.point_inside_roi > 0 and scene.is_bounded():
+        local = (P - (scene.obb_min + scene.obb_max) / 2) @ scene.obb_rot.T
+        half = (scene.obb_max - scene.obb_min) / 2
+        inside = np.all(np.abs(local) <= half, axis=1)
+        if opts.point_inside_roi > 1:
+            contrib = np.where(inside, contrib, 0.0)
+        else:
+            contrib = np.where(inside, contrib, 0.7 * contrib)
     max_id = int(pair_view.max()) + 1
     score_acc = np.bincount(pair_view, weights=contrib, minlength=max_id)
     scale_acc = np.bincount(pair_view, weights=ratio, minlength=max_id)

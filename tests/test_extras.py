@@ -238,3 +238,53 @@ def test_perview_resume_skips_existing_dmaps(tmp_path):
         D.estimate_depth_map = orig
     assert calls == []          # the resumed view was never re-estimated
     assert len(pc) > 0          # fused from the loaded dmap
+
+
+def test_point_cloud_filter_removes_floater():
+    """A floating point in front of observed surface points must be removed
+    by the visibility filter (Scene::PointCloudFilter role)."""
+    scene = _mini_scene()
+    rng = np.random.default_rng(0)
+    # surface points at z=10 seen by all cameras; one floater placed exactly
+    # on camera 0's ray to a surface point but closer (a fusion artifact the
+    # camera "saw through"), not listed as seen by camera 0
+    surf = (rng.uniform(-1, 1, (50, 3)) * [2, 2, 0.01] + [2, 1, 10.0])
+    C0 = scene.images[0].camera.C
+    floater = C0 + 0.4 * (surf[7] - C0)
+    pts = np.concatenate([surf, [floater]]).astype(np.float32)
+    views = [np.array([0, 1, 2], np.uint32)] * 50 + [np.array([3], np.uint32)]
+    scene.pointcloud = PointCloud(points=pts, views=views,
+                                  weights=[np.ones(len(v), np.float32) for v in views])
+    removed = scene.point_cloud_filter(-1)
+    assert removed >= 1
+    assert len(scene.pointcloud) <= 50
+    # the floater is gone
+    assert not np.any(np.all(np.isclose(scene.pointcloud.points, [2, 1, 4]), axis=1))
+
+
+def test_roi_weighting_changes_selection():
+    """point_inside_roi=2 must exclude out-of-ROI points from view scoring."""
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu.view_selection import select_neighbor_views
+
+    scene = _mini_scene()
+    rng = np.random.default_rng(1)
+    pts_in = rng.uniform(-1, 1, (40, 3)) * [1, 1, 0.1] + [1, 1, 8.0]
+    pts_out = rng.uniform(-1, 1, (40, 3)) * [1, 1, 0.1] + [30, 1, 8.0]
+    pts = np.concatenate([pts_in, pts_out]).astype(np.float32)
+    # in-ROI points shared with view 1; out-of-ROI shared with view 2
+    views = ([np.array([0, 1, 2], np.uint32)] * 40
+             + [np.array([0, 2, 3], np.uint32)] * 40)
+    scene.pointcloud = PointCloud(points=pts, views=views,
+                                  weights=[np.ones(3, np.float32)] * 80)
+    scene.obb_rot = np.eye(3)
+    scene.obb_min = np.array([-2.0, -2.0, 0.0])
+    scene.obb_max = np.array([4.0, 4.0, 12.0])
+    ns_all = select_neighbor_views(scene, 0, DenseOptions(point_inside_roi=0))
+    ns_roi = select_neighbor_views(scene, 0, DenseOptions(point_inside_roi=2))
+    s_all = {v.id: v.score for v in ns_all}
+    s_roi = {v.id: v.score for v in ns_roi}
+    # view 2's score must drop under ROI-only counting (it shares the
+    # out-of-ROI block), view 1's must not increase its rank below it
+    assert s_roi.get(2, 0.0) < s_all.get(2, 1e9)
+    assert s_roi.get(1, 0.0) > 0
