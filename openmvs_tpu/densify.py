@@ -607,12 +607,14 @@ def dense_reconstruction(
         todo = [i for i in range(scene.n_views)
                 if scene.images[i].meta.id not in resumed]
         defer = len(devices) <= 1 and opts.estimator != "sgm"
+        if opts.estimator == "sgm":
+            est = lambda i: estimator(scene, i, opts, dimap_dir=save_dmaps_to)
+        elif defer:
+            est = lambda i: estimator(scene, i, opts, defer_download=True)
+        else:
+            est = lambda i: estimator(scene, i, opts)
         with timed(log, f"photometric pass ({len(todo)} views)"):
-            raw = _run_views_parallel(
-                lambda i: estimator(scene, i, opts, defer_download=defer)
-                if defer else estimator(scene, i, opts),
-                todo, devices
-            )
+            raw = _run_views_parallel(est, todo, devices)
         for i, r in raw.items():
             if r is not None:
                 results[scene.images[i].meta.id] = r

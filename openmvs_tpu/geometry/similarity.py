@@ -65,7 +65,17 @@ def align_scenes(scene, ref_scene) -> np.ndarray:
         raise ValueError("fewer than 3 cameras in common between the scenes")
     src = np.stack([a[k].camera.C for k in common])
     dst = np.stack([b[k].camera.C for k in common])
-    T, _ = umeyama(src, dst)
+    T, s = umeyama(src, dst)
+    if len(common) >= 4:
+        # LM refinement with a Huber loss on top of the closed-form estimate
+        # (the reference refines its SimilarityTransform with lmmin,
+        # Math/SimilarityTransform.cpp; robust to a few bad camera matches)
+        from openmvs_tpu.geometry.lm import refine_similarity
+
+        try:
+            T, s = refine_similarity(src, dst, T, s, robust="huber")
+        except Exception:
+            pass
     scene.apply_transform(T)
     return T
 

@@ -653,6 +653,10 @@ def match_pair_tsgm(
         num_d = min(l_max - l_min, max_num_d)
         if num_d <= 1:
             num_d = 2
+        # bucket the volume depth to multiples of 16: bounds the number of
+        # distinct jit shapes (each unique num_d would recompile the cost +
+        # aggregation graphs); the extra disparities only widen the window
+        num_d = min(-(-num_d // 16) * 16, max_num_d)
 
         volL = mask_volume(
             wzncc_cost_volume(jnp.asarray(A), jnp.asarray(B), l_min, num_d),

@@ -288,3 +288,62 @@ def test_roi_weighting_changes_selection():
     # out-of-ROI block), view 1's must not increase its rank below it
     assert s_roi.get(2, 0.0) < s_all.get(2, 1e9)
     assert s_roi.get(1, 0.0) > 0
+
+
+def test_lm_fit_curve():
+    """LM recovers exponential-decay params (lmmin role, Math/LMFit)."""
+    from openmvs_tpu.geometry.lm import lm_fit
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 4, 60)
+    true = np.array([2.5, 1.3, 0.4])
+    y = true[0] * np.exp(-true[1] * t) + true[2]
+
+    def res(x):
+        return x[0] * np.exp(-x[1] * t) + x[2] - y
+
+    x, cost, it = lm_fit(res, np.array([1.0, 0.5, 0.0]))
+    np.testing.assert_allclose(x, true, atol=1e-6)
+    assert cost < 1e-12
+
+
+def test_robust_norms_properties():
+    from openmvs_tpu.geometry import robust
+
+    r = np.linspace(-10, 10, 401)
+    for name, fn in robust.NORMS.items():
+        rho, w = fn(r, 1.5)
+        assert (rho >= 0).all() and (w >= 0).all(), name
+        assert (w <= 1.0 + 1e-9).all(), name
+        # near zero every norm is ~quadratic with unit weight
+        rho0, w0 = fn(np.array([1e-4]), 1.5)
+        assert abs(w0[0] - 1.0) < 1e-3, name
+    # redescending norms kill far outliers
+    _, wt = robust.tukey(np.array([100.0]), 1.5)
+    assert wt[0] == 0.0
+    _, wg = robust.geman_mcclure(np.array([100.0]), 1.5)
+    assert wg[0] < 1e-3
+
+
+def test_lm_similarity_robust_to_outliers():
+    """Huber-LM similarity refinement shrugs off one bad correspondence
+    that corrupts the closed-form Umeyama estimate."""
+    from openmvs_tpu.geometry.similarity import umeyama
+    from openmvs_tpu.geometry.lm import refine_similarity
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(2)
+    src = rng.normal(size=(12, 3))
+    R = Rotation.from_rotvec([0.2, -0.1, 0.4]).as_matrix()
+    s, t = 1.7, np.array([0.5, -1.0, 2.0])
+    dst = s * src @ R.T + t
+    dst_bad = dst.copy()
+    dst_bad[0] += [5.0, -4.0, 3.0]          # gross outlier
+    T0, s0 = umeyama(src, dst_bad)
+    T, s1 = refine_similarity(src, dst_bad, T0, s0, robust="huber")
+    pred = (np.c_[src, np.ones(len(src))] @ T.T)[:, :3]
+    err_in = np.linalg.norm(pred[1:] - dst[1:], axis=1)
+    pred0 = (np.c_[src, np.ones(len(src))] @ T0.T)[:, :3]
+    err0 = np.linalg.norm(pred0[1:] - dst[1:], axis=1)
+    assert err_in.max() < 0.05
+    assert err_in.mean() < err0.mean() * 0.5

@@ -42,3 +42,17 @@ def test_full_pipeline_thresholds(tmp_path):
 
     tex = texture_mesh(scene, clean, TextureOptions())
     assert tex.has_texture, "TextureMesh produced no texture (Tests.cpp:103)"
+
+
+def test_sgm_pipeline_points():
+    """estimator="sgm" (multi-pair tSGM + cluster fusion) must produce a
+    substantial dense cloud on the bundled scene — its own gate next to the
+    PatchMatch >=200k one (the reference ships no SGM threshold; 120k is
+    ~70% of the measured 173k with headroom for RNG-free determinism)."""
+    from openmvs_tpu.scene import Scene
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu.densify import dense_reconstruction
+
+    scene = Scene.load(SCENE)
+    pc = dense_reconstruction(scene, DenseOptions(estimator="sgm"))
+    assert len(pc) >= 120_000, f"SGM dense points {len(pc)} < 120000"
