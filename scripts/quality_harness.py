@@ -1,0 +1,178 @@
+"""Quality harness: ground-truth reconstruction metrics -> QUALITY_r{N}.json.
+
+The reference cannot be built in this image (no eigen/boost/CGAL), so
+reference-relative ETH3D/DTU numbers are out of reach here; instead this
+harness measures ABSOLUTE reconstruction quality against exact synthetic
+ground truth (a textured height-field rendered through the real camera
+model) plus the bundled-scene stage statistics:
+
+  - per-view depth-map accuracy (MAE, rel-error, completeness) vs GT depth
+    (CompareDepthMaps role, DepthMap.cpp:2042-2152)
+  - fused-cloud accuracy/completeness/F-score vs GT surface samples
+    (the DTU/ETH3D protocol from BASELINE.json)
+  - both the PatchMatch and SGM estimators, same scene
+
+Usage: python scripts/quality_harness.py [out.json]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_gt_scene(n_views=5, W=320, H=240, grid=96, seed=0):
+    """Textured height-field + ring of cameras; returns (scene, gt_mesh,
+    gt_depth_fn) where gt_depth_fn(view_idx) renders the GT depth map."""
+    import cv2
+
+    from openmvs_tpu import native
+    from openmvs_tpu.io import mvs as mvsio
+    from openmvs_tpu.geometry.camera import Camera
+    from openmvs_tpu.scene import Mesh, PointCloud, Scene, SceneImage
+
+    rng = np.random.default_rng(seed)
+    # height-field surface z = 6 + bumps over [-3,3]^2
+    g = np.linspace(-3, 3, grid)
+    xx, yy = np.meshgrid(g, g)
+    zz = (6.0 + 0.6 * np.sin(xx * 1.3) * np.cos(yy * 1.7)
+          + 0.3 * np.sin(2.9 * xx + 1.0) * np.sin(2.3 * yy))
+    verts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+    faces = []
+    for r in range(grid - 1):
+        for c in range(grid - 1):
+            i = r * grid + c
+            faces.append((i, i + 1, i + grid))
+            faces.append((i + 1, i + grid + 1, i + grid))
+    faces = np.asarray(faces, np.int32)
+    gt_mesh = Mesh(vertices=verts.astype(np.float32), faces=faces)
+
+    def texture(x, y):
+        # high-frequency smooth texture so ZNCC has signal everywhere
+        t = (0.5 + 0.18 * np.sin(7.1 * x) * np.cos(6.3 * y)
+             + 0.14 * np.sin(13.7 * x + 2.0) + 0.12 * np.cos(11.3 * y + 1.0)
+             + 0.06 * np.sin(23.0 * x * y))
+        return np.clip(t, 0.02, 0.98)
+
+    K = np.array([[0.9 * W, 0, W / 2 - 0.5], [0, 0.9 * W, H / 2 - 0.5],
+                  [0, 0, 1.0]])
+    scene = Scene()
+    cams = []
+    for i in range(n_views):
+        C = np.array([-1.6 + 0.8 * i, 0.15 * (i % 2), 0.0])
+        cam = Camera(K, np.eye(3), C)
+        cams.append(cam)
+        meta = mvsio.ImageMeta()
+        meta.id = i
+        meta.name = f"gt{i}.png"
+        meta.platform_id = i
+        scene.platforms.append(mvsio.Platform(
+            name=f"p{i}", cameras=[mvsio.CameraRig(K=K, width=W, height=H)],
+            poses=[mvsio.Pose(R=np.eye(3), C=C)]))
+        img = SceneImage(meta=meta, camera=cam, width=W, height=H)
+        # render the GT image: rasterize, then evaluate the texture at the
+        # barycentric surface point
+        pr = project(cam, verts)
+        fid, depth, bary = native.rasterize(pr, faces, H, W)
+        hit = fid >= 0
+        fv = faces[np.where(hit, fid, 0)]
+        P = (verts[fv] * bary[..., None]).sum(axis=2)
+        gray = np.where(hit, texture(P[..., 0], P[..., 1]), 0.0)
+        img.gray = cv2.GaussianBlur(gray.astype(np.float32), (0, 0), 0.5)
+        img.color = None
+        scene.images.append(img)
+
+    # sparse cloud: random surface samples seen by all views
+    sel = rng.choice(len(verts), 600, replace=False)
+    pts = verts[sel].astype(np.float32)
+    views = [np.arange(n_views, dtype=np.uint32)] * len(pts)
+    scene.pointcloud = PointCloud(
+        points=pts, views=views,
+        weights=[np.ones(n_views, np.float32)] * len(pts))
+
+    def gt_depth(i):
+        _, depth, _ = native.rasterize(project(cams[i], verts), faces, H, W)
+        return depth
+
+    return scene, gt_mesh, gt_depth
+
+
+def project(cam, verts):
+    Xc = (verts - cam.C) @ cam.R.T
+    uv = Xc @ cam.K.T
+    z = np.maximum(uv[:, 2], 1e-12)
+    return np.stack([uv[:, 0] / z, uv[:, 1] / z, Xc[:, 2]], -1)
+
+
+def run_estimator(scene, gt_depth, gt_mesh, estimator, tmpdir):
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu.densify import dense_reconstruction
+    from openmvs_tpu.io import dmap as dmapio
+    from openmvs_tpu import eval as ev
+
+    opts = DenseOptions(estimator=estimator, max_resolution=320,
+                        min_resolution=160, resolution_level=0)
+    t0 = time.time()
+    pc = dense_reconstruction(scene, opts, max_dim=320, save_dmaps_to=tmpdir)
+    wall = time.time() - t0
+
+    # depth-map stats vs GT
+    stats = []
+    for img in scene.images:
+        p = os.path.join(tmpdir, f"depth{img.meta.id:04d}.dmap")
+        if not os.path.exists(p):
+            continue
+        dd = dmapio.load(p)
+        gt = gt_depth(img.meta.id)
+        if gt.shape != dd.depth.shape:
+            import cv2
+
+            gt = cv2.resize(gt, dd.depth.shape[::-1], interpolation=cv2.INTER_NEAREST)
+        s = ev.compare_depth_maps(dd.depth, gt)
+        stats.append(s)
+    depth_metrics = {
+        "mae": float(np.mean([s.mae for s in stats])) if stats else None,
+        "rel_err_median": float(np.mean([s.rel_err_median for s in stats])) if stats else None,
+        "completeness": float(np.mean([s.completeness for s in stats])) if stats else None,
+        "frac_under_1pct": float(np.mean([s.frac_under_1pct for s in stats])) if stats else None,
+    }
+
+    # cloud F-score vs dense GT surface samples at 1% of scene depth
+    gv = gt_mesh.vertices
+    fs = ev.point_cloud_fscore(np.asarray(pc.points), gv, threshold=0.06)
+    return {
+        "points": len(pc),
+        "wall_s": round(wall, 1),
+        "depth_vs_gt": depth_metrics,
+        "cloud_fscore@0.06": {k: round(float(v), 4) for k, v in fs.items()},
+    }
+
+
+def main():
+    import tempfile
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r02.json"
+    scene, gt_mesh, gt_depth = build_gt_scene()
+    results = {"harness": "synthetic textured height-field, 5 views, 320x240",
+               "threshold_note": "F-score threshold 0.06 = ~1% of the 6.0 scene depth"}
+    for est in ("patchmatch", "sgm"):
+        with tempfile.TemporaryDirectory() as td:
+            # fresh copies: dense_reconstruction mutates view selection state
+            import copy
+
+            sc = copy.deepcopy(scene)
+            try:
+                results[est] = run_estimator(sc, gt_depth, gt_mesh, est, td)
+            except Exception as e:  # record failures honestly
+                results[est] = {"error": repr(e)[:300]}
+            print(est, "->", json.dumps(results[est])[:240], flush=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -172,3 +172,58 @@ def test_scene_load_save(test_scene_path, tmp_path):
     assert scene2.n_views == 4
     np.testing.assert_allclose(scene2.images[0].camera.K, cam.K)
     np.testing.assert_array_equal(scene2.pointcloud.points, scene.pointcloud.points)
+
+
+def test_scene_load_ply_pointcloud(tmp_path):
+    """Scene.load imports a raw .ply directly (Scene.cpp:483-632 role)."""
+    from openmvs_tpu.io import ply as plyio
+    from openmvs_tpu.scene import Scene
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    cols = rng.integers(0, 255, (100, 3)).astype(np.uint8)
+    p = str(tmp_path / "cloud.ply")
+    plyio.save_point_cloud(p, pts, colors=cols)
+    sc = Scene.load(p)
+    assert len(sc.pointcloud) == 100
+    np.testing.assert_allclose(sc.pointcloud.points, pts, atol=1e-6)
+    assert sc.pointcloud.has_colors
+
+
+def test_scene_load_mesh_formats(tmp_path):
+    from openmvs_tpu.io import ply as plyio
+    from openmvs_tpu.io import obj as objio
+    from openmvs_tpu.scene import Scene
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    p1 = str(tmp_path / "m.ply")
+    plyio.save_mesh(p1, v, f)
+    sc = Scene.load(p1)
+    assert len(sc.mesh.faces) == 2
+    p2 = str(tmp_path / "m.obj")
+    objio.save_mesh_obj(p2, v, f)
+    sc2 = Scene.load(p2)
+    assert len(sc2.mesh.vertices) == 4
+
+
+def test_scene_load_dmap(tmp_path):
+    from openmvs_tpu.io import dmap as dmapio
+    from openmvs_tpu.scene import Scene
+
+    H = W = 24
+    K = np.array([[20.0, 0, 12], [0, 20.0, 12], [0, 0, 1]])
+    depth = np.zeros((H, W), np.float32)
+    depth[8:16, 8:16] = 4.0
+    dd = dmapio.DepthData(
+        depth=depth, image_width=W, image_height=H, depth_min=1.0,
+        depth_max=8.0, file_name="a.jpg", view_ids=np.array([5], np.uint32),
+        K=K, R=np.eye(3), C=np.array([1.0, 0, 0]))
+    p = str(tmp_path / "depth0005.dmap")
+    dmapio.save(dd, p)
+    sc = Scene.load(p)
+    assert len(sc.images) == 1 and sc.images[0].meta.id == 5
+    assert len(sc.pointcloud) == 64
+    # unprojected depths reproject to z=4 in the camera
+    Xc = (sc.pointcloud.points - np.array([1.0, 0, 0])) @ np.eye(3).T
+    np.testing.assert_allclose(Xc[:, 2], 4.0, atol=1e-5)
