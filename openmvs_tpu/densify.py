@@ -29,7 +29,8 @@ from openmvs_tpu.io import dmap as dmapio
 from openmvs_tpu.io import images as imio
 from openmvs_tpu.ops import filters, fusion, patchmatch, seed
 from openmvs_tpu.scene import PointCloud, Scene, SceneImage
-from openmvs_tpu.utils.log import get_logger, timed
+from openmvs_tpu.utils.log import (dump_depth_artifacts, get_logger,
+                                   profile_trace, timed)
 from openmvs_tpu.view_selection import select_views_for_scene
 
 log = get_logger("densify")
@@ -546,6 +547,16 @@ def dense_reconstruction(
             if img.gray is None:
                 img.load(max_dim=max_dim)
 
+    _mesh = getattr(scene, "mesh", None)
+    if len(scene.pointcloud) == 0 and _mesh is not None and len(
+            getattr(_mesh, "faces", ())):
+        # mesh-but-no-cloud scenes: sample the mesh WITH VISIBILITY to seed
+        # estimation (SampleMeshWithVisibility, Scene.cpp:634-741, used by
+        # ComputeDepthMaps at SceneDensify.cpp:1756-1766)
+        with timed(log, "sample mesh with visibility"):
+            scene.pointcloud = sample_mesh_with_visibility(scene)
+        log.info("mesh visibility seeding: %d points", len(scene.pointcloud))
+
     with timed(log, "select views"):
         select_views_for_scene(scene, opts)
 
@@ -584,6 +595,8 @@ def dense_reconstruction(
         if resumed:
             log.info("resume: %d views loaded from existing dmaps", len(resumed))
 
+    _prof = profile_trace("densify")
+    _prof.__enter__()
     # pass 1: photometric estimation
     use_sharded = (
         mesh is not None and int(np.prod(mesh.devices.shape)) > 1
@@ -646,6 +659,8 @@ def dense_reconstruction(
                 new_results[scene.images[i].meta.id] = r
         results = new_results
 
+    _prof.__exit__(None, None, None)
+
     # optimize: speckle + gaps
     for r in results.values():
         optimize_depth_map(r, opts)
@@ -691,6 +706,7 @@ def dense_reconstruction(
                 conf=r.conf,
             )
             dmapio.save(dd, os.path.join(save_dmaps_to, f"depth{rid:04d}.dmap"))
+            dump_depth_artifacts(save_dmaps_to, rid, r.depth, r.normal, r.conf)
 
     # fusion
     with timed(log, "fuse depth maps"):
@@ -748,6 +764,52 @@ def dense_reconstruction(
             if os.path.exists(p):
                 os.remove(p)
     log.info("dense point cloud: %d points", len(pc))
+    return pc
+
+
+def sample_mesh_with_visibility(scene: Scene, n_samples: int = 60_000,
+                                seed: int = 0) -> PointCloud:
+    """Area-weighted mesh surface samples with per-view visibility from
+    z-buffer renders (Scene::SampleMeshWithVisibility, Scene.cpp:634-741):
+    a sample sees view V when its projected depth matches V's rasterized
+    mesh depth within 1%.  Samples visible in <2 views are dropped."""
+    from openmvs_tpu import mesh_ops, native
+
+    pts, _ = mesh_ops.sample_points(scene.mesh, n_samples, seed=seed)
+    P = pts.astype(np.float64)
+    vis = []
+    for img in scene.images:
+        cam = img.camera if img.camera is not None else img.working_camera()
+        W, H = img.width or 640, img.height or 480
+        verts = scene.mesh.vertices.astype(np.float64)
+        Xc = (verts - cam.C) @ cam.R.T
+        z = np.maximum(Xc[:, 2], 1e-12)
+        proj = np.stack([cam.K[0, 0] * Xc[:, 0] / z + cam.K[0, 2]
+                         + cam.K[0, 1] * Xc[:, 1] / z,
+                         cam.K[1, 1] * Xc[:, 1] / z + cam.K[1, 2],
+                         Xc[:, 2]], -1)
+        _, zmap, _ = native.rasterize(proj, scene.mesh.faces, H, W,
+                                      want_bary=False)
+        Xp = (P - cam.C) @ cam.R.T
+        zp = Xp[:, 2]
+        front = zp > 1e-9
+        u = np.where(front, cam.K[0, 0] * Xp[:, 0] / np.where(front, zp, 1)
+                     + cam.K[0, 2], -1)
+        v = np.where(front, cam.K[1, 1] * Xp[:, 1] / np.where(front, zp, 1)
+                     + cam.K[1, 2], -1)
+        ui = np.round(u).astype(np.int64)
+        vi = np.round(v).astype(np.int64)
+        ok = front & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+        zs = zmap[np.clip(vi, 0, H - 1), np.clip(ui, 0, W - 1)]
+        vis.append(ok & (zs > 0) & (np.abs(zs - zp) < 0.01 * zp))
+    vis = np.stack(vis, axis=1)                      # (N, n_views)
+    ids = np.array([im.meta.id for im in scene.images], np.uint32)
+    count = vis.sum(axis=1)
+    keep = count >= 2
+    pc = PointCloud()
+    pc.points = pts[keep]
+    pc.views = [ids[v] for v in vis[keep]]
+    pc.weights = [np.ones(int(c), np.float32) for c in count[keep]]
     return pc
 
 

@@ -32,3 +32,70 @@ def timed(log: logging.Logger, label: str):
         yield
     finally:
         log.info("%s (%.2fs)", label, time.perf_counter() - t0)
+
+
+import os as _os
+
+# verbosity level gating extra artifact dumps (the reference's
+# g_nVerbosityLevel, Common.h:17-41; levels >2 dump per-view depth/normal/
+# confidence images, >4 per-view point clouds, SceneDensify.cpp:2099-2110)
+def verbosity() -> int:
+    try:
+        return int(_os.environ.get("OMVS_VERBOSE", "2"))
+    except ValueError:
+        return 2
+
+
+def dump_depth_artifacts(folder: str, view_id: int, depth, normal=None,
+                         conf=None) -> None:
+    """Write depthNNNN.png (+ normal/conf) visualizations when verbosity>2."""
+    if verbosity() <= 2 or not folder:
+        return
+    import numpy as np
+
+    try:
+        import cv2
+    except Exception:
+        return
+    _os.makedirs(folder, exist_ok=True)
+    d = np.asarray(depth)
+    valid = d > 0
+    if valid.any():
+        lo, hi = np.percentile(d[valid], 2), np.percentile(d[valid], 98)
+        vis = np.where(valid, np.clip((d - lo) / max(hi - lo, 1e-9), 0, 1), 0)
+        cv2.imwrite(_os.path.join(folder, f"depth{view_id:04d}.png"),
+                    cv2.applyColorMap((vis * 255).astype(np.uint8),
+                                      cv2.COLORMAP_JET))
+    if normal is not None:
+        n = np.asarray(normal)
+        cv2.imwrite(_os.path.join(folder, f"normal{view_id:04d}.png"),
+                    ((n * 0.5 + 0.5) * 255).astype(np.uint8)[..., ::-1])
+    if conf is not None:
+        c = np.clip(np.asarray(conf), 0, 1)
+        cv2.imwrite(_os.path.join(folder, f"conf{view_id:04d}.png"),
+                    (c * 255).astype(np.uint8))
+
+
+class profile_trace:
+    """jax.profiler trace context gated by OMVS_PROFILE_DIR: a per-stage
+    device-time breakdown lands as a TensorBoard trace (the structured
+    analogue of the reference's TD_TIMER VERBOSE lines)."""
+
+    def __init__(self, tag: str):
+        self.dir = _os.environ.get("OMVS_PROFILE_DIR", "")
+        self.tag = tag
+        self._cm = None
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+
+            self._cm = jax.profiler.trace(
+                _os.path.join(self.dir, self.tag), create_perfetto_link=False)
+            self._cm.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._cm is not None:
+            self._cm.__exit__(*exc)
+        return False

@@ -268,3 +268,54 @@ def test_isotropic_remesh(sphere_mesh):
     ef = fine.vertices[fine.faces]
     el = np.linalg.norm(ef[:, 0] - ef[:, 1], axis=1)
     assert el.max() <= float(np.median(e0)) * 0.5 * 4 / 3 + 1e-5
+
+
+def test_sample_mesh_with_visibility():
+    """Mesh-only scenes seed densify via visibility-checked surface samples
+    (SampleMeshWithVisibility role, Scene.cpp:634-741)."""
+    import numpy as np
+    from openmvs_tpu.io import mvs as mvsio
+    from openmvs_tpu.geometry.camera import Camera
+    from openmvs_tpu.scene import Mesh, Scene, SceneImage
+    from openmvs_tpu.densify import sample_mesh_with_visibility
+
+    # two parallel planes: the far one is occluded by the near one in the
+    # center of every view
+    g = np.linspace(-2, 2, 12)
+    xx, yy = np.meshgrid(g, g)
+
+    def plane(z, x0=0.0, s=1.0):
+        v = np.stack([xx * s + x0, yy * s, np.full_like(xx, z)], -1).reshape(-1, 3)
+        f = []
+        n = len(g)
+        for r in range(n - 1):
+            for c in range(n - 1):
+                i = r * n + c
+                f += [(i, i + 1, i + n), (i + 1, i + n + 1, i + n)]
+        return v, np.asarray(f, np.int64)
+
+    v1, f1 = plane(4.0)                  # near, big
+    v2, f2 = plane(8.0, s=0.4)           # far, small, fully hidden behind
+    verts = np.concatenate([v1, v2]).astype(np.float32)
+    faces = np.concatenate([f1, f2 + len(v1)]).astype(np.int32)
+    mesh = Mesh(vertices=verts, faces=faces)
+
+    scene = Scene()
+    K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])
+    for i in range(3):
+        C = np.array([0.3 * i - 0.3, 0, 0.0])
+        meta = mvsio.ImageMeta()
+        meta.id = i
+        meta.name = f"v{i}.jpg"
+        meta.platform_id = i
+        scene.platforms.append(mvsio.Platform(
+            name=f"p{i}", cameras=[mvsio.CameraRig(K=K, width=128, height=96)],
+            poses=[mvsio.Pose(R=np.eye(3), C=C)]))
+        scene.images.append(SceneImage(meta=meta, camera=Camera(K, np.eye(3), C),
+                                       width=128, height=96))
+    scene.mesh = mesh
+    pc = sample_mesh_with_visibility(scene, n_samples=4000)
+    assert len(pc) > 500
+    # every kept sample lies on the VISIBLE (near) plane
+    assert np.abs(pc.points[:, 2] - 4.0).max() < 1e-3
+    assert all(len(v) >= 2 for v in pc.views)
