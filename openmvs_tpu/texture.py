@@ -154,11 +154,8 @@ def label_faces_lbp(
             hmin = h.min(axis=1, keepdims=True)
             out = np.minimum(h, hmin + lam_k[:, k : k + 1])
             out -= out.min(axis=1, keepdims=True)         # normalize
-            # deliver
+            # deliver into the neighbor's rev slot
             tgt = adj_safe[:, k]
-            newm = np.zeros((nf, L), np.float32)
-            newm[tgt[valid_edge[:, k]]] = out[valid_edge[:, k]]
-            # place into the neighbor's rev slot
             msg[tgt[valid_edge[:, k]], rev[valid_edge[:, k], k], :] = out[valid_edge[:, k]]
     belief = data + msg.sum(axis=1)
     labels = belief.argmin(axis=1)
@@ -314,18 +311,32 @@ def _pack_maxrects(
                     & (ax[:, None] + aw[:, None] <= bx[None] + bw[None])
                     & (ay[:, None] + ah[:, None] <= by[None] + bh[None])
                 )
+            # containment can only involve old rects intersecting the hit
+            # region's bbox: prefilter before the quadratic scans (the free
+            # set grows to thousands; this keeps the scan local)
+            bx0, by0 = hx.min(), hy.min()
+            bx1 = (hx + hw).max()
+            by1 = (hy + hh).max()
+            near = ((ox_ < bx1) & (ox_ + ow_ > bx0)
+                    & (oy_ < by1) & (oy_ + oh_ > by0))
+            ni = np.nonzero(near)[0]
             # new-in-old or new-in-new (ties broken by index)
-            c_no = contained(nx, ny, nw, nh, ox_, oy_, ow_, oh_).any(axis=1)
+            c_no = contained(nx, ny, nw, nh,
+                             ox_[ni], oy_[ni], ow_[ni], oh_[ni]).any(axis=1)
             c_nn = contained(nx, ny, nw, nh, nx, ny, nw, nh)
             np.fill_diagonal(c_nn, False)
             dup = c_nn & c_nn.T
             c_nn &= ~(dup & (np.arange(len(nx))[:, None] < np.arange(len(nx))[None]))
             keep_n = ~(c_no | c_nn.any(axis=1))
             nx, ny, nw, nh = nx[keep_n], ny[keep_n], nw[keep_n], nh[keep_n]
-            # old-in-new
-            if len(nx):
-                c_on = contained(ox_, oy_, ow_, oh_, nx, ny, nw, nh).any(axis=1)
-                ox_, oy_, ow_, oh_ = ox_[~c_on], oy_[~c_on], ow_[~c_on], oh_[~c_on]
+            # old-in-new (same prefilter)
+            if len(nx) and len(ni):
+                c_on = contained(ox_[ni], oy_[ni], ow_[ni], oh_[ni],
+                                 nx, ny, nw, nh).any(axis=1)
+                drop = np.zeros(len(ox_), bool)
+                drop[ni[c_on]] = True
+                ox_, oy_, ow_, oh_ = (ox_[~drop], oy_[~drop],
+                                      ow_[~drop], oh_[~drop])
         fx = np.concatenate([ox_, nx]); fy = np.concatenate([oy_, ny])
         fw = np.concatenate([ow_, nw]); fh = np.concatenate([oh_, nh])
     placed = [(p, s) for p, s in zip(pos, sizes) if p is not None]
@@ -380,31 +391,88 @@ def generate_texture(
     )
     ncomp, comp = connected_components(g, directed=False)
 
-    # build patches
+    # build patches — fully vectorized (one scatter-min/max over components
+    # instead of a Python loop with np.unique per patch; measured: the old
+    # loop dominated the stage at 13k+ patches)
     patches: List[_Patch] = []
     projs = {}
     pad = 2
-    for ci in range(ncomp):
-        fsel = np.nonzero(comp == ci)[0]
-        view = int(labels[fsel[0]]) if labels[fsel[0]] >= 0 else -1
-        if view < 0:
+    for view in np.unique(labels[labels >= 0]):
+        projs[int(view)] = _project(
+            scene.images[int(view)].working_camera(),
+            mesh.vertices.astype(np.float64))
+    comp_min_u = np.full(ncomp, np.inf)
+    comp_min_v = np.full(ncomp, np.inf)
+    comp_max_u = np.full(ncomp, -np.inf)
+    comp_max_v = np.full(ncomp, -np.inf)
+    comp_view = np.full(ncomp, -1, np.int64)
+    valid_f = labels >= 0
+    comp_view[comp[valid_f]] = labels[valid_f]
+    for view in projs:
+        m = valid_f & (labels == view)
+        if not m.any():
             continue
-        img = scene.images[view]
-        cam = img.working_camera()
-        if view not in projs:
-            projs[view] = _project(cam, mesh.vertices.astype(np.float64))
         pr = projs[view]
-        vids = np.unique(mesh.faces[fsel].ravel())
-        us, vs = pr[vids, 0], pr[vids, 1]
+        fuv = pr[mesh.faces[m]][..., :2]          # (mF, 3, 2)
+        ci = comp[m]
+        np.minimum.at(comp_min_u, ci, fuv[..., 0].min(axis=1))
+        np.minimum.at(comp_min_v, ci, fuv[..., 1].min(axis=1))
+        np.maximum.at(comp_max_u, ci, fuv[..., 0].max(axis=1))
+        np.maximum.at(comp_max_v, ci, fuv[..., 1].max(axis=1))
+    # faces grouped per component via one argsort
+    order = np.argsort(comp, kind="stable")
+    comp_sorted = comp[order]
+    starts = np.searchsorted(comp_sorted, np.arange(ncomp))
+    ends = np.searchsorted(comp_sorted, np.arange(ncomp) + 1)
+    for ci in range(ncomp):
+        view = int(comp_view[ci])
+        if view < 0 or not np.isfinite(comp_min_u[ci]):
+            continue
+        fsel = order[starts[ci]:ends[ci]]
+        img = scene.images[view]
         H, W = img.gray.shape
-        x0 = int(np.clip(np.floor(us.min()) - pad, 0, W - 1))
-        y0 = int(np.clip(np.floor(vs.min()) - pad, 0, H - 1))
-        x1 = int(np.clip(np.ceil(us.max()) + pad, x0 + 1, W))
-        y1 = int(np.clip(np.ceil(vs.max()) + pad, y0 + 1, H))
-        patches.append(_Patch(view=view, faces=fsel, x0=x0, y0=y0, w=x1 - x0, h=y1 - y0))
+        x0 = int(np.clip(np.floor(comp_min_u[ci]) - pad, 0, W - 1))
+        y0 = int(np.clip(np.floor(comp_min_v[ci]) - pad, 0, H - 1))
+        x1 = int(np.clip(np.ceil(comp_max_u[ci]) + pad, x0 + 1, W))
+        y1 = int(np.clip(np.ceil(comp_max_v[ci]) + pad, y0 + 1, H))
+        patches.append(_Patch(view=view, faces=fsel, x0=x0, y0=y0,
+                              w=x1 - x0, h=y1 - y0))
 
     if not patches:
         raise ValueError("no textured patches (no face has a visible view)")
+
+    # split components larger than an atlas page by median cuts on face
+    # centroids (the reference re-splits oversized components,
+    # SceneTexture.cpp:1483-1788 / RectsBinPack.h:57)
+    limit = opts.max_texture_size - 2 * pad - 2
+    queue = patches
+    patches = []
+    while queue:
+        p = queue.pop()
+        if p.w <= limit and p.h <= limit:
+            patches.append(p)
+            continue
+        pr = projs[p.view]
+        cent = pr[mesh.faces[p.faces]][..., :2].mean(axis=1)   # (m, 2)
+        axis = 0 if p.w >= p.h else 1
+        med = np.median(cent[:, axis])
+        left = cent[:, axis] <= med
+        if left.all() or not left.any():
+            left = cent[:, axis] <= cent[:, axis].mean()
+        if left.all() or not left.any():   # degenerate: give up gracefully
+            patches.append(p)
+            continue
+        for sel in (left, ~left):
+            fs = p.faces[sel]
+            fuv = pr[mesh.faces[fs]][..., :2]
+            img = scene.images[p.view]
+            H, W = img.gray.shape
+            x0 = int(np.clip(np.floor(fuv[..., 0].min()) - pad, 0, W - 1))
+            y0 = int(np.clip(np.floor(fuv[..., 1].min()) - pad, 0, H - 1))
+            x1 = int(np.clip(np.ceil(fuv[..., 0].max()) + pad, x0 + 1, W))
+            y1 = int(np.clip(np.ceil(fuv[..., 1].max()) + pad, y0 + 1, H))
+            queue.append(_Patch(view=p.view, faces=fs, x0=x0, y0=y0,
+                                w=x1 - x0, h=y1 - y0))
 
     # pack
     max_w = opts.max_texture_size
@@ -442,6 +510,8 @@ def generate_texture(
             )
             placed_now = [i for i in remaining if pg_pos[i] is not None]
             if not placed_now:
+                # cannot happen after the oversized-component split above,
+                # except for pathological packings: fail loudly
                 raise ValueError("texture patch larger than one atlas page")
             for i in placed_now:
                 pos[i] = pg_pos[i]
@@ -498,14 +568,19 @@ def generate_texture(
     ftc[..., 1] = np.where(mapped[:, None], 1.0 - (uv_f[..., 1] + face_dy[:, None]) / th, 0)
     ftc = np.clip(ftc, 0.0, 1.0).astype(np.float32)
 
-    if opts.global_seam_leveling and n_pages == 1:
+    if opts.global_seam_leveling:
         with timed(log, "global seam leveling"):
-            _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc)
-    if opts.local_seam_leveling and n_pages == 1:
+            # offsets live on mesh vertices, so leveling spans ALL pages
+            _global_seam_leveling(scene, mesh, patches, projs, pages, tw, th,
+                                  ftc, patch_page=patch_page)
+    if opts.local_seam_leveling:
         with timed(log, "local seam leveling"):
-            _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc)
-    if n_pages > 1 and (opts.global_seam_leveling or opts.local_seam_leveling):
-        log.info("seam leveling skipped (multi-page atlas)")
+            # per page: diffusion is confined to patch rects; cross-page
+            # seams were already reconciled by the global (vertex) pass
+            for pg in range(n_pages):
+                psel = [p for pi, p in enumerate(patches)
+                        if patch_page[pi] == pg]
+                _local_seam_leveling(mesh, psel, adj, pages[pg], tw, th, ftc)
     if opts.sharpness_weight > 0:
         # unsharp-mask sharpening (TextureMesh nSharpen, SceneTexture.cpp:2270)
         import cv2
@@ -523,70 +598,75 @@ def generate_texture(
     return out
 
 
-def _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc):
-    """Per-vertex-per-patch color offsets solved as a Tikhonov-regularized
+def _global_seam_leveling(scene, mesh, patches, projs, atlas_pages, tw, th,
+                          ftc, patch_page=None):
+    """Per-(patch, vertex) color offsets solved as a Tikhonov-regularized
     least squares by conjugate gradient (GlobalSeamLeveling,
     SceneTexture.cpp:1483-1640): seam vertices shared by two patches pull
     their sampled colors together; within-patch smoothness keeps the
-    correction field gentle.  The solved offsets are rasterized into the
-    atlas in texture space."""
+    correction field gentle.  Fully vectorized setup (unknowns via one
+    np.unique over (patch, vertex) corner keys); works across MULTIPLE atlas
+    pages (the offsets live on mesh vertices, the final rasterization runs
+    once per page)."""
     from scipy.sparse import coo_matrix
-    from scipy.sparse.linalg import cg, LinearOperator
+    from scipy.sparse.linalg import cg
 
+    if isinstance(atlas_pages, np.ndarray):
+        atlas_pages = [atlas_pages]
     nf = len(mesh.faces)
-    # (patch, vertex) unknowns — sampled colors vectorized per patch
-    vp_index = {}
-    sample_chunks = []
-    count = 0
-    for pi, p in enumerate(patches):
-        pr = projs[p.view]
-        img = scene.images[p.view].color
-        H, W = img.shape[:2]
-        vids = np.unique(mesh.faces[p.faces].ravel())
-        ui = np.clip(pr[vids, 0].astype(np.int64), 0, W - 1)
-        wi = np.clip(pr[vids, 1].astype(np.int64), 0, H - 1)
-        sample_chunks.append(img[wi, ui].astype(np.float64))
-        for j, v in enumerate(vids):
-            vp_index[(pi, int(v))] = count + j
-        count += len(vids)
-    n = count
-    if n == 0:
-        return
-    c = np.concatenate(sample_chunks, axis=0)      # (n, 3)
-
-    # seam pairs: same vertex in different patches
-    by_vertex = {}
-    for (pi, v), idx in vp_index.items():
-        by_vertex.setdefault(v, []).append(idx)
-    rows_i, rows_j = [], []
-    for v, idxs in by_vertex.items():
-        for a in range(len(idxs)):
-            for b in range(a + 1, len(idxs)):
-                rows_i.append(idxs[a])
-                rows_j.append(idxs[b])
-    # smoothness: mesh edges within a patch
+    nv = len(mesh.vertices)
+    npatch = len(patches)
     fpatch = np.full(nf, -1, np.int64)
+    view_of_patch = np.empty(npatch, np.int64)
     for pi, p in enumerate(patches):
         fpatch[p.faces] = pi
-    e_i, e_j = [], []
-    for fi in range(nf):
-        pi = fpatch[fi]
-        if pi < 0:
-            continue
-        a, b, cc_ = mesh.faces[fi]
-        for u, v in ((a, b), (b, cc_), (cc_, a)):
-            ki = vp_index.get((pi, int(u)))
-            kj = vp_index.get((pi, int(v)))
-            if ki is not None and kj is not None and ki < kj:
-                e_i.append(ki)
-                e_j.append(kj)
-    if not rows_i:
+        view_of_patch[pi] = p.view
+    valid_f = fpatch >= 0
+    fv = mesh.faces[valid_f].astype(np.int64)          # (m, 3)
+    fp = fpatch[valid_f]
+    keys = fp[:, None] * nv + fv                        # (m, 3)
+    uniq_keys, inv = np.unique(keys, return_inverse=True)
+    inv = inv.reshape(keys.shape)
+    n = len(uniq_keys)
+    if n == 0:
         return
+    upatch = uniq_keys // nv
+    uvert = uniq_keys % nv
+
+    # sampled color per unknown: the vertex projected into its patch's view
+    c = np.zeros((n, 3))
+    uviews = view_of_patch[upatch]
+    for view in np.unique(uviews):
+        m = uviews == view
+        pr = projs[int(view)]
+        img = scene.images[int(view)].color
+        H, W = img.shape[:2]
+        ui = np.clip(pr[uvert[m], 0].astype(np.int64), 0, W - 1)
+        wi = np.clip(pr[uvert[m], 1].astype(np.int64), 0, H - 1)
+        c[m] = img[wi, ui].astype(np.float64)
+
+    # seam pairs: chain unknowns sharing a mesh vertex (sorted runs); the
+    # chain couples the same connected groups as the reference's all-pairs
+    order = np.argsort(uvert, kind="stable")
+    sv = uvert[order]
+    run = sv[1:] == sv[:-1]
+    rows_i = order[:-1][run]
+    rows_j = order[1:][run]
+    if len(rows_i) == 0:
+        return
+    # smoothness: the 3 edges of every labeled face, deduplicated
+    e_i = np.concatenate([inv[:, 0], inv[:, 1], inv[:, 2]])
+    e_j = np.concatenate([inv[:, 1], inv[:, 2], inv[:, 0]])
+    ekey = np.minimum(e_i, e_j) * n + np.maximum(e_i, e_j)
+    _, first = np.unique(ekey, return_index=True)
+    e_i, e_j = e_i[first], e_j[first]
+    keep = e_i != e_j
+    e_i, e_j = e_i[keep], e_j[keep]
     lam = 0.1
 
-    def laplacian(pairs_i, pairs_j):
-        i = np.asarray(pairs_i)
-        j = np.asarray(pairs_j)
+    def laplacian(i, j):
+        i = np.asarray(i)
+        j = np.asarray(j)
         data = np.concatenate([np.ones(len(i)), np.ones(len(i)),
                                -np.ones(len(i)), -np.ones(len(i))])
         r = np.concatenate([i, j, i, j])
@@ -594,8 +674,7 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc):
         return coo_matrix((data, (r, col)), shape=(n, n)).tocsr()
 
     Lp = laplacian(rows_i, rows_j)
-    Ls = laplacian(e_i, e_j) if e_i else None
-    M = Lp + lam * Ls if Ls is not None else Lp
+    M = Lp + (lam * laplacian(e_i, e_j) if len(e_i) else 0)
     M = M + 1e-6 * coo_matrix((np.ones(n), (np.arange(n), np.arange(n))),
                               shape=(n, n))
     g = np.zeros((n, 3))
@@ -604,34 +683,45 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas, tw, th, ftc):
         g[:, ch], _ = cg(M, rhs, rtol=1e-4, maxiter=200)
     g = np.clip(g, -60, 60)
 
-    # rasterize the offsets into the atlas (texture-space projection);
-    # per-vertex atlas coords from the final uv (vectorized)
-    tex_proj = np.zeros((len(mesh.vertices), 3))
-    offs = np.zeros((len(mesh.vertices), 3))
-    for pi, p in enumerate(patches):
-        vids = np.unique(mesh.faces[p.faces].ravel())
-        # any face corner of this patch carries the vertex's patch uv
-        f0 = mesh.faces[p.faces]                  # (m, 3)
-        uvp = ftc[p.faces]                        # (m, 3, 2)
-        flat_v = f0.ravel()
-        flat_uv = uvp.reshape(-1, 2)
-        tex_proj[flat_v, 0] = flat_uv[:, 0] * tw
-        tex_proj[flat_v, 1] = (1.0 - flat_uv[:, 1]) * th
-        tex_proj[flat_v, 2] = 1.0
-        idxs = np.array([vp_index[(pi, int(v))] for v in vids], np.int64)
-        offs[vids] = g[idxs]
-    # one global rasterization pass using texture-space coords: z=1 everywhere
+    # rasterize offsets into each atlas page in texture space.  CORNER-SPLIT
+    # vertex buffer: a mesh vertex shared by several patches has a DIFFERENT
+    # atlas uv per patch, so per-vertex positions would mix patches (huge
+    # bogus face spans — measured 10s of rasterization and seam bleeding);
+    # per-corner expansion gives each face its own unambiguous uv triple.
     from openmvs_tpu import native
 
-    fid, _, bar = native.rasterize(tex_proj, mesh.faces, th, tw)
-    hit = fid >= 0
-    if not hit.any():
-        return
-    fv = mesh.faces[np.where(hit, fid, 0)]
-    o = np.einsum("hwkc,hwk->hwc", offs[fv], bar)
-    out = atlas.astype(np.int32)
-    out[hit] += np.round(o[hit]).astype(np.int32)
-    atlas[:] = np.clip(out, 0, 255).astype(np.uint8)
+    # per-UNKNOWN offsets; each corner looks up its own (patch, vertex)
+    corner_off = g[inv]                    # (m, 3, 3) via unknown index
+    corner_uv = ftc[valid_f]               # (m, 3, 2)
+    m = len(fv)
+    exp_verts = np.zeros((3 * m, 3))
+    exp_verts[:, 0] = corner_uv[..., 0].ravel() * tw
+    exp_verts[:, 1] = (1.0 - corner_uv[..., 1].ravel()) * th
+    exp_verts[:, 2] = 1.0
+    exp_faces = np.arange(3 * m, dtype=np.int32).reshape(m, 3)
+    exp_off = corner_off.reshape(3 * m, 3)
+    if patch_page is None:
+        page_of_valid = np.zeros(m, np.int64)
+    else:
+        page_of_face = np.full(nf, -1, np.int64)
+        for pi, p in enumerate(patches):
+            page_of_face[p.faces] = patch_page[pi]
+        page_of_valid = page_of_face[valid_f]
+    exp_off = exp_off.astype(np.float32)
+    for pg, atlas in enumerate(atlas_pages):
+        fsel = np.nonzero(page_of_valid == pg)[0]
+        if len(fsel) == 0:
+            continue
+        fid, _, bar = native.rasterize(exp_verts, exp_faces[fsel], th, tw)
+        ys, xs = np.nonzero(fid >= 0)
+        if len(ys) == 0:
+            continue
+        # gather only at covered texels (full-page (H,W,3,3) float64
+        # temporaries measured 10s+ per call)
+        fvp = exp_faces[fsel][fid[ys, xs]]          # (n_hit, 3)
+        o = (exp_off[fvp] * bar[ys, xs][..., None]).sum(axis=1)
+        px = atlas[ys, xs].astype(np.int16) + np.round(o).astype(np.int16)
+        atlas[ys, xs] = np.clip(px, 0, 255).astype(np.uint8)
 
 
 def _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc,

@@ -35,12 +35,25 @@ def _covered_area(proj: np.ndarray, width: int, height: int, grid: int = 16) -> 
     return len(np.unique(ix * grid + iy)) / float(grid * grid)
 
 
+def _flat_point_views(pointcloud):
+    """Flatten the ragged per-point view lists once per scene:
+    (flat_pt, flat_view, counts) — O(total pairs) instead of a Python loop
+    per reference image (O(points x images) interpreted work at scale)."""
+    views = pointcloud.views
+    counts = np.fromiter((len(v) for v in views), np.int64, len(views))
+    flat_pt = np.repeat(np.arange(len(views), dtype=np.int64), counts)
+    flat_view = (np.concatenate(views).astype(np.int64)
+                 if len(views) else np.zeros(0, np.int64))
+    return flat_pt, flat_view, counts
+
+
 def select_neighbor_views(
     scene: Scene,
     ref_idx: int,
     opts: DenseOptions,
     min_views: int = 2,
     min_point_views: int = 3,
+    flat=None,
 ) -> List[ViewScore]:
     """Score all other views as stereo neighbors for image ``ref_idx``.
 
@@ -50,22 +63,19 @@ def select_neighbor_views(
     imgA = scene.images[ref_idx]
     idA = imgA.meta.id
     pts_all = scene.pointcloud.points.astype(np.float64)
-    views = scene.pointcloud.views
 
-    # (point, view) pair lists for points seen by A
-    pair_pt: List[int] = []
-    pair_view: List[int] = []
-    sel_pts: List[int] = []
-    for i, v in enumerate(views):
-        if idA in v:
-            sel_pts.append(i)
-            for b in v:
-                if b != idA:
-                    pair_pt.append(i)
-                    pair_view.append(int(b))
-    if not sel_pts:
+    if flat is None:
+        flat = _flat_point_views(scene.pointcloud)
+    flat_pt, flat_view, counts = flat
+    mine = flat_view == idA
+    sel_pts_arr = flat_pt[mine]
+    if len(sel_pts_arr) == 0:
         return []
-    sel_pts_arr = np.array(sel_pts)
+    seen = np.zeros(len(scene.pointcloud.views), bool)
+    seen[sel_pts_arr] = True
+    pair_mask = seen[flat_pt] & ~mine
+    pair_pt = flat_pt[pair_mask]
+    pair_view = flat_view[pair_mask]
     X = pts_all[sel_pts_arr]
     depthA = imgA.camera.point_depth(X)
     valid_depth = depthA > 0
@@ -73,10 +83,8 @@ def select_neighbor_views(
     imgA.meta.min_depth = float(depthA[valid_depth].min()) if valid_depth.any() else 0.0
     imgA.meta.max_depth = float(depthA[valid_depth].max()) if valid_depth.any() else 0.0
 
-    if not pair_pt:
+    if len(pair_pt) == 0:
         return []
-    pair_pt = np.array(pair_pt)
-    pair_view = np.array(pair_view)
     P = pts_all[pair_pt]
 
     id_to_idx = {img.meta.id: i for i, img in enumerate(scene.images)}
@@ -124,8 +132,7 @@ def select_neighbor_views(
     count_acc = np.bincount(pair_view, minlength=max_id)
 
     # points eligible for area computation: those with enough views
-    n_point_views = np.array([len(views[i]) for i in pair_pt])
-    eligible = n_point_views >= min(min_point_views, n_images)
+    eligible = counts[pair_pt] >= min(min_point_views, n_images)
 
     result: List[ViewScore] = []
     projA_all = imgA.camera.project(P)
@@ -186,8 +193,9 @@ def filter_neighbor_views(
 
 def select_views_for_scene(scene: Scene, opts: DenseOptions) -> None:
     """Populate meta.view_scores for every image."""
+    flat = _flat_point_views(scene.pointcloud)
     for i in range(scene.n_views):
-        neighbors = select_neighbor_views(scene, i, opts)
+        neighbors = select_neighbor_views(scene, i, opts, flat=flat)
         # drop weak absolute/relative scores (SceneDensify.cpp InitViews policy)
         if neighbors:
             best = neighbors[0].score

@@ -187,3 +187,22 @@ def test_local_seam_leveling_smooths(plane_scene):
     finally:
         for im, c in zip(scene.images, bright):
             im.color = c
+
+
+def test_oversized_component_splits(plane_scene):
+    """A patch wider than the atlas page must be split, not raise
+    (SceneTexture.cpp re-splits oversized components)."""
+    import numpy as np
+    from openmvs_tpu.config import TextureOptions
+    from openmvs_tpu import texture as T
+
+    scene, mesh = plane_scene
+    opts = TextureOptions(max_texture_size=64, global_seam_leveling=False,
+                          local_seam_leveling=False, sharpness_weight=0)
+    labels = np.zeros(len(mesh.faces), np.int64)
+    out = T.generate_texture(scene, mesh, labels, opts, max_dim=256)
+    assert out.has_texture
+    # every page fits the cap
+    pages = out.textures if out.textures is not None else [out.texture]
+    for pg in pages:
+        assert pg.shape[0] <= 64 and pg.shape[1] <= 64
