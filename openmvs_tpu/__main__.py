@@ -94,6 +94,13 @@ def main(argv=None):
     p.add_argument("-o", "--output", default=None)
     _add_dataclass_args(p, TextureOptions)
 
+    p = sub.add_parser("view", help="export an interactive WebGL viewer page")
+    p.add_argument("scene", help=".mvs/.ply/.obj scene")
+    p.add_argument("-m", "--mesh", default="", help="extra mesh ply/obj to show")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("--serve", type=int, default=0, help="serve on this port")
+    p.add_argument("--max-points", type=int, default=1_500_000)
+
     p = sub.add_parser("transform", help="apply a 4x4/3x4 transform to a scene")
     p.add_argument("scene")
     p.add_argument("--matrix", required=True, help="text file with 12 or 16 numbers")
@@ -261,6 +268,19 @@ def main(argv=None):
         itf = import_openmvg(args.sfm_data, args.images)
         mvsio.save(itf, args.output)
         print(f"imported {len(itf.images)} views -> {args.output}")
+
+    elif args.cmd == "view":
+        from openmvs_tpu.viewer_web import export_html, serve
+
+        scene = Scene.load(args.scene)
+        if args.mesh:
+            ms = Scene.load(args.mesh)
+            scene.mesh = ms.mesh
+        out = args.output or (os.path.splitext(args.scene)[0] + "_viewer.html")
+        export_html(scene, out, max_points=args.max_points)
+        print(f"viewer page -> {out}")
+        if args.serve:
+            serve(out, args.serve)
 
     elif args.cmd == "import-nvm":
         from openmvs_tpu.interfaces.visualsfm import import_nvm

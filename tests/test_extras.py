@@ -347,3 +347,40 @@ def test_lm_similarity_robust_to_outliers():
     err0 = np.linalg.norm(pred0[1:] - dst[1:], axis=1)
     assert err_in.max() < 0.05
     assert err_in.mean() < err0.mean() * 0.5
+
+
+def test_viewer_export(tmp_path):
+    """The WebGL viewer page embeds decodable scene buffers (apps/Viewer
+    role; headless env, so validated structurally)."""
+    import base64
+    import json
+    import re
+
+    from openmvs_tpu.viewer_web import export_html
+    from openmvs_tpu.scene import Mesh
+
+    scene = _mini_scene()
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    scene.pointcloud = PointCloud(
+        points=pts, views=[np.zeros(0, np.uint32)] * 500,
+        weights=[np.zeros(0, np.float32)] * 500,
+        colors=rng.integers(0, 255, (500, 3)).astype(np.uint8))
+    scene.mesh = Mesh(
+        vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int32))
+    out = str(tmp_path / "v.html")
+    export_html(scene, out)
+    html = open(out).read()
+    m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+    assert m, "DATA blob missing"
+    data = json.loads(m.group(1))
+    back = np.frombuffer(base64.b64decode(data["points"]), np.float32)
+    np.testing.assert_allclose(back.reshape(-1, 3), pts, rtol=1e-6)
+    assert "mesh_v" in data and "cam_lines" in data and "colors" in data
+    # 5 cameras x 8 segments x 2 endpoints x 3 floats
+    cl = np.frombuffer(base64.b64decode(data["cam_lines"]), np.float32)
+    assert len(cl) == 5 * 8 * 2 * 3
+    # braces balanced in the embedded script (crude JS sanity)
+    s = html[html.index("<script>"):html.index("</script>")]
+    assert s.count("{") == s.count("}")
