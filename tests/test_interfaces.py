@@ -364,3 +364,162 @@ def test_bundler_import(tmp_path):
     z = (R @ X)[2]
     assert z > 0
     assert len(itf.point_views[0]) == 2
+
+
+class _CerealWriter:
+    """Spec-faithful cereal PortableBinaryOutputArchive encoder used to
+    fabricate sfm_data.bin fixtures (no cereal/openMVG in this image; the
+    format is implemented from cereal portable_binary.hpp / polymorphic.hpp
+    semantics documented in openmvg._CerealReader)."""
+
+    MSB = 0x80000000
+    MSB2 = 0x40000000
+
+    def __init__(self):
+        self.out = bytearray([1])        # little-endian flag
+        self.poly_ids = {}
+        self.next_poly = 2
+        self.next_ptr = 1
+
+    def u8(self, v): self.out += bytes([v])
+    def u32(self, v): self.out += int(v).to_bytes(4, "little")
+    def u64(self, v): self.out += int(v).to_bytes(8, "little")
+    def f64(self, v): self.out += np.float64(v).tobytes()
+
+    def string(self, s):
+        b = s.encode()
+        self.u64(len(b)); self.out += b
+
+    def dvec(self, v):
+        v = np.asarray(v, np.float64).ravel()
+        self.u64(len(v)); self.out += v.tobytes()
+
+    def dmat(self, m):
+        self.u64(len(m))
+        for row in m: self.dvec(row)
+
+    def poly_ptr(self, name):
+        """Emit polymorphic_id (+name) and a fresh ptr_wrapper id with data."""
+        if name is None:
+            self.u32(self.MSB2)          # static (non-polymorphic) type
+        elif name in self.poly_ids:
+            self.u32(self.poly_ids[name])
+        else:
+            self.poly_ids[name] = self.next_poly
+            self.u32(self.next_poly | self.MSB)
+            self.next_poly += 1
+            self.string(name)
+        self.u32(self.next_ptr | self.MSB)   # first sight: data follows
+        self.next_ptr += 1
+
+
+def _make_sfm_data_bin(path, distorted=False):
+    w = _CerealWriter()
+    w.string("0.3")                      # sfm_data_version
+    w.string("/imgs")                    # root_path
+    w.u64(3)                             # views
+    for i in range(3):
+        w.u32(i)
+        w.poly_ptr(None)                 # plain View via msb2 path
+        w.string("")                     # local_path
+        w.string(f"im{i}.jpg")
+        w.u32(640); w.u32(480)
+        w.u32(i); w.u32(0); w.u32(i)     # id_view, id_intrinsic, id_pose
+    w.u64(1)                             # intrinsics
+    w.u32(0)
+    w.poly_ptr("pinhole_radial_k3" if distorted else "pinhole")
+    w.u32(640); w.u32(480)
+    w.f64(600.0)
+    w.dvec([320.0, 240.0])
+    if distorted:
+        w.dvec([-0.1, 0.01, 0.001])
+    w.u64(3)                             # extrinsics
+    for i in range(3):
+        w.u32(i)
+        w.dmat(np.eye(3).tolist())
+        w.dvec([0.4 * i, 0.0, 0.0])
+    w.u64(5)                             # structure
+    for k in range(5):
+        w.u32(k)
+        w.dvec([0.0, 0.0, 5.0 + 0.01 * k])
+        w.u64(2)                         # observations
+        for v in range(2):
+            w.u32(v); w.u32(100 + k); w.dvec([10.0, 20.0])
+    w.u64(0)                             # control_points
+    open(path, "wb").write(bytes(w.out))
+
+
+def test_openmvg_bin_import(tmp_path):
+    from openmvs_tpu.interfaces.openmvg import import_openmvg
+
+    p = str(tmp_path / "sfm_data.bin")
+    _make_sfm_data_bin(p)
+    itf = import_openmvg(p)
+    assert len(itf.images) == 3
+    assert len(itf.points) == 5
+    assert itf.images[1].name.endswith("im1.jpg")
+    K = itf.platforms[0].cameras[0].K
+    np.testing.assert_allclose(np.diag(K), [600, 600, 1], atol=1e-12)
+    pose = itf.platforms[0].poses[itf.images[2].pose_id]
+    np.testing.assert_allclose(pose.C, [0.8, 0, 0], atol=1e-12)
+    assert len(itf.point_views[0]) == 2
+
+
+def test_openmvg_bin_distorted_names_reuse(tmp_path):
+    """Polymorphic-name reuse across entries + disto parsing."""
+    from openmvs_tpu.interfaces.openmvg import _load_sfm_data_bin, _opencv_dist
+
+    p = str(tmp_path / "sfm_data.bin")
+    _make_sfm_data_bin(p, distorted=True)
+    doc = _load_sfm_data_bin(p)
+    it = doc["intrinsics"][0]["value"]
+    assert it["polymorphic_name"] == "pinhole_radial_k3"
+    d = _opencv_dist("pinhole_radial_k3", it["ptr_wrapper"]["data"])
+    np.testing.assert_allclose(d, [-0.1, 0.01, 0, 0, 0.001])
+
+
+def test_blocks_exchange_import(tmp_path):
+    from openmvs_tpu.interfaces.metashape import import_metashape
+
+    photos = "\n".join(f"""
+      <Photo><Id>{i}</Id><ImagePath>im{i}.jpg</ImagePath>
+        <Pose>
+          <Rotation><M_00>1</M_00><M_01>0</M_01><M_02>0</M_02>
+                    <M_10>0</M_10><M_11>1</M_11><M_12>0</M_12>
+                    <M_20>0</M_20><M_21>0</M_21><M_22>1</M_22></Rotation>
+          <Center><x>{0.3*i}</x><y>0</y><z>0</z></Center>
+        </Pose></Photo>""" for i in range(3))
+    xml = f"""<?xml version="1.0"?>
+    <BlocksExchange version="2.1">
+     <Block><Name>b</Name>
+      <Photogroups>
+       <Photogroup>
+        <Name>g0</Name>
+        <CameraModelType>Perspective</CameraModelType>
+        <ImageDimensions><Width>640</Width><Height>480</Height></ImageDimensions>
+        <FocalLengthPixels>600</FocalLengthPixels>
+        <PrincipalPoint><x>321</x><y>239</y></PrincipalPoint>
+        {photos}
+       </Photogroup>
+      </Photogroups>
+      <TiePoints>
+       <TiePoint>
+        <Position><x>0</x><y>0</y><z>5</z></Position>
+        <Color><Red>0.5</Red><Green>0.25</Green><Blue>1.0</Blue></Color>
+        <Measurement><PhotoId>0</PhotoId><x>1</x><y>2</y></Measurement>
+        <Measurement><PhotoId>2</PhotoId><x>3</x><y>4</y></Measurement>
+       </TiePoint>
+      </TiePoints>
+     </Block>
+    </BlocksExchange>"""
+    p = tmp_path / "block.xml"
+    p.write_text(xml)
+    itf = import_metashape(str(p))
+    assert len(itf.images) == 3
+    assert len(itf.points) == 1
+    K = itf.platforms[0].cameras[0].K
+    np.testing.assert_allclose([K[0, 0], K[0, 2], K[1, 2]], [600, 321, 239])
+    pose = itf.platforms[0].poses[itf.images[2].pose_id]
+    np.testing.assert_allclose(pose.C, [0.6, 0, 0], atol=1e-12)
+    np.testing.assert_array_equal(itf.point_views[0], [0, 2])
+    np.testing.assert_array_equal(itf.colors[0], [127, 63, 255])
