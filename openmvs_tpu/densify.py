@@ -478,6 +478,9 @@ def _run_views_parallel(fn, view_indices, devices):
     blocking on device results)."""
     import concurrent.futures as cf
 
+    from openmvs_tpu.utils.log import Progress
+
+    prog = Progress(log, "depth maps", len(view_indices))
     results = {}
     if len(devices) <= 1:
         # measured: 2 threads sharing ONE device is 4x SLOWER here (the
@@ -496,11 +499,14 @@ def _run_views_parallel(fn, view_indices, devices):
                 if len(pending) > 1:
                     j, rj = pending.popleft()
                     results[j] = rj.resolve()
+                    prog.step()
             else:
                 results[i] = r
+                prog.step()
         while pending:
             j, rj = pending.popleft()
             results[j] = rj.resolve()
+            prog.step()
         return results
 
     n_workers = len(devices)
@@ -514,6 +520,7 @@ def _run_views_parallel(fn, view_indices, devices):
     with cf.ThreadPoolExecutor(max_workers=n_workers) as ex:
         for i, r in ex.map(worker, enumerate(view_indices)):
             results[i] = r
+            prog.step()
     return results
 
 

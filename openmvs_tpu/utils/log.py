@@ -99,3 +99,43 @@ class profile_trace:
         if self._cm is not None:
             self._cm.__exit__(*exc)
         return False
+
+
+class Progress:
+    """ETA progress reporter (the reference's Util::Progress, Util.h:770):
+    logs "k/n (p%%, ETA mm:ss)" at most once per `interval` seconds, plus a
+    final summary line with the overall rate."""
+
+    def __init__(self, log: logging.Logger, label: str, total: int,
+                 interval: float = 5.0):
+        self.log = log
+        self.label = label
+        self.total = max(int(total), 1)
+        self.interval = interval
+        self.done = 0
+        self.t0 = time.perf_counter()
+        self._last = 0.0
+
+    @staticmethod
+    def _fmt(s: float) -> str:
+        s = int(max(s, 0))
+        return f"{s // 3600}:{s % 3600 // 60:02d}:{s % 60:02d}" if s >= 3600 \
+            else f"{s // 60}:{s % 60:02d}"
+
+    def step(self, k: int = 1):
+        self.done += k
+        now = time.perf_counter()
+        if now - self._last < self.interval and self.done < self.total:
+            return
+        self._last = now
+        el = now - self.t0
+        eta = el / self.done * (self.total - self.done) if self.done else 0.0
+        self.log.info("%s: %d/%d (%.0f%%, %s elapsed, ETA %s)",
+                      self.label, self.done, self.total,
+                      100.0 * self.done / self.total,
+                      self._fmt(el), self._fmt(eta))
+
+    def close(self):
+        el = time.perf_counter() - self.t0
+        self.log.info("%s: %d done in %s (%.2f/s)", self.label, self.done,
+                      self._fmt(el), self.done / max(el, 1e-9))

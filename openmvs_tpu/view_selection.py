@@ -90,11 +90,20 @@ def select_neighbor_views(
     id_to_idx = {img.meta.id: i for i, img in enumerate(scene.images)}
     n_images = len(scene.images)
 
-    # angle between viewing rays
+    # angle between viewing rays.  Per-ID camera arrays once (O(images)),
+    # then pure fancy-indexing over the pair list — no O(pairs) Python.
     V1 = imgA.camera.C[None, :] - P
     f1 = imgA.camera.footprint_image(P)
-    camsB = [scene.images[id_to_idx[b]].camera if b in id_to_idx else None for b in range(max(id_to_idx) + 1)]
-    CB = np.stack([camsB[b].C if camsB[b] is not None else np.zeros(3) for b in pair_view])
+    n_ids = max(id_to_idx) + 1
+    C_all = np.zeros((n_ids, 3))
+    f_all = np.ones(n_ids)
+    R2_all = np.zeros((n_ids, 3))
+    for b, i in id_to_idx.items():
+        cam = scene.images[i].camera
+        C_all[b] = cam.C
+        f_all[b] = cam.focal_length
+        R2_all[b] = cam.R[2]
+    CB = C_all[pair_view]
     V2 = CB - P
     cosang = np.einsum("ij,ij->i", V1, V2) / (
         np.linalg.norm(V1, axis=1) * np.linalg.norm(V2, axis=1) + 1e-30
@@ -106,8 +115,8 @@ def select_neighbor_views(
     w_angle = np.exp((ang - optim) ** 2 * np.where(ang < optim, sigma_small, sigma_large))
 
     # footprint scale ratio
-    fB = np.array([camsB[b].focal_length for b in pair_view])
-    dB = np.einsum("ij,ij->i", P - CB, np.stack([camsB[b].R[2] for b in pair_view]))
+    fB = f_all[pair_view]
+    dB = np.einsum("ij,ij->i", P - CB, R2_all[pair_view])
     f2 = fB / np.maximum(dB, 1e-30)
     ratio = f1 / np.maximum(f2, 1e-30)
     w_scale = np.where(ratio > 1.6, (1.6 / ratio) ** 2, np.where(ratio >= 1.0, 1.0, ratio ** 2))
