@@ -9,6 +9,13 @@ reference pipeline's file-level checkpointing (SURVEY.md 5.3-5.4).
   python scripts/pipeline.py scene.mvs -o work/ [--preset MVS|MVS_SGM]
         [--no-refine] [--split-max-points N]
 
+When the input is a DIRECTORY of images, the full photogrammetry
+orchestration runs instead (MvgMvsPipeline.py:19-67 step table): the SfM
+frontend steps shell out to openMVG / COLMAP binaries when they are on PATH
+(SEQUENTIAL / GLOBAL / COLMAP_MVS presets), the export-to-MVS step uses the
+built-in InterfaceCOLMAP importer, and the MVS steps run in-process.  Use
+--steps to run a subset, exactly like the reference script.
+
 With --split-max-points the scene is first divided into sub-scene chunks and
 each chunk is processed independently (MvsScalablePipeline.py role).
 """
@@ -96,6 +103,150 @@ def process_scene(scene_path: str, out: str, args) -> None:
     run_stage("texture", texture_obj, texture)
 
 
+# --------------------------------------------------------- SfM orchestration
+#
+# Step table mirroring MvgMvsPipeline.py:19-67.  External steps invoke the
+# named binary when it is on PATH (or $OPENMVG_BIN / $COLMAP_BIN); internal
+# steps run this package's own implementations.
+
+PRESETS = {
+    "SEQUENTIAL": [0, 1, 2, 3, 4, 5, 11, 17, 18, 19, 20],
+    "GLOBAL": [0, 1, 2, 3, 4, 6, 11, 17, 18, 19, 20],
+    "MVG_SEQ": [0, 1, 2, 3, 4, 5, 7, 8, 9, 11],
+    "MVG_GLOBAL": [0, 1, 2, 3, 4, 6, 7, 8, 9, 11],
+    "COLMAP_MVS": [12, 13, 14, 15, 16, 17, 18, 19, 20],
+    "COLMAP": [12, 13, 14, 15, 16],
+    "MVS": [17, 18, 19, 20],
+    "MVS_SGM": [21, 22],
+}
+
+
+def _find_bin(name, env):
+    import shutil
+
+    folder = os.environ.get(env, "")
+    if folder and os.path.exists(os.path.join(folder, name)):
+        return os.path.join(folder, name)
+    return shutil.which(name)
+
+
+def _sfm_steps(input_dir, out):
+    """(name, binary, env, argv builder) for external steps 0-16."""
+    mvg = os.path.join(out, "sfm")
+    matches = os.path.join(mvg, "matches")
+    recon = os.path.join(mvg, "reconstruction")
+    db = os.path.join(out, "colmap", "database.db")
+    sparse = os.path.join(out, "colmap", "sparse")
+    dense = os.path.join(out, "colmap", "dense")
+    return {
+        0: ("Intrinsics analysis", "openMVG_main_SfMInit_ImageListing", "OPENMVG_BIN",
+            ["-i", input_dir, "-o", matches, "-d",
+             os.environ.get("OMVS_SENSOR_DB", "sensor_width_camera_database.txt")]),
+        1: ("Compute features", "openMVG_main_ComputeFeatures", "OPENMVG_BIN",
+            ["-i", f"{matches}/sfm_data.json", "-o", matches]),
+        2: ("Compute pairs", "openMVG_main_PairGenerator", "OPENMVG_BIN",
+            ["-i", f"{matches}/sfm_data.json", "-o", f"{matches}/pairs.bin"]),
+        3: ("Compute matches", "openMVG_main_ComputeMatches", "OPENMVG_BIN",
+            ["-i", f"{matches}/sfm_data.json", "-p", f"{matches}/pairs.bin",
+             "-o", f"{matches}/matches.putative.bin"]),
+        4: ("Filter matches", "openMVG_main_GeometricFilter", "OPENMVG_BIN",
+            ["-i", f"{matches}/sfm_data.json",
+             "-m", f"{matches}/matches.putative.bin",
+             "-o", f"{matches}/matches.f.bin"]),
+        5: ("Incremental reconstruction", "openMVG_main_SfM", "OPENMVG_BIN",
+            ["--sfm_engine", "INCREMENTAL", "--input_file", f"{matches}/sfm_data.json",
+             "--match_dir", matches, "--output_dir", recon]),
+        6: ("Global reconstruction", "openMVG_main_SfM", "OPENMVG_BIN",
+            ["--sfm_engine", "GLOBAL", "--input_file", f"{matches}/sfm_data.json",
+             "--match_dir", matches, "--output_dir", recon]),
+        7: ("Colorize structure", "openMVG_main_ComputeSfM_DataColor", "OPENMVG_BIN",
+            ["-i", f"{recon}/sfm_data.bin", "-o", f"{recon}/colorized.ply"]),
+        8: ("Structure from known poses", "openMVG_main_ComputeStructureFromKnownPoses",
+            "OPENMVG_BIN",
+            ["-i", f"{recon}/sfm_data.bin", "-m", matches,
+             "-o", f"{recon}/robust.bin"]),
+        9: ("Colorized robust triangulation", "openMVG_main_ComputeSfM_DataColor",
+            "OPENMVG_BIN",
+            ["-i", f"{recon}/robust.bin", "-o", f"{recon}/robust_colorized.ply"]),
+        12: ("Feature extractor", "colmap", "COLMAP_BIN",
+             ["feature_extractor", "--database_path", db, "--image_path", input_dir]),
+        13: ("Exhaustive matcher", "colmap", "COLMAP_BIN",
+             ["exhaustive_matcher", "--database_path", db]),
+        14: ("Mapper", "colmap", "COLMAP_BIN",
+             ["mapper", "--database_path", db, "--image_path", input_dir,
+              "--output_path", sparse]),
+        15: ("Image undistorter", "colmap", "COLMAP_BIN",
+             ["image_undistorter", "--image_path", input_dir,
+              "--input_path", os.path.join(sparse, "0"), "--output_path", dense]),
+    }
+
+
+def run_photogrammetry(input_dir: str, args) -> str:
+    """Run the selected steps on an image folder; returns the scene path the
+    MVS stages consume (steps 17-22 then run via process_scene)."""
+    import subprocess
+
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    steps = args.steps or PRESETS[args.preset]
+    table = _sfm_steps(input_dir, out)
+    scene_mvs = os.path.join(out, "scene.mvs")
+    for s in steps:
+        if s in table:
+            name, binary, env, argv = table[s]
+            exe = _find_bin(binary, env)
+            if exe is None:
+                raise SystemExit(
+                    f"step {s} ({name}) needs `{binary}` on PATH or ${env}; "
+                    f"install the SfM frontend or start from a scene file "
+                    f"(preset MVS) / an importer (python -m openmvs_tpu "
+                    f"import-colmap ...)")
+            for a in argv:
+                d = os.path.dirname(a) if os.path.splitext(a)[1] else a
+                if d and not d.startswith("-") and not os.path.isdir(d) \
+                        and os.sep in d:
+                    os.makedirs(d, exist_ok=True)
+            print(f"[{s}] {name}: {exe} {' '.join(argv)}")
+            subprocess.run([exe] + argv, check=True)
+        elif s in (10,):
+            print(f"[{s}] Control-points registration is interactive; skipping")
+        elif s in (11, 16):
+            # export to MVS via the built-in importers
+            if s == 11:
+                from openmvs_tpu.interfaces.openmvg import import_openmvg
+                from openmvs_tpu.io import mvs as mvsio
+
+                recon = os.path.join(out, "sfm", "reconstruction")
+                src = next((os.path.join(recon, f) for f in
+                            ("sfm_data.bin", "sfm_data.json", "robust.bin")
+                            if os.path.exists(os.path.join(recon, f))), None)
+                if src is None:
+                    raise SystemExit(f"step 11: no sfm_data found in {recon}")
+                itf = import_openmvg(src, input_dir)
+                mvsio.save(itf, scene_mvs)
+            else:
+                from openmvs_tpu.interfaces.colmap import import_colmap
+                from openmvs_tpu.io import mvs as mvsio
+
+                dense = os.path.join(out, "colmap", "dense")
+                itf = import_colmap(os.path.join(dense, "sparse"),
+                                    os.path.join(dense, "images"))
+                mvsio.save(itf, scene_mvs)
+            print(f"[{s}] exported -> {scene_mvs}")
+        elif s in (17, 18, 19, 20, 21, 22):
+            pass  # handled by process_scene below
+        else:
+            print(f"[{s}] unknown step, skipping")
+    if any(s in (17, 18, 19, 20) for s in steps):
+        args.no_refine = args.no_refine or 19 not in steps
+        process_scene(scene_mvs, out, args)
+    if any(s in (21, 22) for s in steps):
+        sgm_args = argparse.Namespace(**vars(args))
+        sgm_args.preset = "MVS_SGM"
+        process_scene(scene_mvs, out, sgm_args)
+    return scene_mvs
+
+
 def init_distributed(args):
     """Multi-host runtime: jax.distributed over DCN + a local (views, tile)
     device mesh over ICI.
@@ -133,7 +284,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene")
     ap.add_argument("-o", "--out", default="mvs_out")
-    ap.add_argument("--preset", default="MVS", choices=["MVS", "MVS_SGM"])
+    ap.add_argument("--preset", default="MVS", choices=sorted(PRESETS))
+    ap.add_argument("--steps", type=int, nargs="+", default=None,
+                    help="explicit step list (MvgMvsPipeline step numbers)")
     ap.add_argument("--no-refine", action="store_true")
     ap.add_argument("--decimate", type=float, default=1.0)
     ap.add_argument("--split-max-points", type=int, default=0,
@@ -149,7 +302,9 @@ def main():
     mesh = init_distributed(args)
     args.mesh = mesh
 
-    if args.split_max_points > 0:
+    if os.path.isdir(args.scene):
+        run_photogrammetry(args.scene, args)
+    elif args.split_max_points > 0:
         from openmvs_tpu.scene import Scene
         from openmvs_tpu.split import split_scene, export_chunks
 
