@@ -91,6 +91,15 @@ def estimate_ground_plane(points: np.ndarray, threshold: float = 0.0,
     P = np.asarray(points, np.float64)
     if len(P) < 3:
         raise ValueError("need >= 3 points")
+    if threshold <= 0 and len(P) >= 4:
+        # parameter-free: a-contrario RANSAC selects the threshold by NFA
+        # (the reference's ACRANSAC EstimatePointsPlane, DepthMap.cpp:1353)
+        from openmvs_tpu.geometry.robust import ac_ransac_plane
+
+        n, d, mask, _, _ = ac_ransac_plane(P, iters=iters, seed=seed)
+        if np.median(P @ n + d) < 0:
+            n, d = -n, -d
+        return n, d
     if threshold <= 0:
         bbox = P.max(axis=0) - P.min(axis=0)
         threshold = float(np.linalg.norm(bbox)) * 5e-3

@@ -384,3 +384,26 @@ def test_viewer_export(tmp_path):
     # braces balanced in the embedded script (crude JS sanity)
     s = html[html.index("<script>"):html.index("</script>")]
     assert s.count("{") == s.count("}")
+
+
+def test_ac_ransac_plane_auto_threshold():
+    """AC-RANSAC (AutoEstimator.h role): recovers a noisy plane among 30%
+    outliers with NO threshold parameter, scale-invariantly."""
+    from openmvs_tpu.geometry.robust import ac_ransac_plane
+
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(-10, 10, (2000, 2))
+    z = 0.3 * xy[:, 0] - 0.2 * xy[:, 1] + 5 + rng.normal(0, 0.01, 2000)
+    P = np.r_[np.c_[xy, z], rng.uniform(-10, 10, (600, 3)) * [1, 1, 2]]
+    true_n = np.array([0.3, -0.2, -1.0])
+    true_n /= np.linalg.norm(true_n)
+    for scale in (1.0, 1000.0):
+        n, d, mask, t, nfa = ac_ransac_plane(P * scale, seed=1)
+        assert abs(n @ true_n) > 0.9999
+        assert 1700 < mask.sum() < 2400
+        assert nfa < -100  # overwhelmingly meaningful model
+    # ground-plane wrapper auto-routes through it when threshold <= 0
+    from openmvs_tpu.geometry.similarity import estimate_ground_plane
+
+    n, d = estimate_ground_plane(P)
+    assert abs(n @ true_n) > 0.999
