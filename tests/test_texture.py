@@ -206,3 +206,43 @@ def test_oversized_component_splits(plane_scene):
     pages = out.textures if out.textures is not None else [out.texture]
     for pg in pages:
         assert pg.shape[0] <= 64 and pg.shape[1] <= 64
+
+
+def test_trws_energy_competitive_with_lbp():
+    """The TRW-S variant must reach Potts energies <= LBP's on random
+    3-regular face-dual MRFs (the reference exposes TRWS as the
+    higher-quality alternative to LBP, SceneTexture.cpp TRWSInference)."""
+    from openmvs_tpu.texture import label_faces_lbp, label_faces_trws
+
+    rng = np.random.default_rng(3)
+    nf, V = 400, 5
+
+    # random 3-regular-ish adjacency from a triangle strip ring
+    adj = np.full((nf, 3), -1, np.int64)
+    for i in range(nf):
+        adj[i, 0] = (i + 1) % nf
+        adj[i, 1] = (i - 1) % nf
+        adj[i, 2] = (i + nf // 2) % nf
+    # make it symmetric (k-th neighbor relation is mutual by construction)
+
+    def potts_energy(labels, data, lam):
+        e = data[np.arange(nf), labels].sum()
+        for k in range(3):
+            nb = adj[:, k]
+            ok = nb >= 0
+            e += 0.5 * (lam * (labels[nb[ok]] != labels[ok])).sum()
+        return float(e)
+
+    worse = 0
+    for trial in range(5):
+        quality = rng.uniform(0.05, 1.0, (nf, V)).astype(np.float32)
+        qmax = quality.max(axis=1, keepdims=True)
+        data = (1.0 - quality / qmax).astype(np.float32)
+        lam = 0.3
+        l_lbp = label_faces_lbp(quality, adj, lam, iters=60)
+        l_trw = label_faces_trws(quality, adj, lam, iters=120)
+        e_lbp = potts_energy(l_lbp, data, lam)
+        e_trw = potts_energy(l_trw, data, lam)
+        if e_trw > e_lbp * 1.02:
+            worse += 1
+    assert worse <= 1, f"TRW-S worse than LBP in {worse}/5 trials"
