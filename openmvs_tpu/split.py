@@ -41,33 +41,49 @@ def split_scene(
     max_points: int = 500_000,
     overlap: float = 0.1,
     min_image_points: int = 50,
+    method: str = "median",
 ) -> List[Chunk]:
-    """Recursive median splits along the widest axis until every chunk holds
-    <= max_points points; chunk boxes are enlarged by `overlap` (fraction)
-    before image assignment so neighboring chunks share boundary context
-    (the reference enlarges chunk OBBs the same way, Scene.cpp:1248)."""
+    """Split the cloud until every chunk holds <= max_points points; chunk
+    boxes are enlarged by `overlap` (fraction) before image assignment so
+    neighboring chunks share boundary context (the reference enlarges chunk
+    OBBs the same way, Scene.cpp:1248).
+
+    method="median": recursive median splits along the widest axis
+    (balanced chunk sizes).  method="octree": TOctree::SplitVolume cells
+    (utils/octree.py) — axis-aligned power-of-two cells exactly as the
+    reference's Scene::Split octree produces."""
     pts = np.asarray(scene.pointcloud.points, np.float64)
     if len(pts) == 0:
         raise ValueError("no points to split")
 
     chunks: List[Chunk] = []
 
-    def recurse(idx: np.ndarray):
-        p = pts[idx]
-        lo, hi = p.min(axis=0), p.max(axis=0)
-        if len(idx) <= max_points:
-            chunks.append(Chunk(lo, hi, idx, np.zeros(0, np.int64)))
-            return
-        axis = int(np.argmax(hi - lo))
-        med = np.median(p[:, axis])
-        left = p[:, axis] <= med
-        if left.all() or not left.any():
-            chunks.append(Chunk(lo, hi, idx, np.zeros(0, np.int64)))
-            return
-        recurse(idx[left])
-        recurse(idx[~left])
+    if method == "octree":
+        from openmvs_tpu.utils.octree import Octree
 
-    recurse(np.arange(len(pts)))
+        tree = Octree.build(pts)
+        for lo, hi, idx in tree.split_volume(max_points):
+            if len(idx):
+                p = pts[idx]
+                chunks.append(Chunk(p.min(axis=0), p.max(axis=0),
+                                    np.sort(idx), np.zeros(0, np.int64)))
+    else:
+        def recurse(idx: np.ndarray):
+            p = pts[idx]
+            lo, hi = p.min(axis=0), p.max(axis=0)
+            if len(idx) <= max_points:
+                chunks.append(Chunk(lo, hi, idx, np.zeros(0, np.int64)))
+                return
+            axis = int(np.argmax(hi - lo))
+            med = np.median(p[:, axis])
+            left = p[:, axis] <= med
+            if left.all() or not left.any():
+                chunks.append(Chunk(lo, hi, idx, np.zeros(0, np.int64)))
+                return
+            recurse(idx[left])
+            recurse(idx[~left])
+
+        recurse(np.arange(len(pts)))
 
     # assign images: an image belongs to every chunk where it observes enough
     # points (within the enlarged box)

@@ -188,3 +188,49 @@ def test_densify_deterministic():
     pc2 = dense_reconstruction(scene, opts, max_dim=W, devices=[])
     assert len(pc1) == len(pc2)
     np.testing.assert_array_equal(pc1.points, pc2.points)
+
+
+def test_octree_structure_and_queries():
+    """Morton linear octree (Octree.h TOctree role): cells partition the
+    cloud, box/sphere collects match brute force, SplitVolume respects the
+    budget."""
+    from openmvs_tpu.utils.octree import Octree
+
+    rng = np.random.default_rng(5)
+    P = np.r_[rng.normal(0, 1, (3000, 3)), rng.normal(4, 0.3, (2000, 3))]
+    tree = Octree.build(P)
+
+    # cells at depth 2 partition all points
+    total = sum(len(idx) for _, idx in tree.cells(2))
+    assert total == len(P)
+    # every cell's points lie inside its box
+    for cell, idx in tree.cells(2):
+        lo, hi = tree.cell_box(2, cell)
+        assert (P[idx] >= lo - 1e-9).all() and (P[idx] <= hi + 1e-9).all()
+
+    # sphere collect == brute force
+    c, r = np.array([4.0, 4.0, 4.0]), 0.5
+    got = np.sort(tree.collect_sphere(c, r))
+    want = np.flatnonzero(np.linalg.norm(P - c, axis=1) <= r)
+    np.testing.assert_array_equal(got, want)
+
+    # box collect == brute force
+    got = np.sort(tree.collect_box([-1, -1, -1], [1, 1, 1]))
+    want = np.flatnonzero(np.all((P >= -1) & (P <= 1), axis=1))
+    np.testing.assert_array_equal(got, want)
+
+    # split_volume: budget respected, full coverage, disjoint
+    parts = tree.split_volume(600)
+    seen = np.concatenate([idx for _, _, idx in parts])
+    assert len(seen) == len(P) and len(np.unique(seen)) == len(P)
+    assert all(len(idx) <= 600 for _, _, idx in parts)
+
+
+def test_split_scene_octree_method():
+    from openmvs_tpu.split import split_scene
+
+    scene = _scene(6000)
+    chunks = split_scene(scene, max_points=2000, method="octree")
+    seen = np.concatenate([c.point_idx for c in chunks])
+    assert len(np.unique(seen)) == len(scene.pointcloud.points)
+    assert all(len(c.point_idx) <= 2000 for c in chunks)
