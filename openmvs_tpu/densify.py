@@ -276,8 +276,16 @@ def estimate_depth_map(
         )
         key = jax.random.PRNGKey(rng_seed * 7919 + ref_idx * 131 + level + 1000 * max(geometric_iter, 0))
         nV = len(nbr_grays)
+        # first-sweep sampling mode (computed early so init_state scores the
+        # incumbent in the same mode the first candidates compete in)
+        _all_exact = bool(os.environ.get("OMVS_ALL_EXACT"))
+        _n_exact = max(1, opts.exact_final_iters)
+        first_mode = "exact" if (_all_exact or 0 >= n_iters - _n_exact) else "nn"
+        if os.environ.get("OMVS_INIT_EXACT"):
+            first_mode = "exact"
         state = patchmatch.init_state(
-            data, opts, key, jnp.asarray(sd), jnp.asarray(sn), nV, is_geometric
+            data, opts, key, jnp.asarray(sd), jnp.asarray(sn), nV, is_geometric,
+            mode=first_mode,
         )
         # Sweep schedule: candidate-SEARCH sweeps sample nearest-texel ("nn";
         # on TPU via the Pallas kernel's nearest mode, ~1.5x faster) with the
@@ -292,8 +300,8 @@ def estimate_depth_map(
         # point count but doubles the raw mesh face count (noisier depth
         # shells).  Keep all 8 offsets; search with nearest sampling except
         # the final two sweeps (nearest-only search loses ~12% raw faces).
-        all_exact = bool(os.environ.get("OMVS_ALL_EXACT"))
-        n_exact = max(1, opts.exact_final_iters)
+        all_exact = _all_exact
+        n_exact = _n_exact
         n_pert = max(1, opts.random_iters // 2)
         prev_mode = None
         for it in range(n_iters):

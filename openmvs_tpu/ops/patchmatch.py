@@ -70,15 +70,20 @@ def _use_pallas() -> bool:
 # (reference DepthEstimator::scaleRanges, DepthMap.cpp:359)
 SCALE_RANGES = tuple(0.5 ** i for i in range(12))
 
-# Checkerboard parity compaction scores only active pixels (~1.4x faster
-# sweeps) but a compacted tile spans 2x the image columns, so the Pallas
-# kernel's fixed source-patch window overflows on scenes with strong
-# per-tile parallax spread, invalidating border pixels (measured -12% fused
-# points on the bundled scene).  Opt in via OMVS_COMPACT=1 for scenes with
-# mild depth ranges; read once at import so jit tracing is consistent.
+# Checkerboard parity compaction scores only active pixels.  ROW-PAIR
+# compaction (_compact_parity_rows) keeps warped x-coordinates exact (the
+# older column packing, OMVS_COMPACT=cols, doubles the x-span and lost
+# border pixels at PATCH_COLS=384).  MEASURED on this chip (sweep A/B,
+# 640x480, quality-neutral): nn sweeps 203 vs 178 ms, exact 331 vs 333 —
+# per-tile fixed costs (operand block swaps, patch fetch) dominate the
+# gather loop, so halving active pixels while 1.33x-ing the patch rows is
+# a net LOSS.  Default OFF; opt in with OMVS_COMPACT=1 (re-evaluate on
+# hardware with cheaper block bookkeeping or larger tiles).
 import os as _os
 
-_COMPACT_SWEEPS = bool(_os.environ.get("OMVS_COMPACT"))
+_COMPACT_SWEEPS = _os.environ.get("OMVS_COMPACT", "0") not in ("0", "")
+_COMPACT_COLS = _os.environ.get("OMVS_COMPACT") == "cols"
+_PATCH_ROWS_COMPACT = int(_os.environ.get("OMVS_PATCH_ROWS_COMPACT", "32"))
 
 
 class PMViews(NamedTuple):
@@ -406,8 +411,24 @@ def _geometric_term(
     Tm: jnp.ndarray,
     Tr: jnp.ndarray,
     Tn: jnp.ndarray,
+    patch_rows: int = 0,
 ) -> jnp.ndarray:
     """Forward-backward reprojection consistency (DepthMap.cpp:535-551)."""
+    if _use_pallas() and _os.environ.get("OMVS_GEOM_KERNEL"):
+        # lane-gather kernel for the dm sample (XLA lowers it to serial
+        # scalar gathers).  OPT-IN ONLY on this backend: standalone the
+        # kernel matches the CPU scorer (tests/test_pm_kernel.py
+        # test_geom_term_pallas_matches_cpu, 98.9%+ at full res), but
+        # embedding a SECOND pallas_call into the big fused sweep jit
+        # nearly doubles raw mesh faces on the bundled scene in every
+        # configuration tried (measured via scripts/dev_gate_counts.py:
+        # 81k -> 148k raw) — consistent with this stack's known
+        # large-fused-graph miscompiles.  Re-evaluate on toolchain updates.
+        from openmvs_tpu.ops.pm_kernel import geom_term_pallas
+
+        kw = {"patch_rows": patch_rows} if patch_rows else {}
+        return geom_term_pallas(dm, size, Tl, Tm, Tr, Tn, depth,
+                                data.X0, data.uv, **kw)
     h_j, w_j = size[0], size[1]
     X = data.X0[None] * depth[..., None]                    # (C, H, W, 3)
     X1 = jnp.einsum("ab,chwb->chwa", Tl, X) + Tm
@@ -417,6 +438,9 @@ def _geometric_term(
     x1 = X1[..., 0] * iz
     y1 = X1[..., 1] * iz
     inside = zok & (x1 >= 1) & (x1 <= w_j - 2) & (y1 >= 1) & (y1 <= h_j - 2)
+    # plain bilinear + post similarity check (see the deliberate-semantics
+    # note in pm_kernel._geom_kernel: the reference's per-corner gated
+    # sample was measured to double raw mesh faces here)
     d1 = _bilinear(dm, x1, y1)
     similar = inside & (d1 > 0) & (jnp.abs(z1 - d1) < 0.03 * z1)
     Xb = jnp.stack([x1 * d1, y1 * d1, d1], axis=-1)
@@ -483,6 +507,7 @@ def score_hypotheses(
     use_geom: bool,
     mode: str = "exact",
     bonus: jnp.ndarray = None,
+    patch_rows: int = 0,
 ) -> jnp.ndarray:
     """Aggregated multi-view scores of C (depth, normal) hypothesis maps.
 
@@ -511,7 +536,8 @@ def score_hypotheses(
         s = s * bonus
         if use_geom:
             s = s + opts.estimation_geometric_weight * _geometric_term(
-                data, opts, depth, dm, size, Tl, Tm, Tr, Tn
+                data, opts, depth, dm, size, Tl, Tm, Tr, Tn,
+                patch_rows=patch_rows,
             )
         # low-res prior blend (DepthMap.cpp:552-561)
         s_blend = (1.0 - f_blend)[None] * s + f_blend[None] * delta
@@ -524,12 +550,13 @@ def score_hypotheses(
 
         s0, s1 = big, big
         for j in range(n_views):
+            kw = {"patch_rows": patch_rows} if patch_rows else {}
             s, _ = score_view_pallas(
                 v.image[j], v.size[j], v.Hl[j], v.Hm[j],
                 depth, normal, inv_nd, data.X0, data.goff, data.w, data.wtm,
                 data.sum_w, data.norm_sq0,
                 n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust),
-                nearest=(mode == "nn"),
+                nearest=(mode == "nn"), **kw,
             ), None
             s = finish_view(s, v.depth[j], v.size[j], v.Tl[j], v.Tm[j],
                             v.Tr[j], v.Tn[j])
@@ -767,6 +794,32 @@ def _scatter_parity(full: jnp.ndarray, sub: jnp.ndarray, parity: int) -> jnp.nda
     return full
 
 
+def _compact_parity_rows(a: jnp.ndarray, parity: int) -> jnp.ndarray:
+    """Checkerboard compaction that HALVES ROWS, keeping columns exact:
+    out[r, x] = a[2r + (parity + x) % 2, x], shape (H//2, W[, ...]).
+
+    Rows 2r and 2r+1 have complementary active columns, so their union
+    covers every column exactly once.  Unlike the column-packing
+    _compact_parity, warped x-coordinates are unchanged — the Pallas
+    kernel's source-patch WIDTH stays sufficient; only the patch row span
+    doubles (patch_rows 24 -> 32), which costs ~1.33x gathers per launch
+    for 2x fewer active pixels (net ~1.5x).  Pure strided slicing."""
+    H, W = a.shape[0], a.shape[1]
+    ec = a[parity % 2 :: 2, 0::2]            # columns 0,2,..: row offset (p+0)%2
+    oc = a[(parity + 1) % 2 :: 2, 1::2]      # columns 1,3,..: row offset (p+1)%2
+    out = jnp.stack([ec, oc], axis=2)        # (H/2, W/2, 2, ...)
+    return out.reshape((H // 2, W) + a.shape[2:])
+
+
+def _scatter_parity_rows(full: jnp.ndarray, sub: jnp.ndarray, parity: int) -> jnp.ndarray:
+    """Inverse of _compact_parity_rows: write sub back at its parity."""
+    H, W = full.shape[0], full.shape[1]
+    sub2 = sub.reshape((H // 2, W // 2, 2) + sub.shape[2:])
+    full = full.at[parity % 2 :: 2, 0::2].set(sub2[:, :, 0])
+    full = full.at[(parity + 1) % 2 :: 2, 1::2].set(sub2[:, :, 1])
+    return full
+
+
 # propagation neighborhood: 4-adjacent plus 4 longer-range samples so
 # information travels faster than one pixel per half-iteration
 # (the reference's adaptive checkerboard uses near+far samples similarly,
@@ -851,7 +904,14 @@ def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
         # checkerboard compaction: score only the active parity's pixels
         # (the reference's red/black kernels process exactly half each
         # step, PatchMatchCUDA.cu:597-609) — 2x less scoring work
-        comp = lambda x: _compact_parity(x, parity)
+        if _COMPACT_COLS:
+            comp = lambda x: _compact_parity(x, parity)
+            scat = _scatter_parity
+            pr = 0
+        else:
+            comp = lambda x: _compact_parity_rows(x, parity)
+            scat = _scatter_parity_rows
+            pr = _PATCH_ROWS_COMPACT
         data_c = data._replace(
             ref=comp(data.ref), X0=comp(data.X0),
             w=jax.vmap(comp)(data.w), wtm=jax.vmap(comp)(data.wtm),
@@ -867,7 +927,7 @@ def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
         bonus_full = _smoothness_bonus(data, opts, state, cd, cn)
         s = score_hypotheses(
             data_c, opts, state_c, cd_c, cn_c, n_views, use_geom, mode,
-            bonus=jax.vmap(comp)(bonus_full),
+            bonus=jax.vmap(comp)(bonus_full), patch_rows=pr,
         )
         s = jnp.where(cok_c, s, jnp.inf)
         best = jnp.argmin(s, axis=0)
@@ -875,9 +935,9 @@ def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
         d_best = jnp.take_along_axis(cd_c, best[None], axis=0)[0]
         n_best = jnp.take_along_axis(cn_c, best[None, ..., None], axis=0)[0]
         take = comp(active) & (s_best < state_c.conf)
-        nd = _scatter_parity(state.depth, jnp.where(take, d_best, state_c.depth), parity)
-        nn = _scatter_parity(state.normal, jnp.where(take[..., None], n_best, state_c.normal), parity)
-        nc = _scatter_parity(state.conf, jnp.where(take, s_best, state_c.conf), parity)
+        nd = scat(state.depth, jnp.where(take, d_best, state_c.depth), parity)
+        nn = scat(state.normal, jnp.where(take[..., None], n_best, state_c.normal), parity)
+        nc = scat(state.conf, jnp.where(take, s_best, state_c.conf), parity)
         state = PMState(depth=nd, normal=nn, conf=nc)
     else:
         s = score_hypotheses(data, opts, state, cd, cn, n_views, use_geom, mode)
@@ -895,7 +955,7 @@ def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom"))
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "mode"))
 def init_state(
     data: PMData,
     opts: DenseOptions,
@@ -904,6 +964,7 @@ def init_state(
     seed_normal,
     n_views: int,
     use_geom: bool = False,
+    mode: str = "exact",
 ) -> PMState:
     """Initialize state from seeds; random where seeds are missing.
 
@@ -921,7 +982,10 @@ def init_state(
     normal = jnp.where(seed_n_ok[..., None], seed_normal, rand_n)
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
     state0 = PMState(depth=depth, normal=normal, conf=jnp.full(shape, 2.0))
-    conf = score_hypothesis(data, opts, state0, depth, normal, n_views, use_geom)
+    # score with the FIRST sweep's sampling mode: the incumbent must compete
+    # on comparable scores (sweep() rescores only on mode CHANGES)
+    conf = score_hypothesis(data, opts, state0, depth, normal, n_views,
+                            use_geom, mode)
     conf = jnp.where(data.valid, conf, 2.0)
     depth = jnp.where(data.valid, depth, 0.0)
     return PMState(depth=depth, normal=normal, conf=conf)

@@ -38,10 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os2
 
+# default source-patch row span: covers a full-lattice (8,128) tile's warp;
+# ROW-PAIR-compacted sweeps span 16 image rows per tile and pass
+# patch_rows=32 (patchmatch._PATCH_ROWS_COMPACT) as a static arg instead
 PATCH_ROWS = int(_os2.environ.get("OMVS_PATCH_ROWS", "24"))
-# source-patch width: 3 lane-blocks cover a full-lattice (8,128) tile's warp
-# span at scale <~1.3; parity-compacted sweeps (OMVS_COMPACT=1) double the
-# span per tile and need 5 blocks — set OMVS_PATCH_COLS=640 with them
+# source-patch width: 3 lane-blocks cover an (8,128) tile's warp span at
+# scale <~1.3 (row-pair compaction keeps x-coordinates exact, so the same
+# width serves compacted sweeps; the legacy column packing OMVS_COMPACT=cols
+# doubles the x-span and needs OMVS_PATCH_COLS=640)
 import os as _os
 
 PATCH_COLS = int(_os.environ.get("OMVS_PATCH_COLS", "384"))
@@ -70,6 +74,7 @@ def _texel_kernel(
     inb_ref,     # (1, 8, 128) float32 (1 = all texels so far in bounds)
     *,
     nearest: bool = False,
+    patch_rows: int = PATCH_ROWS,
 ):
     Hp, Wp = img_ref.shape
     t_step = pl.program_id(3)
@@ -121,9 +126,9 @@ def _texel_kernel(
             px = jnp.round(px)
         c0 = jnp.clip(jnp.min(px_v).astype(jnp.int32) - 8, 0, Wp - PATCH_COLS)
         c0 = pl.multiple_of(c0 & ~127, 128)
-        r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 4, 0, Hp - PATCH_ROWS)
+        r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 4, 0, Hp - patch_rows)
         r0 = pl.multiple_of(r0 & ~7, 8)
-        patch = img_ref[pl.ds(r0, PATCH_ROWS), pl.ds(c0, PATCH_COLS)]
+        patch = img_ref[pl.ds(r0, patch_rows), pl.ds(c0, PATCH_COLS)]
 
         lxf = px - c0.astype(jnp.float32)
         lyf = py - r0.astype(jnp.float32)
@@ -131,9 +136,9 @@ def _texel_kernel(
         ly = jnp.floor(lyf).astype(jnp.int32)
         fx = lxf - lx.astype(jnp.float32)
         fy = lyf - ly.astype(jnp.float32)
-        ok = ok & (lx >= 0) & (lx < PATCH_COLS - 1) & (ly >= 0) & (ly < PATCH_ROWS - 1)
+        ok = ok & (lx >= 0) & (lx < PATCH_COLS - 1) & (ly >= 0) & (ly < patch_rows - 1)
         lx = jnp.clip(lx, 0, PATCH_COLS - 2)
-        ly = jnp.clip(ly, 0, PATCH_ROWS - 2)
+        ly = jnp.clip(ly, 0, patch_rows - 2)
         lx1 = lx + 1
         blk = jnp.clip(lx >> 7, 0, n_blk - 1)
         blk1 = jnp.clip(lx1 >> 7, 0, n_blk - 1)
@@ -142,7 +147,7 @@ def _texel_kernel(
 
         v_top = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         v_bot = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        for r in range(PATCH_ROWS):
+        for r in range(patch_rows):
             row = patch[r : r + 1, :]
             g_l = jnp.zeros((TILE_H, TILE_W), jnp.float32)
             g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
@@ -181,6 +186,183 @@ def _texel_kernel(
         inb_ref[0] = inb_ref[0] * ok_acc.astype(jnp.float32)
 
 
+def _geom_kernel(
+    tl_ref,      # (1, 128) SMEM: Tl row-major [0:9]
+    tm_ref,      # (1, 128): Tm [0:3]
+    tr_ref,      # (1, 128): Tr row-major [0:9]
+    tn_ref,      # (1, 128): Tn [0:3]
+    size_ref,    # (1, 128): valid (h, w) of the neighbor depth map
+    dm_ref,      # (Hp, Wp) neighbor depth map (padded, VMEM)
+    depth_ref,   # (1, 8, 128) candidate depths
+    x0a_ref, x0b_ref, x0c_ref,   # (8, 128) ref-ray components (Kinv @ uv1)
+    uu_ref, vv_ref,              # (8, 128) ref pixel coordinates
+    cons_ref,    # (1, 8, 128) output consistency penalty [0, 4]
+    *,
+    patch_rows: int = PATCH_ROWS,
+):
+    """Forward-backward reprojection consistency (DepthMap.cpp:535-551) with
+    the neighbor-depth bilinear sample done as in-register lane gathers —
+    XLA lowers the same sample to ~40M/s serial scalar gathers, which made
+    the geometric sweep 2.3x slower than the photometric one."""
+    Hp, Wp = dm_ref.shape
+    depth = depth_ref[0]
+    x0a, x0b, x0c = x0a_ref[:], x0b_ref[:], x0c_ref[:]
+    tl = [tl_ref[0, i] for i in range(9)]
+    tm = [tm_ref[0, i] for i in range(3)]
+    tr = [tr_ref[0, i] for i in range(9)]
+    tn = [tn_ref[0, i] for i in range(3)]
+    h_j = size_ref[0, 0]
+    w_j = size_ref[0, 1]
+
+    xa = x0a * depth
+    xb = x0b * depth
+    xc = x0c * depth
+    sx = tl[0] * xa + tl[1] * xb + tl[2] * xc + tm[0]
+    sy = tl[3] * xa + tl[4] * xb + tl[5] * xc + tm[1]
+    z1 = tl[6] * xa + tl[7] * xb + tl[8] * xc + tm[2]
+    zok = z1 > 1e-8
+    iz = jnp.where(zok, 1.0 / jnp.where(zok, z1, 1.0), 0.0)
+    x1 = sx * iz
+    y1 = sy * iz
+    inside = zok & (x1 >= 1) & (x1 <= w_j - 2) & (y1 >= 1) & (y1 <= h_j - 2)
+
+    px_v = jnp.where(zok, x1, 1e9)
+    py_v = jnp.where(zok, y1, 1e9)
+    c0 = jnp.clip(jnp.min(px_v).astype(jnp.int32) - 8, 0, Wp - PATCH_COLS)
+    c0 = pl.multiple_of(c0 & ~127, 128)
+    r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 4, 0, Hp - patch_rows)
+    r0 = pl.multiple_of(r0 & ~7, 8)
+    patch = dm_ref[pl.ds(r0, patch_rows), pl.ds(c0, PATCH_COLS)]
+
+    lxf = x1 - c0.astype(jnp.float32)
+    lyf = y1 - r0.astype(jnp.float32)
+    lx = jnp.floor(lxf).astype(jnp.int32)
+    ly = jnp.floor(lyf).astype(jnp.int32)
+    fx = lxf - lx.astype(jnp.float32)
+    fy = lyf - ly.astype(jnp.float32)
+    inside = inside & (lx >= 0) & (lx < PATCH_COLS - 1) & (ly >= 0) & (ly < patch_rows - 1)
+    lx = jnp.clip(lx, 0, PATCH_COLS - 2)
+    ly = jnp.clip(ly, 0, patch_rows - 2)
+    lx1 = lx + 1
+    n_blk = PATCH_COLS // 128
+    blk = jnp.clip(lx >> 7, 0, n_blk - 1)
+    blk1 = jnp.clip(lx1 >> 7, 0, n_blk - 1)
+    loc = lx & 127
+    loc1 = lx1 & 127
+
+    TH, TW = depth.shape
+    tlv = jnp.zeros((TH, TW), jnp.float32)
+    trv = jnp.zeros((TH, TW), jnp.float32)
+    blv = jnp.zeros((TH, TW), jnp.float32)
+    brv = jnp.zeros((TH, TW), jnp.float32)
+    for r in range(patch_rows):
+        row = patch[r : r + 1, :]
+        g_l = jnp.zeros((TH, TW), jnp.float32)
+        g_r = jnp.zeros((TH, TW), jnp.float32)
+        for b in range(n_blk):
+            t = jnp.broadcast_to(row[:, 128 * b : 128 * (b + 1)], (TH, TW))
+            g_l = jnp.where(blk == b, jnp.take_along_axis(t, loc, axis=1), g_l)
+            g_r = jnp.where(blk1 == b, jnp.take_along_axis(t, loc1, axis=1), g_r)
+        tlv = jnp.where(ly == r, g_l, tlv)
+        trv = jnp.where(ly == r, g_r, trv)
+        blv = jnp.where(ly == r - 1, g_l, blv)
+        brv = jnp.where(ly == r - 1, g_r, brv)
+
+    # plain bilinear + post similarity check.  NOTE: the reference gates each
+    # corner by IsDepthSimilar and substitutes invalid ones (TImage::sample
+    # with functor, Types.inl); implementing that exact semantics was
+    # measured to DOUBLE raw mesh faces on the bundled scene (weaker
+    # geometric suppression near discontinuities), so the stricter
+    # blend-then-check form is kept deliberately.
+    d1 = (1.0 - fy) * ((1.0 - fx) * tlv + fx * trv) + \
+        fy * ((1.0 - fx) * blv + fx * brv)
+    similar = inside & (d1 > 0) & (jnp.abs(z1 - d1) < 0.03 * z1)
+    xbx = x1 * d1
+    xby = y1 * d1
+    bx = tr[0] * xbx + tr[1] * xby + tr[2] * d1 + tn[0]
+    by = tr[3] * xbx + tr[4] * xby + tr[5] * d1 + tn[1]
+    zb = tr[6] * xbx + tr[7] * xby + tr[8] * d1 + tn[2]
+    zbok = zb > 1e-8
+    izb = jnp.where(zbok, 1.0 / jnp.where(zbok, zb, 1.0), 0.0)
+    du = uu_ref[:] - bx * izb
+    dv = vv_ref[:] - by * izb
+    dist = jnp.sqrt(du * du + dv * dv)
+    cons = jnp.minimum(jnp.sqrt(dist * (dist + 2.0)), 4.0)
+    cons_ref[0] = jnp.where(similar & zbok, cons, 4.0)
+
+
+@functools.partial(jax.jit, static_argnames=("patch_rows",))
+def geom_term_pallas(
+    dm: jnp.ndarray,         # (Hp, Wp) neighbor depth map
+    size: jnp.ndarray,       # (2,) valid h, w
+    Tl: jnp.ndarray,         # (3, 3)
+    Tm: jnp.ndarray,         # (3,)
+    Tr: jnp.ndarray,         # (3, 3)
+    Tn: jnp.ndarray,         # (3,)
+    depth: jnp.ndarray,      # (C, H, W) candidate depths
+    X0: jnp.ndarray,         # (H, W, 3)
+    uv: jnp.ndarray,         # (H, W, 2)
+    patch_rows: int = PATCH_ROWS,
+) -> jnp.ndarray:
+    """Geometric-consistency penalty (C, H, W) in [0, 4] for one view.
+
+    Same contract as patchmatch._geometric_term (DepthMap.cpp:535-551);
+    sampling via lane gathers instead of XLA serial gathers."""
+    C, H, W = depth.shape
+    Hpad = -(-H // TILE_H) * TILE_H
+    Wpad = -(-W // TILE_W) * TILE_W
+    Hi = max(-(-dm.shape[0] // TILE_H) * TILE_H, patch_rows)
+    Wi = max(-(-dm.shape[1] // TILE_W) * TILE_W, PATCH_COLS)
+
+    dm_p = _pad_to(dm, Hi, Wi, (0, 1))
+    depth_p = _pad_to(depth, Hpad, Wpad, (1, 2))
+    x0a = _pad_to(X0[..., 0], Hpad, Wpad, (0, 1))
+    x0b = _pad_to(X0[..., 1], Hpad, Wpad, (0, 1))
+    x0c = _pad_to(X0[..., 2], Hpad, Wpad, (0, 1))
+    uu = _pad_to(uv[..., 0], Hpad, Wpad, (0, 1))
+    vv = _pad_to(uv[..., 1], Hpad, Wpad, (0, 1))
+
+    tl_s = Tl.reshape(1, 9).astype(jnp.float32)
+    tm_s = Tm.reshape(1, 3).astype(jnp.float32)
+    tr_s = Tr.reshape(1, 9).astype(jnp.float32)
+    tn_s = Tn.reshape(1, 3).astype(jnp.float32)
+    size_s = size.reshape(1, 2).astype(jnp.float32)
+
+    grid = (C, Hpad // TILE_H, Wpad // TILE_W)
+
+    def im_c(c, i, j):
+        return (c, i, j)
+
+    def im_hw(c, i, j):
+        return (i, j)
+
+    def im_const(c, i, j):
+        return (0, 0)
+
+    cons = pl.pallas_call(
+        functools.partial(_geom_kernel, patch_rows=patch_rows),
+        out_shape=jax.ShapeDtypeStruct((C, Hpad, Wpad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(tl_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(tm_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(tr_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(tn_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(size_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((Hi, Wi), lambda c, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+    )(tl_s, tm_s, tr_s, tn_s, size_s, dm_p,
+      depth_p, x0a, x0b, x0c, uu, vv)
+    return cons[:, :H, :W]
+
+
 def _pad_to(x: jnp.ndarray, h: int, w: int, axes: Tuple[int, int]):
     pads = [(0, 0)] * x.ndim
     pads[axes[0]] = (0, h - x.shape[axes[0]])
@@ -196,7 +378,7 @@ def _row(x, n):
     return r.at[0, :n].set(x.reshape(-1).astype(jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("n_texels", "th_robust", "nearest"))
+@functools.partial(jax.jit, static_argnames=("n_texels", "th_robust", "nearest", "patch_rows"))
 def score_view_pallas(
     img: jnp.ndarray,        # (Hp, Wp) neighbor image
     size: jnp.ndarray,       # (2,) valid h, w
@@ -214,6 +396,7 @@ def score_view_pallas(
     n_texels: int,
     th_robust: float,
     nearest: bool = False,
+    patch_rows: int = PATCH_ROWS,
 ) -> jnp.ndarray:
     """Weighted-ZNCC scores (C, H, W) of candidate maps in one view.
 
@@ -225,7 +408,7 @@ def score_view_pallas(
     T = -(-n_texels // TEXEL_CHUNK) * TEXEL_CHUNK
     Hpad = -(-H // TILE_H) * TILE_H
     Wpad = -(-W // TILE_W) * TILE_W
-    Hi = max(-(-img.shape[0] // TILE_H) * TILE_H, PATCH_ROWS)
+    Hi = max(-(-img.shape[0] // TILE_H) * TILE_H, patch_rows)
     Wi = max(-(-img.shape[1] // TILE_W) * TILE_W, PATCH_COLS)
 
     img_p = _pad_to(img, Hi, Wi, (0, 1))
@@ -270,7 +453,7 @@ def score_view_pallas(
 
     out_shapes = [jax.ShapeDtypeStruct((C, Hpad, Wpad), jnp.float32)] * 4
     num, ssum, ssq, inbf = pl.pallas_call(
-        functools.partial(_texel_kernel, nearest=nearest),
+        functools.partial(_texel_kernel, nearest=nearest, patch_rows=patch_rows),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[

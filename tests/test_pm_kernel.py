@@ -105,3 +105,48 @@ def test_cpu_scorer_scan_matches_inline():
     # fused-multiply ordering flips the clip; require near-total agreement
     d = np.abs(scan_s - inline_s)
     assert (d < 1e-3).mean() > 0.9995, (d < 1e-3).mean()
+
+
+def test_geom_term_pallas_matches_cpu():
+    """geom_term_pallas vs the XLA _geometric_term (identical predicate-gated
+    sampling semantics, Types.inl TImage::sample + DepthMap.cpp:535-551)."""
+    from conftest import tpu_devices
+
+    tpus = tpu_devices()
+    if not tpus:
+        pytest.skip("Pallas TPU kernel requires a TPU device")
+    import os
+    from openmvs_tpu.ops import patchmatch as pm
+    from openmvs_tpu.ops.pm_kernel import geom_term_pallas
+
+    data, opts, cd, cn, inv_nd = _example()
+    j = 0
+    v = data.views
+    # a fake neighbor depth map with holes: warp-consistent depths + zeros
+    rng = np.random.default_rng(7)
+    dm = np.asarray(v.depth[j])
+    if not (dm > 0).any():
+        dm = np.full(v.image[j].shape, float(np.median(np.asarray(cd))), np.float32)
+        dm[rng.random(dm.shape) < 0.2] = 0.0
+        dm = jnp.asarray(dm)
+    args = (data, opts, cd, dm, v.size[j], v.Tl[j], v.Tm[j], v.Tr[j], v.Tn[j])
+    cpu = jax.devices("cpu")[0]
+    os.environ["OMVS_NO_PALLAS"] = "1"
+    try:
+        with jax.default_device(cpu):
+            args_cpu = jax.tree.map(
+                lambda x: jax.device_put(x, cpu) if hasattr(x, "shape") else x, args)
+            ref = np.asarray(pm._geometric_term(*args_cpu))
+    finally:
+        del os.environ["OMVS_NO_PALLAS"]
+    with jax.default_device(tpus[0]):
+        dm_t, size_t, Tl_t, Tm_t, Tr_t, Tn_t, cd_t, X0_t, uv_t = jax.tree.map(
+            lambda x: jax.device_put(x, tpus[0]),
+            (dm, v.size[j], v.Tl[j], v.Tm[j], v.Tr[j], v.Tn[j], cd,
+             data.X0, data.uv))
+        out = np.asarray(geom_term_pallas(
+            dm_t, size_t, Tl_t, Tm_t, Tr_t, Tn_t, cd_t, X0_t, uv_t))
+    d = np.abs(out - ref)
+    # mismatches can only come from patch-window clipping (kernel-only
+    # constraint); elsewhere the two implementations are bit-comparable
+    assert (d < 1e-3).mean() > 0.995, (d.mean(), d.max(), (d > 1e-3).mean())
