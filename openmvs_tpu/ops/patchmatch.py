@@ -437,7 +437,10 @@ def _geometric_term(
     iz = jnp.where(zok, 1.0 / jnp.where(zok, z1, 1.0), 0.0)
     x1 = X1[..., 0] * iz
     y1 = X1[..., 1] * iz
-    inside = zok & (x1 >= 1) & (x1 <= w_j - 2) & (y1 >= 1) & (y1 <= h_j - 2)
+    # depth <= 0 marks an invalid hypothesis (warps to the epipole): never
+    # "consistent" (matches the kernel's sampleable-pixel definition)
+    inside = zok & (depth > 0) & \
+        (x1 >= 1) & (x1 <= w_j - 2) & (y1 >= 1) & (y1 <= h_j - 2)
     # plain bilinear + post similarity check (see the deliberate-semantics
     # note in pm_kernel._geom_kernel: the reference's per-corner gated
     # sample was measured to double raw mesh faces here)
@@ -508,6 +511,7 @@ def score_hypotheses(
     mode: str = "exact",
     bonus: jnp.ndarray = None,
     patch_rows: int = 0,
+    geom_terms: jnp.ndarray = None,   # (V, C, H, W) precomputed consistency
 ) -> jnp.ndarray:
     """Aggregated multi-view scores of C (depth, normal) hypothesis maps.
 
@@ -532,13 +536,16 @@ def score_hypotheses(
         jnp.abs(d0[None] - depth) / jnp.maximum(d0[None], 1e-12), 0.5
     )
 
-    def finish_view(s, dm, size, Tl, Tm, Tr, Tn):
+    def finish_view(s, dm, size, Tl, Tm, Tr, Tn, gj=None):
         s = s * bonus
         if use_geom:
-            s = s + opts.estimation_geometric_weight * _geometric_term(
-                data, opts, depth, dm, size, Tl, Tm, Tr, Tn,
-                patch_rows=patch_rows,
-            )
+            # gj: consistency precomputed OUTSIDE this jit (the geom Pallas
+            # kernel corrupts results when fused into the sweep graph on
+            # this backend — see _geometric_term)
+            if gj is None:
+                gj = _geometric_term(data, opts, depth, dm, size,
+                                     Tl, Tm, Tr, Tn, patch_rows=patch_rows)
+            s = s + opts.estimation_geometric_weight * gj
         # low-res prior blend (DepthMap.cpp:552-561)
         s_blend = (1.0 - f_blend)[None] * s + f_blend[None] * delta
         s = jnp.where(d0[None] > 0, s_blend, s)
@@ -559,16 +566,19 @@ def score_hypotheses(
                 nearest=(mode == "nn"), **kw,
             ), None
             s = finish_view(s, v.depth[j], v.size[j], v.Tl[j], v.Tm[j],
-                            v.Tr[j], v.Tn[j])
+                            v.Tr[j], v.Tn[j],
+                            None if geom_terms is None else geom_terms[j])
             s0, s1 = jnp.minimum(s0, s), jnp.minimum(s1, jnp.maximum(s0, s))
     else:
+        gt = (geom_terms[:n_views] if geom_terms is not None
+              else jnp.zeros((n_views,) + depth.shape, jnp.float32))
         vs = (v.image[:n_views], v.size[:n_views], v.Hl[:n_views], v.Hm[:n_views],
               v.depth[:n_views], v.Tl[:n_views], v.Tm[:n_views], v.Tr[:n_views],
-              v.Tn[:n_views])
+              v.Tn[:n_views], gt)
 
         def view_body(carry, xs):
             s0, s1 = carry
-            img, size, Hl, Hm, dm, Tl, Tm, Tr, Tn = xs
+            img, size, Hl, Hm, dm, Tl, Tm, Tr, Tn, gj = xs
             if mode == "warp":
                 s, _ = _score_one_view_warp(
                     data, opts, depth, normal, inv_nd, img, size, Hl, Hm
@@ -578,7 +588,8 @@ def score_hypotheses(
                     data, opts, depth, normal, inv_nd, img, size, Hl, Hm,
                     exact=(mode == "exact"),
                 )
-            s = finish_view(s, dm, size, Tl, Tm, Tr, Tn)
+            s = finish_view(s, dm, size, Tl, Tm, Tr, Tn,
+                            gj if geom_terms is not None else None)
             new_s0 = jnp.minimum(s0, s)
             new_s1 = jnp.minimum(s1, jnp.maximum(s0, s))
             return (new_s0, new_s1), None
@@ -827,7 +838,6 @@ def _scatter_parity_rows(full: jnp.ndarray, sub: jnp.ndarray, parity: int) -> jn
 PROP_OFFSETS = ((0, 1), (0, -1), (1, 0), (-1, 0), (0, 5), (0, -5), (5, 0), (-5, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop"))
 def sweep(
     state: PMState,
     data: PMData,
@@ -845,7 +855,160 @@ def sweep(
     Search iterations default to mode="nn" (per-texel nearest-neighbor,
     4x fewer gathers); the final iterations use mode="exact" so surviving
     confidences are bilinear-accurate; mode="warp" is the cheapest
-    (warp-once field scoring) and suits coarse pyramid levels."""
+    (warp-once field scoring) and suits coarse pyramid levels.
+
+    OMVS_GEOM_SPLIT=1 (opt-in) runs geometric iterations as THREE chained
+    jits per half-step (candidates -> geom kernel -> select) with the
+    lane-gather geometric kernel: measured 1.8x faster densify (137 s vs
+    249 s on the bundled scene).  The split structure exists because
+    embedding a second pallas_call into the big fused sweep jit miscompiles
+    on this backend (see _geometric_term).  The kernel's dm window
+    auto-scales with resolution (pm_kernel._geom_window; a fixed 24x384
+    window missed ~half the tiles at 640px and doubled raw mesh faces);
+    in-situ parity vs the XLA term is exact at 320px and 640px
+    (scripts/dev_geom_insitu.py; OMVS_GEOM_DEBUG=1 prints the comparison
+    per call).  OMVS_GEOM_SPLIT=xla runs the SAME split structure but with
+    the standalone-jitted XLA geometric term instead of the kernel (any
+    backend): isolates split-structure effects from kernel effects."""
+    split = _os.environ.get("OMVS_GEOM_SPLIT")
+    if use_geom and split and (split == "xla" or _use_pallas()):
+        return _sweep_geom_split(state, data, opts, key, n_views, n_perturb,
+                                 mode, rescore_state, n_prop)
+    return _sweep_fused(state, data, opts, key, n_views, use_geom, n_perturb,
+                        mode, rescore_state, n_prop)
+
+
+def _geom_all_views(data: PMData, n_views: int, depth_c: jnp.ndarray) -> jnp.ndarray:
+    """(V, C, H, W) consistency via the standalone-jitted geom kernel (or the
+    standalone XLA term under OMVS_GEOM_SPLIT=xla)."""
+    from openmvs_tpu.ops.pm_kernel import geom_term_pallas
+
+    v = data.views
+    if _os.environ.get("OMVS_GEOM_SPLIT") == "xla":
+        return jnp.stack([
+            _geom_xla_jit(data, depth_c, v.depth[j], v.size[j], v.Tl[j],
+                          v.Tm[j], v.Tr[j], v.Tn[j])
+            for j in range(n_views)])
+    out = jnp.stack([
+        geom_term_pallas(v.depth[j], v.size[j], v.Tl[j], v.Tm[j],
+                         v.Tr[j], v.Tn[j], depth_c, data.X0, data.uv)
+        for j in range(n_views)])
+    if _os.environ.get("OMVS_GEOM_DEBUG"):
+        ref = jnp.stack([
+            _geom_xla_jit(data, depth_c, v.depth[j], v.size[j], v.Tl[j],
+                          v.Tm[j], v.Tr[j], v.Tn[j])
+            for j in range(n_views)])
+        d = np.abs(np.asarray(out) - np.asarray(ref))
+        n_bad = int((d > 0.1).sum())
+        print(f"[geom-debug] C={depth_c.shape[0]} V={n_views} "
+              f"frac>{0.1}: {n_bad / d.size:.4f}  mean|d|={float(d.mean()):.4f} "
+              f"max|d|={float(d.max()):.3f}", flush=True)
+    return out
+
+
+@functools.partial(jax.jit)
+def _geom_xla_jit(data, depth_c, dm, size, Tl, Tm, Tr, Tn):
+    """Standalone-jitted XLA geometric term (debug reference)."""
+    h_j, w_j = size[0], size[1]
+    X = data.X0[None] * depth_c[..., None]
+    X1 = jnp.einsum("ab,chwb->chwa", Tl, X) + Tm
+    z1 = X1[..., 2]
+    zok = z1 > 1e-8
+    iz = jnp.where(zok, 1.0 / jnp.where(zok, z1, 1.0), 0.0)
+    x1 = X1[..., 0] * iz
+    y1 = X1[..., 1] * iz
+    inside = zok & (depth_c > 0) & \
+        (x1 >= 1) & (x1 <= w_j - 2) & (y1 >= 1) & (y1 <= h_j - 2)
+    d1 = _bilinear(dm, x1, y1)
+    similar = inside & (d1 > 0) & (jnp.abs(z1 - d1) < 0.03 * z1)
+    Xb = jnp.stack([x1 * d1, y1 * d1, d1], axis=-1)
+    XB = jnp.einsum("ab,chwb->chwa", Tr, Xb) + Tn
+    zb = XB[..., 2]
+    izb = jnp.where(zb > 1e-8, 1.0 / jnp.where(zb > 1e-8, zb, 1.0), 0.0)
+    uu = data.uv[..., 0]
+    vv = data.uv[..., 1]
+    dist = jnp.sqrt((uu - XB[..., 0] * izb) ** 2 + (vv - XB[..., 1] * izb) ** 2)
+    cons = jnp.minimum(jnp.sqrt(dist * (dist + 2.0)), 4.0)
+    return jnp.where(similar & (zb > 1e-8), cons, 4.0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "opts", "n_perturb", "mode", "parity", "n_prop"))
+def _build_candidates(state, data, opts, key, parity, n_perturb, mode, n_prop):
+    """(cd, cn, cok) for one parity half-step (the head of _sweep_parity)."""
+    cand_d, cand_n, cand_ok = [], [], []
+    for dy, dx in PROP_OFFSETS[:n_prop]:
+        d, n, ok = _propagate_candidate(data, state, opts, dy, dx)
+        cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
+    if mode == "warp":
+        ck = jax.random.fold_in(key, parity * 131)
+        for d, n, ok in _probe_candidates(data, state, opts, ck):
+            cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
+    else:
+        for r in range(n_perturb):
+            ck = jax.random.fold_in(key, parity * 131 + r)
+            d, n, ok = _perturb_candidate(data, state, opts, ck, SCALE_RANGES[r])
+            cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
+    return jnp.stack(cand_d), jnp.stack(cand_n), jnp.stack(cand_ok)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "mode", "parity"))
+def _select_candidates(state, data, opts, cd, cn, cok, geom, parity,
+                       n_views, mode):
+    """Score candidates (geom precomputed) and take per-parity winners."""
+    parity_map = (data.uv[..., 0] + data.uv[..., 1]).astype(jnp.int32) % 2
+    active = (parity_map == parity) & data.valid
+    s = score_hypotheses(data, opts, state, cd, cn, n_views, True, mode,
+                         geom_terms=geom)
+    s = jnp.where(cok, s, jnp.inf)
+    best = jnp.argmin(s, axis=0)
+    s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
+    d_best = jnp.take_along_axis(cd, best[None], axis=0)[0]
+    n_best = jnp.take_along_axis(cn, best[None, ..., None], axis=0)[0]
+    take = active & (s_best < state.conf)
+    return PMState(
+        depth=jnp.where(take, d_best, state.depth),
+        normal=jnp.where(take[..., None], n_best, state.normal),
+        conf=jnp.where(take, s_best, state.conf),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "mode"))
+def _rescore_with_geom(state, data, opts, n_views, mode, geom):
+    cur = score_hypotheses(data, opts, state, state.depth[None],
+                           state.normal[None], n_views, True, mode,
+                           geom_terms=geom)[0]
+    return PMState(depth=state.depth, normal=state.normal,
+                   conf=jnp.where(data.valid, cur, 2.0))
+
+
+def _sweep_geom_split(state, data, opts, key, n_views, n_perturb, mode,
+                      rescore_state, n_prop):
+    if rescore_state:
+        g = _geom_all_views(data, n_views, state.depth[None])
+        state = _rescore_with_geom(state, data, opts, n_views, mode, g)
+    for parity in (0, 1):
+        cd, cn, cok = _build_candidates(state, data, opts, key, parity,
+                                        n_perturb, mode, n_prop)
+        g = _geom_all_views(data, n_views, cd)
+        state = _select_candidates(state, data, opts, cd, cn, cok, g, parity,
+                                   n_views, mode)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop"))
+def _sweep_fused(
+    state: PMState,
+    data: PMData,
+    opts: DenseOptions,
+    key: jnp.ndarray,
+    n_views: int,
+    use_geom: bool = False,
+    n_perturb: int = 3,
+    mode: str = "nn",
+    rescore_state: bool = False,
+    n_prop: int = len(PROP_OFFSETS),
+) -> PMState:
     if rescore_state:
         # scores from a different scoring mode are not comparable: rescore
         # the incumbent state with THIS mode before candidates compete

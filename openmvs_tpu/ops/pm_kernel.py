@@ -49,6 +49,10 @@ PATCH_ROWS = int(_os2.environ.get("OMVS_PATCH_ROWS", "24"))
 import os as _os
 
 PATCH_COLS = int(_os.environ.get("OMVS_PATCH_COLS", "384"))
+# run the kernels through the Pallas interpreter (plain XLA ops, any
+# backend): separates kernel LOGIC bugs from Mosaic compilation bugs, and
+# lets the parity tests run without TPU hardware
+INTERPRET = bool(_os.environ.get("OMVS_PALLAS_INTERPRET"))
 TILE_H = int(_os2.environ.get("OMVS_TILE_H", "8"))
 TILE_W = 128
 # texels processed per grid step: amortizes the fixed per-step cost (block
@@ -199,6 +203,7 @@ def _geom_kernel(
     cons_ref,    # (1, 8, 128) output consistency penalty [0, 4]
     *,
     patch_rows: int = PATCH_ROWS,
+    patch_cols: int = PATCH_COLS,
 ):
     """Forward-backward reprojection consistency (DepthMap.cpp:535-551) with
     the neighbor-depth bilinear sample done as in-register lane gathers —
@@ -224,15 +229,23 @@ def _geom_kernel(
     iz = jnp.where(zok, 1.0 / jnp.where(zok, z1, 1.0), 0.0)
     x1 = sx * iz
     y1 = sy * iz
-    inside = zok & (x1 >= 1) & (x1 <= w_j - 2) & (y1 >= 1) & (y1 <= h_j - 2)
+    # a pixel is "sampleable" only with positive candidate depth AND an
+    # in-image warp.  Only sampleable pixels vote on the patch window:
+    # zero-depth (invalid) pixels all warp to the EPIPOLE (X=0 -> x1 =
+    # Tm[:2]/Tm[2], constant), and letting them into the min dragged the
+    # window away from the tile's real warp span, saturating whole tiles
+    # at cons=4 (measured: raw mesh faces 81k -> 148k on the bundled
+    # scene before this guard).
+    inside = zok & (depth > 0) & \
+        (x1 >= 1) & (x1 <= w_j - 2) & (y1 >= 1) & (y1 <= h_j - 2)
 
-    px_v = jnp.where(zok, x1, 1e9)
-    py_v = jnp.where(zok, y1, 1e9)
-    c0 = jnp.clip(jnp.min(px_v).astype(jnp.int32) - 8, 0, Wp - PATCH_COLS)
+    px_v = jnp.where(inside, x1, 1e9)
+    py_v = jnp.where(inside, y1, 1e9)
+    c0 = jnp.clip(jnp.min(px_v).astype(jnp.int32) - 8, 0, Wp - patch_cols)
     c0 = pl.multiple_of(c0 & ~127, 128)
     r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 4, 0, Hp - patch_rows)
     r0 = pl.multiple_of(r0 & ~7, 8)
-    patch = dm_ref[pl.ds(r0, patch_rows), pl.ds(c0, PATCH_COLS)]
+    patch = dm_ref[pl.ds(r0, patch_rows), pl.ds(c0, patch_cols)]
 
     lxf = x1 - c0.astype(jnp.float32)
     lyf = y1 - r0.astype(jnp.float32)
@@ -240,11 +253,19 @@ def _geom_kernel(
     ly = jnp.floor(lyf).astype(jnp.int32)
     fx = lxf - lx.astype(jnp.float32)
     fy = lyf - ly.astype(jnp.float32)
-    inside = inside & (lx >= 0) & (lx < PATCH_COLS - 1) & (ly >= 0) & (ly < patch_rows - 1)
-    lx = jnp.clip(lx, 0, PATCH_COLS - 2)
+    # sampleable pixels whose warp escapes the loaded window get a NEUTRAL
+    # half-penalty instead of the max: the window covers 100% of measured
+    # spans at the sizes picked by geom_term_pallas (dev_geom_spans*.py), so
+    # this only guards unmeasured extremes — and a wrong max-penalty is the
+    # failure mode that inflated raw mesh faces 2x, while a wrong neutral
+    # on <0.1% of pixels is noise.
+    in_win = (lx >= 0) & (lx < patch_cols - 1) & (ly >= 0) & (ly < patch_rows - 1)
+    miss = inside & ~in_win
+    inside = inside & in_win
+    lx = jnp.clip(lx, 0, patch_cols - 2)
     ly = jnp.clip(ly, 0, patch_rows - 2)
     lx1 = lx + 1
-    n_blk = PATCH_COLS // 128
+    n_blk = patch_cols // 128
     blk = jnp.clip(lx >> 7, 0, n_blk - 1)
     blk1 = jnp.clip(lx1 >> 7, 0, n_blk - 1)
     loc = lx & 127
@@ -288,7 +309,26 @@ def _geom_kernel(
     dv = vv_ref[:] - by * izb
     dist = jnp.sqrt(du * du + dv * dv)
     cons = jnp.minimum(jnp.sqrt(dist * (dist + 2.0)), 4.0)
-    cons_ref[0] = jnp.where(similar & zbok, cons, 4.0)
+    cons_ref[0] = jnp.where(miss, 2.0,
+                            jnp.where(similar & zbok, cons, 4.0))
+
+
+def _geom_window(H: int, W: int, Hi: int, Wi: int,
+                 patch_rows: int = 0) -> Tuple[int, int]:
+    """(rows, cols) of the geom kernel's dm window for a HxW depth map.
+
+    Sized from measured per-(8,128)-tile warp-span distributions on the
+    bundled scene (scripts/dev_geom_spans{,_dmap}.py): row spans reach 44
+    at 240 rows and 58 at 479 rows (24 + H/12 covers both with margin);
+    col spans reach 316 at W=320 and 482 at W=640 (3W/4 aligned up).  A
+    fixed 24x384 window missed ~half the tiles at pipeline resolution,
+    saturating them at max penalty and doubling raw mesh faces."""
+    rows = 24 + H // 12
+    if patch_rows > PATCH_ROWS:       # row-pair compaction widens tile spans
+        rows += patch_rows - PATCH_ROWS
+    rows = min(-(-max(rows, 32) // 8) * 8, 128, Hi)
+    cols = min(-(-max(3 * W // 4, 384) // 128) * 128, 1024, Wi)
+    return rows, cols
 
 
 @functools.partial(jax.jit, static_argnames=("patch_rows",))
@@ -302,17 +342,21 @@ def geom_term_pallas(
     depth: jnp.ndarray,      # (C, H, W) candidate depths
     X0: jnp.ndarray,         # (H, W, 3)
     uv: jnp.ndarray,         # (H, W, 2)
-    patch_rows: int = PATCH_ROWS,
+    patch_rows: int = 0,
 ) -> jnp.ndarray:
     """Geometric-consistency penalty (C, H, W) in [0, 4] for one view.
 
     Same contract as patchmatch._geometric_term (DepthMap.cpp:535-551);
-    sampling via lane gathers instead of XLA serial gathers."""
+    sampling via lane gathers instead of XLA serial gathers.  The dm window
+    auto-scales with resolution (_geom_window); pass patch_rows only to
+    signal row-pair-compacted inputs."""
     C, H, W = depth.shape
     Hpad = -(-H // TILE_H) * TILE_H
     Wpad = -(-W // TILE_W) * TILE_W
-    Hi = max(-(-dm.shape[0] // TILE_H) * TILE_H, patch_rows)
-    Wi = max(-(-dm.shape[1] // TILE_W) * TILE_W, PATCH_COLS)
+    Hi = -(-dm.shape[0] // TILE_H) * TILE_H
+    Wi = max(-(-dm.shape[1] // TILE_W) * TILE_W, 384)
+    g_rows, g_cols = _geom_window(H, W, max(Hi, 32), Wi, patch_rows)
+    Hi = max(Hi, g_rows)
 
     dm_p = _pad_to(dm, Hi, Wi, (0, 1))
     depth_p = _pad_to(depth, Hpad, Wpad, (1, 2))
@@ -340,7 +384,7 @@ def geom_term_pallas(
         return (0, 0)
 
     cons = pl.pallas_call(
-        functools.partial(_geom_kernel, patch_rows=patch_rows),
+        functools.partial(_geom_kernel, patch_rows=g_rows, patch_cols=g_cols),
         out_shape=jax.ShapeDtypeStruct((C, Hpad, Wpad), jnp.float32),
         grid=grid,
         in_specs=[
@@ -358,6 +402,7 @@ def geom_term_pallas(
             pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        interpret=INTERPRET,
     )(tl_s, tm_s, tr_s, tn_s, size_s, dm_p,
       depth_p, x0a, x0b, x0c, uu, vv)
     return cons[:, :H, :W]
@@ -476,6 +521,7 @@ def score_view_pallas(
         out_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM)
         ] * 4,
+        interpret=INTERPRET,
     )(
         hl_s, hm_s, goff_s, size_s, img_p,
         depth_p, nx, ny, nz, invnd_p, x0a, x0b, x0c, w_p, wtm_p,

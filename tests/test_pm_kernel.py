@@ -107,21 +107,21 @@ def test_cpu_scorer_scan_matches_inline():
     assert (d < 1e-3).mean() > 0.9995, (d < 1e-3).mean()
 
 
-def test_geom_term_pallas_matches_cpu():
-    """geom_term_pallas vs the XLA _geometric_term (identical predicate-gated
-    sampling semantics, Types.inl TImage::sample + DepthMap.cpp:535-551)."""
-    from conftest import tpu_devices
-
-    tpus = tpu_devices()
-    if not tpus:
-        pytest.skip("Pallas TPU kernel requires a TPU device")
+def _geom_parity_case():
+    """(args, ref) pair for the geom-kernel parity tests: candidates with
+    invalid (zero-depth) pixels, a holey neighbor depth map, and the XLA
+    _geometric_term reference evaluated on CPU."""
     import os
     from openmvs_tpu.ops import patchmatch as pm
-    from openmvs_tpu.ops.pm_kernel import geom_term_pallas
 
     data, opts, cd, cn, inv_nd = _example()
     j = 0
     v = data.views
+    # zero-depth (invalid) pixels sprinkled in: they warp to the epipole and
+    # must NOT drag the kernel's patch window (the un-guarded window min
+    # saturated whole tiles at cons=4)
+    cd = jnp.asarray(np.where(np.random.default_rng(3).random(cd.shape) < 0.07,
+                              0.0, np.asarray(cd)))
     # a fake neighbor depth map with holes: warp-consistent depths + zeros
     rng = np.random.default_rng(7)
     dm = np.asarray(v.depth[j])
@@ -139,14 +139,46 @@ def test_geom_term_pallas_matches_cpu():
             ref = np.asarray(pm._geometric_term(*args_cpu))
     finally:
         del os.environ["OMVS_NO_PALLAS"]
-    with jax.default_device(tpus[0]):
-        dm_t, size_t, Tl_t, Tm_t, Tr_t, Tn_t, cd_t, X0_t, uv_t = jax.tree.map(
-            lambda x: jax.device_put(x, tpus[0]),
-            (dm, v.size[j], v.Tl[j], v.Tm[j], v.Tr[j], v.Tn[j], cd,
-             data.X0, data.uv))
-        out = np.asarray(geom_term_pallas(
-            dm_t, size_t, Tl_t, Tm_t, Tr_t, Tn_t, cd_t, X0_t, uv_t))
+    kernel_args = (dm, v.size[j], v.Tl[j], v.Tm[j], v.Tr[j], v.Tn[j], cd,
+                   data.X0, data.uv)
+    return kernel_args, ref
+
+
+def _check_geom_parity(out, ref):
     d = np.abs(out - ref)
     # mismatches can only come from patch-window clipping (kernel-only
     # constraint); elsewhere the two implementations are bit-comparable
     assert (d < 1e-3).mean() > 0.995, (d.mean(), d.max(), (d > 1e-3).mean())
+
+
+def test_geom_term_pallas_matches_cpu():
+    """geom_term_pallas vs the XLA _geometric_term (identical predicate-gated
+    sampling semantics, Types.inl TImage::sample + DepthMap.cpp:535-551)."""
+    from conftest import tpu_devices
+
+    tpus = tpu_devices()
+    if not tpus:
+        pytest.skip("Pallas TPU kernel requires a TPU device")
+    from openmvs_tpu.ops.pm_kernel import geom_term_pallas
+
+    kernel_args, ref = _geom_parity_case()
+    with jax.default_device(tpus[0]):
+        args_t = jax.tree.map(lambda x: jax.device_put(x, tpus[0]), kernel_args)
+        out = np.asarray(geom_term_pallas(*args_t))
+    _check_geom_parity(out, ref)
+
+
+def test_geom_term_pallas_interpret_matches_cpu(monkeypatch):
+    """Same parity through the Pallas INTERPRETER (plain XLA lowering, any
+    backend): pins the kernel LOGIC — window anchoring/sizing, lane-gather
+    row sweep, miss fallback — independently of Mosaic compilation."""
+    from openmvs_tpu.ops import pm_kernel
+
+    kernel_args, ref = _geom_parity_case()
+    monkeypatch.setattr(pm_kernel, "INTERPRET", True)
+    pm_kernel.geom_term_pallas._clear_cache()
+    try:
+        out = np.asarray(pm_kernel.geom_term_pallas(*kernel_args))
+    finally:
+        pm_kernel.geom_term_pallas._clear_cache()
+    _check_geom_parity(out, ref)
