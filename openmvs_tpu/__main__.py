@@ -80,6 +80,11 @@ def main(argv=None):
     p.add_argument("--split-max-faces", type=int, default=0,
                    help="if >0, also save the mesh as spatial chunks of at "
                         "most this many faces (ReconstructMesh mesh-split)")
+    p.add_argument("--chunk-max-points", type=int, default=0,
+                   help="if >0, reconstruct in spatial chunks of at most "
+                        "this many points each (overlap band + automatic "
+                        "seam stitching) — bounds peak memory on very "
+                        "large clouds")
     _add_dataclass_args(p, MeshOptions)
 
     p = sub.add_parser("refine", help="photometric mesh refinement")
@@ -181,7 +186,13 @@ def main(argv=None):
 
         scene = Scene.load(args.scene)
         opts = _build_opts(MeshOptions, args)
-        mesh = reconstruct_mesh(scene, opts)
+        if args.chunk_max_points > 0:
+            from openmvs_tpu.reconstruct import reconstruct_mesh_chunked
+
+            mesh = reconstruct_mesh_chunked(
+                scene, opts, max_points=args.chunk_max_points)
+        else:
+            mesh = reconstruct_mesh(scene, opts)
         if opts.decimate < 1.0 or opts.remove_spurious > 0:
             mesh = mesh_ops.clean_mesh(
                 mesh, decimate=opts.decimate,

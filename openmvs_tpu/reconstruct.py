@@ -95,6 +95,7 @@ def reconstruct_mesh(
     scene: Scene,
     opts: MeshOptions = MeshOptions(),
     pc: Optional[PointCloud] = None,
+    _skip_dedup: bool = False,
 ) -> Mesh:
     """Dense point cloud -> surface mesh via Delaunay graph cut."""
     from scipy.spatial import Delaunay
@@ -103,8 +104,12 @@ def reconstruct_mesh(
     if len(pc) < 5:
         raise ValueError("point cloud too small to mesh")
 
-    with timed(log, "dedup points"):
-        pts, views, weights = _dedup_points(scene, pc, opts.dist_insert)
+    if _skip_dedup:       # chunked path: already deduped globally
+        pts = np.asarray(pc.points, np.float64)
+        views, weights = pc.views, pc.weights
+    else:
+        with timed(log, "dedup points"):
+            pts, views, weights = _dedup_points(scene, pc, opts.dist_insert)
 
     with timed(log, "Delaunay tetrahedralization"):
         tri = Delaunay(pts, qhull_options="QJ")  # joggle: avoid degenerate merges
@@ -168,6 +173,134 @@ def reconstruct_mesh(
     v, f = mesh_ops.fix_non_manifold(mesh.vertices, mesh.faces)
     mesh = Mesh(vertices=np.asarray(v, np.float32), faces=np.asarray(f, np.int32))
     log.info("surface: %d vertices, %d faces", len(mesh.vertices), len(mesh.faces))
+    return mesh
+
+
+def _bsp_partition(pts: np.ndarray, max_points: int):
+    """Recursive median splits into core boxes that PARTITION space.
+
+    Unlike split.split_scene (tight bboxes for sub-scene export), these
+    boxes tile all of R^3 (outer faces at +-inf) so every face centroid of a
+    chunk mesh falls in exactly one core box — the invariant the chunked
+    clipping below relies on.  Returns [(lo, hi, point_idx)]."""
+    out = []
+
+    def recurse(idx, lo, hi):
+        if len(idx) <= max_points:
+            out.append((lo, hi, idx))
+            return
+        p = pts[idx]
+        ext = p.max(axis=0) - p.min(axis=0)
+        axis = int(np.argmax(ext))
+        med = float(np.median(p[:, axis]))
+        left = p[:, axis] <= med
+        if left.all() or not left.any():
+            out.append((lo, hi, idx))
+            return
+        lo_r = lo.copy(); lo_r[axis] = med
+        hi_l = hi.copy(); hi_l[axis] = med
+        recurse(idx[left], lo, hi_l)
+        recurse(idx[~left], lo_r, hi)
+
+    recurse(np.arange(len(pts)),
+            np.full(3, -np.inf), np.full(3, np.inf))
+    return out
+
+
+def reconstruct_mesh_chunked(
+    scene: Scene,
+    opts: MeshOptions = MeshOptions(),
+    pc: Optional[PointCloud] = None,
+    max_points: int = 2_000_000,
+    overlap: float = 0.15,
+) -> Mesh:
+    """Memory-bounded Labatut-Pons for very large clouds.
+
+    The reference scales ReconstructMesh only by splitting the SCENE up
+    front (Scene::Split + MvsScalablePipeline.py, boundary merge left to the
+    user); this runs the same Delaunay graph cut per spatial chunk with an
+    overlap band and stitches automatically:
+
+      1. dedup once globally (identical merge semantics to the unchunked path)
+      2. BSP-partition the cloud into core boxes of <= max_points points
+      3. reconstruct each chunk from the points of its core box EXPANDED by
+         `overlap` x local extent (cameras stay global; per-chunk sigma is
+         locally adaptive, as a per-sub-scene reference run would be)
+      4. keep only faces whose centroid lies in the chunk's core box (the
+         boxes partition space -> each face is emitted by exactly one chunk)
+      5. weld duplicate vertices (Delaunay vertices ARE input points; only
+         Qhull's QJ joggle perturbs them, far below the weld tolerance) and
+         close the residual seam cracks (close_holes)
+
+    Peak memory is O(chunk tets), not O(cloud tets)."""
+    from openmvs_tpu import mesh_ops
+
+    pc = pc if pc is not None else scene.pointcloud
+    if len(pc) < 5:
+        raise ValueError("point cloud too small to mesh")
+
+    with timed(log, "dedup points"):
+        pts, views, weights = _dedup_points(scene, pc, opts.dist_insert)
+
+    if len(pts) <= max_points:
+        dd = PointCloud(points=np.asarray(pts, np.float32),
+                        views=views, weights=weights)
+        return reconstruct_mesh(scene, opts, pc=dd, _skip_dedup=True)
+
+    chunks = _bsp_partition(pts, max_points)
+    log.info("chunked reconstruction: %d points -> %d chunks",
+             len(pts), len(chunks))
+
+    all_v: List[np.ndarray] = []
+    all_f: List[np.ndarray] = []
+    n_v = 0
+    for ci, (lo, hi, idx) in enumerate(chunks):
+        p = pts[idx]
+        margin = (p.max(axis=0) - p.min(axis=0)) * overlap
+        elo = np.where(np.isfinite(lo), lo - margin, lo)
+        ehi = np.where(np.isfinite(hi), hi + margin, hi)
+        sel = np.nonzero(np.all((pts >= elo) & (pts <= ehi), axis=1))[0]
+        sub = PointCloud(
+            points=np.asarray(pts[sel], np.float32),
+            views=[views[i] for i in sel],
+            weights=([weights[i] for i in sel]
+                     if len(weights) == len(views) else []),
+        )
+        mesh = reconstruct_mesh(scene, opts, pc=sub, _skip_dedup=True)
+        if not len(mesh.faces):
+            continue
+        c = mesh.vertices[mesh.faces].mean(axis=1)
+        keep = np.all((c >= lo) & (c < hi), axis=1)
+        v, f = mesh_ops.remove_unreferenced(mesh.vertices,
+                                            mesh.faces[keep])
+        log.info("chunk %d/%d: %d pts -> %d faces (%d in core)",
+                 ci + 1, len(chunks), len(sel), len(mesh.faces), len(f))
+        all_v.append(v)
+        all_f.append(np.asarray(f, np.int64) + n_v)
+        n_v += len(v)
+
+    if not all_f:
+        return Mesh()
+    v = np.concatenate(all_v)
+    f = np.concatenate(all_f)
+    with timed(log, "stitch chunks"):
+        # weld: quantize far above QJ joggle (~1e-11 of extent), far below
+        # any real edge length
+        diag = float(np.linalg.norm(v.max(axis=0) - v.min(axis=0)))
+        tol = max(diag * 1e-7, 1e-12)
+        key = np.round(v / tol).astype(np.int64)
+        _, first, inv = np.unique(key, axis=0, return_index=True,
+                                  return_inverse=True)
+        v = v[first]
+        f = inv[f]
+        f = mesh_ops.remove_duplicate_faces(
+            mesh_ops.remove_degenerate_faces(f.astype(np.int32)))
+        v, f = mesh_ops.close_holes(v, f, max_size=30)
+        v, f = mesh_ops.fix_non_manifold(v, f)
+    mesh = Mesh(vertices=np.asarray(v, np.float32),
+                faces=np.asarray(f, np.int32))
+    log.info("stitched surface: %d vertices, %d faces",
+             len(mesh.vertices), len(mesh.faces))
     return mesh
 
 

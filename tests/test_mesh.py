@@ -319,3 +319,38 @@ def test_sample_mesh_with_visibility():
     # every kept sample lies on the VISIBLE (near) plane
     assert np.abs(pc.points[:, 2] - 4.0).max() < 1e-3
     assert all(len(v) >= 2 for v in pc.views)
+
+
+def test_reconstruct_chunked_matches_full(sphere_mesh):
+    """Chunked Labatut-Pons (BSP cores + overlap band + weld/stitch) must
+    reproduce the unchunked surface on the sphere scene: same watertight
+    topology class and ~the same face count."""
+    from openmvs_tpu.reconstruct import reconstruct_mesh_chunked
+
+    scene = sphere_scene()
+    m = reconstruct_mesh_chunked(
+        scene, MeshOptions(dist_insert=0.0), max_points=1500, overlap=0.3
+    )
+    # forced into >= 2 chunks (4000 points, cap 1500)
+    nf_full = len(sphere_mesh.faces)
+    assert abs(len(m.faces) - nf_full) <= 0.05 * nf_full, \
+        (len(m.faces), nf_full)
+    # seams welded: boundary edges (used by exactly one face) ~ none
+    _, uniq, inv = mesh_ops.edges_of_faces(m.faces)
+    n_boundary = int((np.bincount(inv, minlength=len(uniq)) == 1).sum())
+    assert n_boundary <= 0.005 * len(uniq), n_boundary
+    # all vertices still on the unit sphere
+    r = np.linalg.norm(m.vertices, axis=1)
+    assert np.abs(r - 1.0).max() < 0.05
+
+
+def test_reconstruct_chunked_small_cloud_delegates():
+    """Below max_points the chunked API must behave exactly like the
+    unchunked one (single reconstruction, no stitching pass)."""
+    from openmvs_tpu.reconstruct import reconstruct_mesh, reconstruct_mesh_chunked
+
+    scene = sphere_scene(n=800, seed=3)
+    a = reconstruct_mesh(scene, MeshOptions(dist_insert=0.0))
+    b = reconstruct_mesh_chunked(scene, MeshOptions(dist_insert=0.0),
+                                 max_points=10_000)
+    assert len(a.faces) == len(b.faces)

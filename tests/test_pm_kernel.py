@@ -14,10 +14,10 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 
-def _example():
+def _example(h=120, w=160):
     import __graft_entry__ as ge
 
-    data, state, opts, v = ge._make_example(h=120, w=160, v=2)
+    data, state, opts, v = ge._make_example(h=h, w=w, v=2)
     cd = jnp.tile(state.depth[None], (3, 1, 1)) * jnp.asarray([0.95, 1.0, 1.05])[:, None, None]
     cn = jnp.tile(state.normal[None], (3, 1, 1, 1))
     den = jnp.einsum("chwk,hwk->chw", cn, data.X0) * cd
@@ -107,16 +107,22 @@ def test_cpu_scorer_scan_matches_inline():
     assert (d < 1e-3).mean() > 0.9995, (d < 1e-3).mean()
 
 
-def _geom_parity_case():
+def _geom_parity_case(h=120, w=160):
     """(args, ref) pair for the geom-kernel parity tests: candidates with
     invalid (zero-depth) pixels, a holey neighbor depth map, and the XLA
     _geometric_term reference evaluated on CPU."""
     import os
     from openmvs_tpu.ops import patchmatch as pm
 
-    data, opts, cd, cn, inv_nd = _example()
+    data, opts, cd, cn, inv_nd = _example(h, w)
     j = 0
     v = data.views
+    # slope the candidate depths across the image so per-tile warp spans are
+    # realistic (a flat field warps each tile to a near-constant offset and
+    # never stresses the window min/size logic)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    slope = (1.0 + 0.3 * (xx / w - 0.5) + 0.2 * (yy / h - 0.5)).astype(np.float32)
+    cd = cd * jnp.asarray(slope)[None]
     # zero-depth (invalid) pixels sprinkled in: they warp to the epipole and
     # must NOT drag the kernel's patch window (the un-guarded window min
     # saturated whole tiles at cons=4)
@@ -151,9 +157,14 @@ def _check_geom_parity(out, ref):
     assert (d < 1e-3).mean() > 0.995, (d.mean(), d.max(), (d > 1e-3).mean())
 
 
-def test_geom_term_pallas_matches_cpu():
+@pytest.mark.parametrize("h,w", [(120, 160), (480, 640)])
+def test_geom_term_pallas_matches_cpu(h, w):
     """geom_term_pallas vs the XLA _geometric_term (identical predicate-gated
-    sampling semantics, Types.inl TImage::sample + DepthMap.cpp:535-551)."""
+    sampling semantics, Types.inl TImage::sample + DepthMap.cpp:535-551).
+
+    The 480x640 case exercises the REAL pipeline-resolution window
+    (_geom_window -> 64x512) whose Mosaic compilation is untested by the
+    small case."""
     from conftest import tpu_devices
 
     tpus = tpu_devices()
@@ -161,7 +172,7 @@ def test_geom_term_pallas_matches_cpu():
         pytest.skip("Pallas TPU kernel requires a TPU device")
     from openmvs_tpu.ops.pm_kernel import geom_term_pallas
 
-    kernel_args, ref = _geom_parity_case()
+    kernel_args, ref = _geom_parity_case(h, w)
     with jax.default_device(tpus[0]):
         args_t = jax.tree.map(lambda x: jax.device_put(x, tpus[0]), kernel_args)
         out = np.asarray(geom_term_pallas(*args_t))
