@@ -64,6 +64,7 @@ def main():
     t0 = time.time()
     results = {}
     n_maps = 0
+    stage_t = {}
 
     def drain(pending, limit):
         nonlocal n_maps
@@ -80,7 +81,9 @@ def main():
         pending.append((scene.images[i].meta.id, d))
         drain(pending, 1)
     drain(pending, 0)
+    stage_t["photometric"] = time.time() - t0
     for gi in range(opts.estimation_geometric_iters):
+        tg = time.time()
         prev_results, results = results, {}
         pending = []
         for i in range(scene.n_views):
@@ -97,7 +100,20 @@ def main():
             pending.append((rid, d))
             drain(pending, 1)
         drain(pending, 0)
+        stage_t[f"geometric_{gi}"] = time.time() - tg
     dt = time.time() - t0
+
+    # per-stage breakdown for cross-round perf tracking (the driver only
+    # parses the single JSON line below; this side file is for humans)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_STAGES.json"), "w") as f:
+            json.dump({"total_s": round(dt, 2), "n_maps": n_maps,
+                       "stages_s": {k: round(v, 2) for k, v in stage_t.items()},
+                       "geom_split": os.environ.get("OMVS_GEOM_SPLIT", "")},
+                      f, indent=1)
+    except OSError:
+        pass
 
     value = n_maps / dt
     print(json.dumps({

