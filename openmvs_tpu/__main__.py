@@ -165,7 +165,7 @@ def main(argv=None):
             init_tower_scene(scene, args.tower_mode, opts)
         if args.estimate_roi > 0 and (args.estimate_roi > 1
                                       or not scene.is_bounded()):
-            scene.estimate_roi()
+            scene.estimate_roi(mode=args.estimate_roi)
         pc = dense_reconstruction(scene, opts, save_dmaps_to=args.dmaps_folder)
         scene.pointcloud = pc
         if args.crop_to_roi and scene.is_bounded():

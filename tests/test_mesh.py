@@ -183,8 +183,12 @@ def test_scene_roi():
     from test_mesh import sphere_scene
 
     scene = sphere_scene(n=2000)
-    scene.estimate_roi()
+    # inward-looking ring: direction mean ~ 0 -> bounded even in the strict
+    # mode; core box ~ the unit sphere x scale (Scene.cpp:1651-1740)
+    assert scene.estimate_roi(mode=2) is True
     assert scene.is_bounded()
+    assert np.all(scene.obb_min < -0.9) and np.all(scene.obb_max > 0.9)
+    assert np.all(scene.obb_max < 2.0)
     n0 = len(scene.pointcloud)
     # shrink the box and crop
     scene.obb_max = scene.obb_max * 0.5
@@ -354,3 +358,16 @@ def test_reconstruct_chunked_small_cloud_delegates():
     b = reconstruct_mesh_chunked(scene, MeshOptions(dist_insert=0.0),
                                  max_points=10_000)
     assert len(a.faces) == len(b.faces)
+
+def test_scene_roi_unbalanced_unbounded():
+    """mode=2 must refuse a ROI when all cameras look the same way (open
+    scene), but mode=1 still forces one (reference nEstimateROI semantics)."""
+    scene = sphere_scene(n=500)
+    # point every camera in +z regardless of position
+    for im in scene.images:
+        R = np.eye(3)
+        im.camera = Camera(im.camera.K, R, im.camera.C)
+    assert scene.estimate_roi(mode=2) is False
+    assert not scene.is_bounded()
+    assert scene.estimate_roi(mode=1) is True
+    assert scene.is_bounded()
