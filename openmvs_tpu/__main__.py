@@ -72,6 +72,10 @@ def main(argv=None):
     p.add_argument("--filter-point-cloud", type=int, default=0,
                    help="<0: filter the dense cloud by ray visibility with "
                         "this threshold (Scene::PointCloudFilter)")
+    p.add_argument("--fusion-mode", type=int, default=0,
+                   help="0 estimate+fuse, 1 export depth maps only, "
+                        "-1 export SGM disparity maps only, -2 fuse from "
+                        "existing maps (DensifyPointCloud --fusion-mode)")
     _add_dataclass_args(p, DenseOptions)
 
     p = sub.add_parser("mesh", help="graph-cut mesh reconstruction")
@@ -166,7 +170,14 @@ def main(argv=None):
         if args.estimate_roi > 0 and (args.estimate_roi > 1
                                       or not scene.is_bounded()):
             scene.estimate_roi(mode=args.estimate_roi)
-        pc = dense_reconstruction(scene, opts, save_dmaps_to=args.dmaps_folder)
+        dmaps = args.dmaps_folder
+        if abs(args.fusion_mode) == 1 and not dmaps:
+            dmaps = (args.output or args.scene).replace(".mvs", "_dmaps")
+        pc = dense_reconstruction(scene, opts, save_dmaps_to=dmaps,
+                                  fusion_mode=args.fusion_mode)
+        if abs(args.fusion_mode) == 1:
+            print(f"fusion-mode {args.fusion_mode}: maps exported to {dmaps}")
+            return
         scene.pointcloud = pc
         if args.crop_to_roi and scene.is_bounded():
             removed = scene.crop_to_roi()

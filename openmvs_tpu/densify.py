@@ -539,8 +539,16 @@ def dense_reconstruction(
     save_dmaps_to: Optional[str] = None,
     devices: Optional[list] = None,
     mesh=None,
+    fusion_mode: int = 0,
 ) -> PointCloud:
     """Full dense pipeline: estimate all depth maps, filter, fuse.
+
+    fusion_mode (DensifyPointCloud --fusion-mode, DensifyPointCloud.cpp:159):
+    0 = estimate + fuse (default); 1 = export depth maps only (requires
+    save_dmaps_to, returns an empty cloud); -1 = export SGM disparity maps
+    only (forces estimator="sgm", per-pair .dimap files cached next to the
+    dmaps); -2 = fuse from existing maps (estimation resumes off the
+    .dmap/.dimap caches, so only missing views recompute).
 
     mesh: a jax.sharding.Mesh with ("views", "tile") axes routes estimation
     through the production multi-chip path (parallel.sharded — views
@@ -550,6 +558,12 @@ def dense_reconstruction(
     With multiple local devices (TPU chips), reference views are distributed
     across them (one view's estimation per chip, the analogue of the
     reference's per-image event pipeline across worker threads)."""
+    if abs(fusion_mode) == 1 and not save_dmaps_to:
+        raise ValueError("fusion_mode +/-1 (map export only) requires "
+                         "save_dmaps_to")
+    if fusion_mode == -1 and opts.estimator != "sgm":
+        log.info("fusion-mode -1: forcing estimator='sgm' (disparity export)")
+        opts = dataclasses.replace(opts, estimator="sgm")
     if max_dim is None:
         w0 = max(im.width for im in scene.images)
         h0 = max(im.height for im in scene.images)
@@ -722,6 +736,11 @@ def dense_reconstruction(
             )
             dmapio.save(dd, os.path.join(save_dmaps_to, f"depth{rid:04d}.dmap"))
             dump_depth_artifacts(save_dmaps_to, rid, r.depth, r.normal, r.conf)
+
+    if abs(fusion_mode) == 1:
+        log.info("fusion-mode %d: %d maps exported to %s; skipping fusion",
+                 fusion_mode, len(results), save_dmaps_to)
+        return PointCloud()
 
     # fusion
     with timed(log, "fuse depth maps"):

@@ -407,3 +407,69 @@ def test_ac_ransac_plane_auto_threshold():
 
     n, d = estimate_ground_plane(P)
     assert abs(n @ true_n) > 0.999
+
+
+def test_fusion_modes(tmp_path):
+    """--fusion-mode semantics (DensifyPointCloud.cpp:159): 1 = export maps
+    only (empty cloud, fusion skipped), -2 = fuse from existing maps (here:
+    resumed off the .dmap cache, nothing re-estimated)."""
+    from openmvs_tpu.io import dmap as dmapio
+    from openmvs_tpu import densify as D
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu.scene import PointCloud
+
+    H = W = 32
+    K = np.array([[30.0, 0, 16], [0, 30.0, 16], [0, 0, 1]])
+    dd = dmapio.DepthData(
+        depth=np.full((H, W), 3.0, np.float32),
+        image_width=W, image_height=H, depth_min=1.0, depth_max=5.0,
+        file_name="x.jpg", view_ids=np.array([0, 1], np.uint32),
+        K=K, R=np.eye(3), C=np.zeros(3),
+        normal=np.tile(np.array([0, 0, -1], np.float32), (H, W, 1)),
+        conf=np.ones((H, W), np.float32),
+    )
+    dmapio.save(dd, str(tmp_path / "depth0000.dmap"))
+
+    class _Meta:
+        def __init__(s, i):
+            s.id = i
+            s.name = f"im{i}.jpg"
+            s.view_scores = []
+
+    class _Img:
+        def __init__(s, i):
+            s.meta = _Meta(i)
+            s.gray = np.zeros((H, W), np.float32)
+            s.color = None
+            s.width = W
+            s.height = H
+
+        def load(s, max_dim=None):
+            pass
+
+        def usable_mask(s, label):
+            return None
+
+    class _Sc:
+        pass
+
+    sc = _Sc()
+    sc.images = [_Img(0)]
+    sc.n_views = 1
+    sc.pointcloud = PointCloud()
+    opts = DenseOptions(estimation_geometric_iters=0, optimize=0,
+                        fuse_mode="merge")
+
+    pc = D.dense_reconstruction(sc, opts, max_dim=W,
+                                save_dmaps_to=str(tmp_path), fusion_mode=1)
+    assert len(pc) == 0         # maps exported, fusion skipped
+
+    pc = D.dense_reconstruction(sc, opts, max_dim=W,
+                                save_dmaps_to=str(tmp_path), fusion_mode=-2)
+    assert len(pc) > 0          # fused from the cached maps
+
+    try:
+        D.dense_reconstruction(sc, opts, max_dim=W, fusion_mode=1)
+        raise AssertionError("fusion_mode=1 without save_dmaps_to must raise")
+    except ValueError:
+        pass
