@@ -76,6 +76,11 @@ def main(argv=None):
                    help="0 estimate+fuse, 1 export depth maps only, "
                         "-1 export SGM disparity maps only, -2 fuse from "
                         "existing maps (DensifyPointCloud --fusion-mode)")
+    p.add_argument("--view-neighbors-file", default="",
+                   help="input list of views and their neighbors "
+                        "(overrides automatic view selection)")
+    p.add_argument("--output-view-neighbors-file", default="",
+                   help="write the computed view-neighbor list and exit")
     _add_dataclass_args(p, DenseOptions)
 
     p = sub.add_parser("mesh", help="graph-cut mesh reconstruction")
@@ -170,11 +175,24 @@ def main(argv=None):
         if args.estimate_roi > 0 and (args.estimate_roi > 1
                                       or not scene.is_bounded()):
             scene.estimate_roi(mode=args.estimate_roi)
+        if args.view_neighbors_file:
+            scene.load_view_neighbors(args.view_neighbors_file)
+        if args.output_view_neighbors_file:
+            from openmvs_tpu.view_selection import select_views_for_scene
+
+            for img in scene.images:
+                if img.gray is None:
+                    img.load()
+            select_views_for_scene(scene, opts, respect_existing=True)
+            scene.save_view_neighbors(args.output_view_neighbors_file)
+            print(f"view neighbors -> {args.output_view_neighbors_file}")
+            return
         dmaps = args.dmaps_folder
         if abs(args.fusion_mode) == 1 and not dmaps:
             dmaps = (args.output or args.scene).replace(".mvs", "_dmaps")
         pc = dense_reconstruction(scene, opts, save_dmaps_to=dmaps,
-                                  fusion_mode=args.fusion_mode)
+                                  fusion_mode=args.fusion_mode,
+                                  respect_neighbors=bool(args.view_neighbors_file))
         if abs(args.fusion_mode) == 1:
             print(f"fusion-mode {args.fusion_mode}: maps exported to {dmaps}")
             return

@@ -540,6 +540,7 @@ def dense_reconstruction(
     devices: Optional[list] = None,
     mesh=None,
     fusion_mode: int = 0,
+    respect_neighbors: bool = False,
 ) -> PointCloud:
     """Full dense pipeline: estimate all depth maps, filter, fuse.
 
@@ -587,7 +588,9 @@ def dense_reconstruction(
         log.info("mesh visibility seeding: %d points", len(scene.pointcloud))
 
     with timed(log, "select views"):
-        select_views_for_scene(scene, opts)
+        # respect_neighbors: keep neighbor lists already on the images (a
+        # --view-neighbors-file load), selecting only for the rest
+        select_views_for_scene(scene, opts, respect_existing=respect_neighbors)
 
     if devices is None:
         try:

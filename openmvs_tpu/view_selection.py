@@ -200,10 +200,17 @@ def filter_neighbor_views(
     return out[:max_views]
 
 
-def select_views_for_scene(scene: Scene, opts: DenseOptions) -> None:
-    """Populate meta.view_scores for every image."""
+def select_views_for_scene(scene: Scene, opts: DenseOptions,
+                           respect_existing: bool = False) -> None:
+    """Populate meta.view_scores for every image.
+
+    respect_existing=True keeps images that already have neighbors (e.g.
+    loaded via Scene.load_view_neighbors — the reference skips
+    SelectNeighborViews for such images) and selects only for the rest."""
     flat = _flat_point_views(scene.pointcloud)
     for i in range(scene.n_views):
+        if respect_existing and scene.images[i].meta.view_scores:
+            continue
         neighbors = select_neighbor_views(scene, i, opts, flat=flat)
         # drop weak absolute/relative scores (SceneDensify.cpp InitViews policy)
         if neighbors:

@@ -473,3 +473,33 @@ def test_fusion_modes(tmp_path):
         raise AssertionError("fusion_mode=1 without save_dmaps_to must raise")
     except ValueError:
         pass
+
+
+def test_view_neighbors_file_roundtrip(tmp_path):
+    """Scene.save/load_view_neighbors (Scene.cpp:423-479 format) roundtrip
+    + select_views_for_scene(respect_existing=True) keeps loaded lists."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_mesh import sphere_scene
+    from openmvs_tpu.view_selection import select_views_for_scene
+    from openmvs_tpu.config import DenseOptions
+
+    scene = sphere_scene(n=500)
+    select_views_for_scene(scene, DenseOptions())
+    p = str(tmp_path / "nb.txt")
+    scene.save_view_neighbors(p)
+    lines = open(p).read().strip().splitlines()
+    assert len(lines) == len(scene.images)
+
+    scene2 = sphere_scene(n=500)
+    # give image 0 a hand-written neighbor list, others from the file
+    open(p, "a").close()
+    scene2.load_view_neighbors(p)
+    loaded = [[vs.id for vs in im.meta.view_scores] for im in scene2.images]
+    orig = [[vs.id for vs in im.meta.view_scores] for im in scene.images]
+    assert loaded == orig
+    # respect_existing: selection must not overwrite the loaded lists
+    select_views_for_scene(scene2, DenseOptions(max_views=1),
+                           respect_existing=True)
+    kept = [[vs.id for vs in im.meta.view_scores] for im in scene2.images]
+    assert kept == orig
