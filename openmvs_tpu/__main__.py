@@ -81,6 +81,19 @@ def main(argv=None):
                         "(overrides automatic view selection)")
     p.add_argument("--output-view-neighbors-file", default="",
                    help="write the computed view-neighbor list and exit")
+    p.add_argument("--mesh-file", default="",
+                   help="mesh (.ply/.obj) to attach to the scene: seeds "
+                        "estimation, or is rendered by "
+                        "--export-depth-maps-name")
+    p.add_argument("--export-roi-file", default="",
+                   help="write the scene ROI (OBB text format) and exit")
+    p.add_argument("--import-roi-file", default="",
+                   help="read a ROI (OBB text format) into the scene before "
+                        "densification")
+    p.add_argument("--export-depth-maps-name", default="",
+                   help="render the scene mesh into every view and save "
+                        "depth maps to this base name (.dmap/.pfm/image), "
+                        "then exit (Scene::ExportMeshToDepthMaps)")
     _add_dataclass_args(p, DenseOptions)
 
     p = sub.add_parser("mesh", help="graph-cut mesh reconstruction")
@@ -172,9 +185,33 @@ def main(argv=None):
             from openmvs_tpu.tower import init_tower_scene
 
             init_tower_scene(scene, args.tower_mode, opts)
-        if args.estimate_roi > 0 and (args.estimate_roi > 1
-                                      or not scene.is_bounded()):
+        if args.import_roi_file:
+            scene.load_roi(args.import_roi_file)
+        elif args.estimate_roi > 0 and (args.estimate_roi > 1
+                                        or not scene.is_bounded()):
             scene.estimate_roi(mode=args.estimate_roi)
+        if args.export_roi_file:
+            if not scene.is_bounded():
+                print("error: scene has no ROI to export")
+                return
+            scene.save_roi(args.export_roi_file)
+            print(f"ROI -> {args.export_roi_file}")
+            return
+        if args.mesh_file:
+            from openmvs_tpu.io import ply as plyio
+            from openmvs_tpu.scene import Mesh
+
+            pd = plyio.load(args.mesh_file)
+            scene.mesh = Mesh(vertices=pd.vertices.astype(np.float32),
+                              faces=pd.faces.astype(np.int32))
+        if args.export_depth_maps_name:
+            from openmvs_tpu.densify import export_mesh_to_depth_maps
+
+            n = export_mesh_to_depth_maps(scene, args.export_depth_maps_name,
+                                          opts)
+            print(f"mesh rendered into {n} depth maps "
+                  f"-> {args.export_depth_maps_name}")
+            return
         if args.view_neighbors_file:
             scene.load_view_neighbors(args.view_neighbors_file)
         if args.output_view_neighbors_file:

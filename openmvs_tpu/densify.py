@@ -873,3 +873,73 @@ def _dmap_fusion_loader(scene, folder: str, meta_list):
         )
 
     return load
+
+
+def export_mesh_to_depth_maps(scene: Scene, base_name: str,
+                              opts: DenseOptions = DenseOptions()) -> int:
+    """Render the scene mesh into every view and save per-image depth maps
+    (Scene::ExportMeshToDepthMaps, Scene.cpp:680-736).  Output format by
+    extension: .dmap (full codec incl. interpolated camera-space normals),
+    .pfm (raw float), anything else = normalized 8-bit visualization.
+    Files are written as base0000.ext, base0001.ext, ... Returns the count."""
+    import cv2
+
+    from openmvs_tpu import mesh_ops, native
+    from openmvs_tpu.texture import _project
+
+    mesh = scene.mesh
+    if mesh is None or not len(getattr(mesh, "faces", ())):
+        raise ValueError("scene has no mesh to render")
+    stem, ext = os.path.splitext(base_name)
+    ext_l = ext.lower()
+    vnorm = (mesh_ops.vertex_normals(mesh.vertices, mesh.faces)
+             if ext_l == ".dmap" else None)
+
+    w0 = max(im.width for im in scene.images)
+    h0 = max(im.height for im in scene.images)
+    max_dim = imio.compute_max_resolution(
+        w0, h0, opts.resolution_level, opts.min_resolution, opts.max_resolution)
+    n = 0
+    for img in scene.images:
+        if img.gray is None:
+            img.load(max_dim=max_dim)
+        cam = img.working_camera()
+        H, W = img.gray.shape
+        proj = _project(cam, mesh.vertices.astype(np.float64))
+        fid, depth, bary = native.rasterize(proj, mesh.faces, H, W,
+                                            want_bary=ext_l == ".dmap")
+        depth = np.where(fid >= 0, depth, 0.0).astype(np.float32)
+        out = f"{stem}{img.meta.id:04d}{ext}"
+        if ext_l == ".dmap":
+            # interpolate vertex normals, rotate into camera space (the
+            # .dmap convention, ExportDepthDataRaw)
+            nrm = np.zeros((H, W, 3), np.float32)
+            sel = fid >= 0
+            tri = mesh.faces[fid[sel]]
+            nw = np.einsum("pk,pkc->pc", bary[sel], vnorm[tri])
+            nc = nw @ cam.R.T
+            nc /= np.maximum(np.linalg.norm(nc, axis=1, keepdims=True), 1e-12)
+            nrm[sel] = nc.astype(np.float32)
+            d_valid = depth[depth > 0]
+            dd = dmapio.DepthData(
+                depth=depth, image_width=W, image_height=H,
+                depth_min=float(d_valid.min()) if len(d_valid) else 0.001,
+                depth_max=float(d_valid.max()) if len(d_valid) else 1.0,
+                file_name=img.meta.name,
+                view_ids=np.array(
+                    [img.meta.id] + [vs.id for vs in (img.meta.view_scores
+                                                      or [])], np.uint32),
+                K=cam.K, R=cam.R, C=cam.C, normal=nrm,
+            )
+            dmapio.save(dd, out)
+        elif ext_l == ".pfm":
+            imio.save_pfm(out, depth)
+        else:
+            v = depth[depth > 0]
+            lo, hi = (v.min(), v.max()) if len(v) else (0.0, 1.0)
+            vis = np.where(depth > 0,
+                           255 - (depth - lo) / max(hi - lo, 1e-9) * 223, 0)
+            cv2.imwrite(out, vis.astype(np.uint8))
+        n += 1
+    log.info("mesh rendered into %d depth maps (%s)", n, base_name)
+    return n

@@ -51,3 +51,26 @@ def compute_max_resolution(width: int, height: int, level: int, min_res: int, ma
 
 def scale_for_max_dim(width: int, height: int, target_max_dim: int) -> float:
     return float(target_max_dim) / float(max(width, height))
+
+
+def save_pfm(path: str, data: np.ndarray) -> None:
+    """Write a single-channel PFM (little-endian, bottom-up row order as the
+    PFM spec mandates; the reference's DepthMap::Save uses the same format)."""
+    data = np.asarray(data, np.float32)
+    with open(path, "wb") as f:
+        f.write(b"Pf\n")
+        f.write(f"{data.shape[1]} {data.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        f.write(np.flipud(data).tobytes())
+
+
+def load_pfm(path: str) -> np.ndarray:
+    """Read a single-channel PFM written by save_pfm (or any scanline PFM)."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"Pf":
+            raise ValueError("not a single-channel PFM")
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(f.read(w * h * 4),
+                             "<f4" if scale < 0 else ">f4").reshape(h, w)
+    return np.flipud(data).copy()

@@ -503,3 +503,63 @@ def test_view_neighbors_file_roundtrip(tmp_path):
                            respect_existing=True)
     kept = [[vs.id for vs in im.meta.view_scores] for im in scene2.images]
     assert kept == orig
+
+
+def test_export_mesh_to_depth_maps(tmp_path):
+    """Scene::ExportMeshToDepthMaps parity: render the scene mesh into every
+    view as .dmap (with camera-space normals) and .pfm; depths must match
+    the plane's analytic camera depth."""
+    from openmvs_tpu.densify import export_mesh_to_depth_maps
+    from openmvs_tpu.io import dmap as dmapio
+    from openmvs_tpu.io import images as imio2
+    from openmvs_tpu.scene import Mesh, Scene, SceneImage
+
+    H = W = 64
+    K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+    scene = Scene()
+    for i in range(2):
+        meta = mvsio.ImageMeta()
+        meta.id = i
+        meta.name = f"v{i}.jpg"
+        img = SceneImage(meta=meta, camera=Camera(K, np.eye(3),
+                                                  np.array([0.1 * i, 0, 0.0])),
+                         width=W, height=H)
+        img.gray = np.zeros((H, W), np.float32)
+        scene.images.append(img)
+    # a big z=5 plane facing the cameras
+    scene.mesh = Mesh(
+        vertices=np.array([[-9, -9, 5], [9, -9, 5], [9, 9, 5], [-9, 9, 5]],
+                          np.float32),
+        faces=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+
+    n = export_mesh_to_depth_maps(scene, str(tmp_path / "md.dmap"))
+    assert n == 2
+    dd = dmapio.load(str(tmp_path / "md0000.dmap"))
+    sel = dd.depth > 0
+    assert sel.mean() > 0.99
+    np.testing.assert_allclose(dd.depth[sel], 5.0, atol=1e-3)
+    # plane normal faces the camera: camera-space (0, 0, -1)
+    assert np.allclose(np.abs(dd.normal[sel][:, 2]), 1.0, atol=1e-3)
+
+    export_mesh_to_depth_maps(scene, str(tmp_path / "md.pfm"))
+    pf = imio2.load_pfm(str(tmp_path / "md0001.pfm"))
+    np.testing.assert_allclose(pf[pf > 0], 5.0, atol=1e-3)
+
+
+def test_roi_file_roundtrip(tmp_path):
+    """save_roi/load_roi use the reference OBB text layout (rot rows, center,
+    half-extents) and roundtrip exactly."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_mesh import sphere_scene
+
+    scene = sphere_scene(n=300)
+    assert scene.estimate_roi(mode=1)
+    p = str(tmp_path / "roi.txt")
+    scene.save_roi(p)
+    scene2 = sphere_scene(n=300)
+    scene2.load_roi(p)
+    np.testing.assert_allclose(scene2.obb_min, scene.obb_min, rtol=1e-12)
+    np.testing.assert_allclose(scene2.obb_max, scene.obb_max, rtol=1e-12)
+    np.testing.assert_allclose(scene2.obb_rot, scene.obb_rot, rtol=1e-12)
