@@ -128,9 +128,19 @@ def main(argv=None):
     p.add_argument("--serve", type=int, default=0, help="serve on this port")
     p.add_argument("--max-points", type=int, default=1_500_000)
 
-    p = sub.add_parser("transform", help="apply a 4x4/3x4 transform to a scene")
+    p = sub.add_parser("transform", help="transform/align a scene "
+                                         "(TransformScene role)")
     p.add_argument("scene")
-    p.add_argument("--matrix", required=True, help="text file with 12 or 16 numbers")
+    p.add_argument("--matrix", default="", help="text file with 12 or 16 "
+                                                "numbers (row-major 3x4/4x4)")
+    p.add_argument("--align-file", default="",
+                   help="scene to which this scene's cameras are aligned "
+                        "(Scene::AlignTo similarity)")
+    p.add_argument("--transfer-texture-file", default="",
+                   help="mesh (.ply/.obj) that receives the scene mesh's "
+                        "texture; written next to it as *_textured.obj")
+    p.add_argument("--mesh-file", default="",
+                   help="mesh to attach to the scene before transforming")
     p.add_argument("-o", "--output", required=True)
 
     p = sub.add_parser("import-colmap")
@@ -310,11 +320,42 @@ def main(argv=None):
         print(f"textured mesh -> {out}")
 
     elif args.cmd == "transform":
-        vals = [float(x) for x in open(args.matrix).read().split()]
-        T = np.eye(4)
-        T[: len(vals) // 4, :] = np.array(vals).reshape(-1, 4)
         scene = Scene.load(args.scene)
-        scene.apply_transform(T)
+        if args.mesh_file:
+            from openmvs_tpu.io import ply as plyio
+            from openmvs_tpu.scene import Mesh
+
+            pd = plyio.load(args.mesh_file)
+            scene.mesh = Mesh(vertices=pd.vertices.astype(np.float32),
+                              faces=pd.faces.astype(np.int32))
+        if args.transfer_texture_file:
+            from openmvs_tpu import mesh_ops
+            from openmvs_tpu.io import ply as plyio
+            from openmvs_tpu.io.obj import load_mesh_obj, save_mesh_obj
+            from openmvs_tpu.scene import Mesh
+
+            if args.transfer_texture_file.lower().endswith(".obj"):
+                ov, of = load_mesh_obj(args.transfer_texture_file)[:2]
+                dst = Mesh(vertices=np.asarray(ov, np.float32),
+                           faces=np.asarray(of, np.int32))
+            else:
+                pd = plyio.load(args.transfer_texture_file)
+                dst = Mesh(vertices=pd.vertices.astype(np.float32),
+                           faces=pd.faces.astype(np.int32))
+            out_mesh = mesh_ops.transfer_texture(scene.mesh, dst)
+            base = args.transfer_texture_file.rsplit(".", 1)[0]
+            save_mesh_obj(f"{base}_textured.obj", out_mesh)
+            print(f"texture transferred -> {base}_textured.obj")
+            return
+        if args.align_file:
+            ref = Scene.load(args.align_file)
+            T = scene.align_to(ref)
+            print(f"aligned to {args.align_file}:\n{np.round(T, 6)}")
+        if args.matrix:
+            vals = [float(x) for x in open(args.matrix).read().split()]
+            T = np.eye(4)
+            T[: len(vals) // 4, :] = np.array(vals).reshape(-1, 4)
+            scene.apply_transform(T)
         scene.save(args.output)
         print(f"transformed scene -> {args.output}")
 

@@ -523,3 +523,44 @@ def test_blocks_exchange_import(tmp_path):
     np.testing.assert_allclose(pose.C, [0.6, 0, 0], atol=1e-12)
     np.testing.assert_array_equal(itf.point_views[0], [0, 2])
     np.testing.assert_array_equal(itf.colors[0], [127, 63, 255])
+
+
+def test_cli_transform_align(tmp_path):
+    """transform --align-file recovers a known similarity between two copies
+    of the same scene (TransformScene --align-file role)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import numpy as np
+    from test_mesh import sphere_scene
+    from openmvs_tpu.__main__ import main
+
+    def with_platforms(scene):
+        from openmvs_tpu.io import mvs as mvsio
+        for i, im in enumerate(scene.images):
+            im.meta.platform_id = i
+            scene.platforms.append(mvsio.Platform(
+                name=f"p{i}",
+                cameras=[mvsio.CameraRig(K=im.camera.K, width=im.width,
+                                         height=im.height)],
+                poses=[mvsio.Pose(R=im.camera.R, C=im.camera.C)]))
+        return scene
+
+    a = with_platforms(sphere_scene(n=300))
+    pa = str(tmp_path / "a.mvs")
+    a.save(pa)
+    # b = a moved by a rigid transform
+    b = with_platforms(sphere_scene(n=300))
+    T = np.eye(4)
+    T[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]]) * 2.0  # rot+scale
+    T[:3, 3] = [1.0, -2.0, 3.0]
+    b.apply_transform(T)
+    pb = str(tmp_path / "b.mvs")
+    b.save(pb)
+    out = str(tmp_path / "b_aligned.mvs")
+    main(["transform", pb, "--align-file", pa, "-o", out])
+    from openmvs_tpu.scene import Scene
+    back = Scene.load(out)
+    # camera centers must coincide with the originals again
+    ca = np.stack([im.camera.C for im in a.images])
+    cb = np.stack([im.camera.C for im in back.images])
+    np.testing.assert_allclose(cb, ca, atol=1e-6)
