@@ -59,10 +59,12 @@ def main(argv=None):
     p.add_argument("scene")
     p.add_argument("-o", "--output", default=None)
     p.add_argument("--dmaps-folder", default=None)
-    p.add_argument("--tower-mode", type=int, default=0,
+    p.add_argument("--tower-mode", type=int, default=4,
                    help="cylindrical-scene prior: 0 off, 1 replace cloud, "
                         "2 append, 3 select neighbors, 4 select+append, "
-                        "negative to force (DensifyPointCloud --towermode)")
+                        "negative to force; auto-detection no-ops on "
+                        "non-tower scenes (DensifyPointCloud --tower-mode, "
+                        "reference default 4)")
     p.add_argument("--estimate-roi", type=int, default=2,
                    help="0 off, 1 estimate unless already set, 2 estimate "
                         "and weight (Scene::EstimateROI; reference default 2)")
