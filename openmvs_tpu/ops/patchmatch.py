@@ -553,21 +553,38 @@ def score_hypotheses(
 
     big = jnp.full(depth.shape, jnp.inf, jnp.float32)
     if mode in ("exact", "nn") and _use_pallas():
-        from openmvs_tpu.ops.pm_kernel import score_view_pallas
+        from openmvs_tpu.ops.pm_kernel import (score_view_geom_pallas,
+                                               score_view_pallas)
 
+        # merged scoring+geom kernel (OMVS_GEOM_FUSED=1): ONE pallas_call
+        # per view computes both the ZNCC score and the geometric term —
+        # keeps a single kernel per jit (two pallas_calls in one sweep jit
+        # miscompile on this backend, see _geometric_term) while replacing
+        # the XLA serial-gather geometric sample
+        fused_geom = (use_geom and geom_terms is None and not patch_rows
+                      and _os.environ.get("OMVS_GEOM_FUSED"))
         s0, s1 = big, big
         for j in range(n_views):
             kw = {"patch_rows": patch_rows} if patch_rows else {}
-            s, _ = score_view_pallas(
-                v.image[j], v.size[j], v.Hl[j], v.Hm[j],
-                depth, normal, inv_nd, data.X0, data.goff, data.w, data.wtm,
-                data.sum_w, data.norm_sq0,
-                n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust),
-                nearest=(mode == "nn"), **kw,
-            ), None
+            if fused_geom:
+                s, gj = score_view_geom_pallas(
+                    v.image[j], v.size[j], v.Hl[j], v.Hm[j], v.Tr[j], v.Tn[j],
+                    v.depth[j], depth, normal, inv_nd, data.X0, data.uv,
+                    data.goff, data.w, data.wtm, data.sum_w, data.norm_sq0,
+                    n_texels=int(data.goff.shape[0]),
+                    th_robust=float(opts.th_robust),
+                    nearest=(mode == "nn"), **kw,
+                )
+            else:
+                s, gj = score_view_pallas(
+                    v.image[j], v.size[j], v.Hl[j], v.Hm[j],
+                    depth, normal, inv_nd, data.X0, data.goff, data.w, data.wtm,
+                    data.sum_w, data.norm_sq0,
+                    n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust),
+                    nearest=(mode == "nn"), **kw,
+                ), (None if geom_terms is None else geom_terms[j])
             s = finish_view(s, v.depth[j], v.size[j], v.Tl[j], v.Tm[j],
-                            v.Tr[j], v.Tn[j],
-                            None if geom_terms is None else geom_terms[j])
+                            v.Tr[j], v.Tn[j], gj)
             s0, s1 = jnp.minimum(s0, s), jnp.minimum(s1, jnp.maximum(s0, s))
     else:
         gt = (geom_terms[:n_views] if geom_terms is not None

@@ -80,11 +80,27 @@ def _texel_kernel(
     nearest: bool = False,
     patch_rows: int = PATCH_ROWS,
 ):
+    _texel_score_body(
+        hl_ref, hm_ref, goff_ref, size_ref, img_ref, depth_ref[0],
+        nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
+        w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
+        nearest=nearest, patch_rows=patch_rows,
+    )
+
+
+def _texel_score_body(
+    hl_ref, hm_ref, goff_ref, size_ref, img_ref,
+    depth,       # (8, 128) VALUE (strictly positive)
+    nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
+    w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
+    *,
+    nearest: bool = False,
+    patch_rows: int = PATCH_ROWS,
+):
     Hp, Wp = img_ref.shape
     t_step = pl.program_id(3)
     first = t_step == 0
 
-    depth = depth_ref[0]
     inv_d = 1.0 / depth
     nx, ny, nz = nx_ref[0], ny_ref[0], nz_ref[0]
     inv_nd = invnd_ref[0]
@@ -190,35 +206,14 @@ def _texel_kernel(
         inb_ref[0] = inb_ref[0] * ok_acc.astype(jnp.float32)
 
 
-def _geom_kernel(
-    tl_ref,      # (1, 128) SMEM: Tl row-major [0:9]
-    tm_ref,      # (1, 128): Tm [0:3]
-    tr_ref,      # (1, 128): Tr row-major [0:9]
-    tn_ref,      # (1, 128): Tn [0:3]
-    size_ref,    # (1, 128): valid (h, w) of the neighbor depth map
-    dm_ref,      # (Hp, Wp) neighbor depth map (padded, VMEM)
-    depth_ref,   # (1, 8, 128) candidate depths
-    x0a_ref, x0b_ref, x0c_ref,   # (8, 128) ref-ray components (Kinv @ uv1)
-    uu_ref, vv_ref,              # (8, 128) ref pixel coordinates
-    cons_ref,    # (1, 8, 128) output consistency penalty [0, 4]
-    *,
-    patch_rows: int = PATCH_ROWS,
-    patch_cols: int = PATCH_COLS,
-):
-    """Forward-backward reprojection consistency (DepthMap.cpp:535-551) with
-    the neighbor-depth bilinear sample done as in-register lane gathers —
-    XLA lowers the same sample to ~40M/s serial scalar gathers, which made
-    the geometric sweep 2.3x slower than the photometric one."""
+def _geom_body(tl, tm, tr, tn, h_j, w_j, dm_ref, depth, x0a, x0b, x0c,
+               uu, vv, patch_rows: int, patch_cols: int):
+    """Forward-backward reprojection consistency tile (DepthMap.cpp:535-551)
+    with the neighbor-depth bilinear sample as in-register lane gathers.
+    Shared by the standalone _geom_kernel and the merged scoring+geom
+    kernel (_texel_geom_kernel); tl..tn are scalar lists, depth/x0*/uu/vv
+    are (TILE_H, TILE_W) values, dm_ref a VMEM ref."""
     Hp, Wp = dm_ref.shape
-    depth = depth_ref[0]
-    x0a, x0b, x0c = x0a_ref[:], x0b_ref[:], x0c_ref[:]
-    tl = [tl_ref[0, i] for i in range(9)]
-    tm = [tm_ref[0, i] for i in range(3)]
-    tr = [tr_ref[0, i] for i in range(9)]
-    tn = [tn_ref[0, i] for i in range(3)]
-    h_j = size_ref[0, 0]
-    w_j = size_ref[0, 1]
-
     xa = x0a * depth
     xb = x0b * depth
     xc = x0c * depth
@@ -305,12 +300,91 @@ def _geom_kernel(
     zb = tr[6] * xbx + tr[7] * xby + tr[8] * d1 + tn[2]
     zbok = zb > 1e-8
     izb = jnp.where(zbok, 1.0 / jnp.where(zbok, zb, 1.0), 0.0)
-    du = uu_ref[:] - bx * izb
-    dv = vv_ref[:] - by * izb
+    du = uu - bx * izb
+    dv = vv - by * izb
     dist = jnp.sqrt(du * du + dv * dv)
     cons = jnp.minimum(jnp.sqrt(dist * (dist + 2.0)), 4.0)
-    cons_ref[0] = jnp.where(miss, 2.0,
-                            jnp.where(similar & zbok, cons, 4.0))
+    return jnp.where(miss, 2.0, jnp.where(similar & zbok, cons, 4.0))
+
+
+def _texel_geom_kernel(
+    hl_ref,      # (1, 128) SMEM: Hl row-major [0:9] (== Tl)
+    hm_ref,      # (1, 128): Hm [0:3] (== Tm)
+    tr_ref,      # (1, 128): Tr row-major [0:9]
+    tn_ref,      # (1, 128): Tn [0:3]
+    goff_ref,    # (1, >=3T): texel offsets flattened
+    size_ref,    # (1, 128): valid (h, w) of the view image / depth map
+    img_ref,     # (Hi, Wi) full neighbor image (padded)
+    dm_ref,      # (Hg, Wg) full neighbor depth map (padded)
+    depth_ref,   # (1, 8, 128) RAW candidate depths (0 = invalid)
+    nx_ref, ny_ref, nz_ref,
+    invnd_ref,
+    x0a_ref, x0b_ref, x0c_ref,
+    uu_ref, vv_ref,              # (8, 128) ref pixel coordinates
+    w_ref,       # (TEXEL_CHUNK, 8, 128)
+    wtm_ref,
+    num_ref, ssum_ref, ssq_ref, inb_ref,
+    cons_ref,    # (1, 8, 128) geometric consistency [0, 4]
+    *,
+    nearest: bool = False,
+    patch_rows: int = PATCH_ROWS,
+    geom_rows: int = PATCH_ROWS,
+    geom_cols: int = PATCH_COLS,
+):
+    """Scoring kernel + the geometric-consistency term in ONE pallas_call:
+    a second pallas_call in the same sweep jit miscompiles on this backend
+    (see patchmatch._geometric_term), so the geom term rides the scoring
+    kernel's grid instead — computed once per (candidate, tile) on the
+    first texel-chunk step.  Hl==Tl and Hm==Tm (densify._assemble_pm_host),
+    so the warp constants are shared."""
+    first = pl.program_id(3) == 0
+    raw_depth = depth_ref[0]
+    # scoring math needs strictly-positive depths (inv_d); geom needs the
+    # raw zeros to mark invalid hypotheses
+    depth_s = jnp.maximum(raw_depth, 1e-6)
+
+    _texel_score_body(
+        hl_ref, hm_ref, goff_ref, size_ref, img_ref, depth_s,
+        nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
+        w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
+        nearest=nearest, patch_rows=patch_rows,
+    )
+
+    @pl.when(first)
+    def _():
+        tl = [hl_ref[0, i] for i in range(9)]
+        tm = [hm_ref[0, i] for i in range(3)]
+        tr = [tr_ref[0, i] for i in range(9)]
+        tn = [tn_ref[0, i] for i in range(3)]
+        cons_ref[0] = _geom_body(
+            tl, tm, tr, tn, size_ref[0, 0], size_ref[0, 1], dm_ref,
+            raw_depth, x0a_ref[:], x0b_ref[:], x0c_ref[:],
+            uu_ref[:], vv_ref[:], geom_rows, geom_cols)
+
+
+def _geom_kernel(
+    tl_ref,      # (1, 128) SMEM: Tl row-major [0:9]
+    tm_ref,      # (1, 128): Tm [0:3]
+    tr_ref,      # (1, 128): Tr row-major [0:9]
+    tn_ref,      # (1, 128): Tn [0:3]
+    size_ref,    # (1, 128): valid (h, w) of the neighbor depth map
+    dm_ref,      # (Hp, Wp) neighbor depth map (padded, VMEM)
+    depth_ref,   # (1, 8, 128) candidate depths
+    x0a_ref, x0b_ref, x0c_ref,   # (8, 128) ref-ray components (Kinv @ uv1)
+    uu_ref, vv_ref,              # (8, 128) ref pixel coordinates
+    cons_ref,    # (1, 8, 128) output consistency penalty [0, 4]
+    *,
+    patch_rows: int = PATCH_ROWS,
+    patch_cols: int = PATCH_COLS,
+):
+    tl = [tl_ref[0, i] for i in range(9)]
+    tm = [tm_ref[0, i] for i in range(3)]
+    tr = [tr_ref[0, i] for i in range(9)]
+    tn = [tn_ref[0, i] for i in range(3)]
+    cons_ref[0] = _geom_body(
+        tl, tm, tr, tn, size_ref[0, 0], size_ref[0, 1], dm_ref,
+        depth_ref[0], x0a_ref[:], x0b_ref[:], x0c_ref[:],
+        uu_ref[:], vv_ref[:], patch_rows, patch_cols)
 
 
 def _geom_window(H: int, W: int, Hi: int, Wi: int,
@@ -537,3 +611,136 @@ def score_view_pallas(
     ncc = jnp.clip(num * jax.lax.rsqrt(jnp.maximum(nrm_sq, 1e-30)), -1.0, 1.0)
     score = 1.0 - ncc
     return jnp.where((nrm_sq <= 1e-16) | ~inb, th_robust, score)
+
+
+@functools.partial(jax.jit, static_argnames=("n_texels", "th_robust", "nearest", "patch_rows"))
+def score_view_geom_pallas(
+    img: jnp.ndarray,        # (Hp, Wp) neighbor image
+    size: jnp.ndarray,       # (2,) valid h, w
+    Hl: jnp.ndarray,         # (3, 3) (== Tl)
+    Hm: jnp.ndarray,         # (3,)   (== Tm)
+    Tr: jnp.ndarray,         # (3, 3)
+    Tn: jnp.ndarray,         # (3,)
+    dm: jnp.ndarray,         # (Hd, Wd) neighbor depth map
+    depth: jnp.ndarray,      # (C, H, W) RAW candidates (0 = invalid)
+    normal: jnp.ndarray,     # (C, H, W, 3)
+    inv_nd: jnp.ndarray,     # (C, H, W)
+    X0: jnp.ndarray,         # (H, W, 3)
+    uv: jnp.ndarray,         # (H, W, 2)
+    goff: jnp.ndarray,       # (T, 3)
+    w: jnp.ndarray,          # (T, H, W)
+    wtm: jnp.ndarray,        # (T, H, W)
+    sum_w: jnp.ndarray,      # (H, W)
+    norm_sq0: jnp.ndarray,   # (H, W)
+    n_texels: int,
+    th_robust: float,
+    nearest: bool = False,
+    patch_rows: int = PATCH_ROWS,
+):
+    """(score, cons): weighted-ZNCC scores AND the geometric-consistency
+    penalty of candidate maps in one view, from ONE pallas_call (see
+    _texel_geom_kernel).  The standalone pair (score_view_pallas +
+    geom_term_pallas in separate jits) computes identical values; this
+    fusion exists so geometric sweeps keep a single kernel per jit."""
+    C, H, W = depth.shape
+    T = -(-n_texels // TEXEL_CHUNK) * TEXEL_CHUNK
+    Hpad = -(-H // TILE_H) * TILE_H
+    Wpad = -(-W // TILE_W) * TILE_W
+    Hi = max(-(-img.shape[0] // TILE_H) * TILE_H, patch_rows)
+    Wi = max(-(-img.shape[1] // TILE_W) * TILE_W, PATCH_COLS)
+    Hg0 = -(-dm.shape[0] // TILE_H) * TILE_H
+    Wg = max(-(-dm.shape[1] // TILE_W) * TILE_W, 384)
+    g_rows, g_cols = _geom_window(H, W, max(Hg0, 32), Wg)
+    Hg = max(Hg0, g_rows)
+
+    img_p = _pad_to(img, Hi, Wi, (0, 1))
+    dm_p = _pad_to(dm, Hg, Wg, (0, 1))
+    depth_p = _pad_to(depth, Hpad, Wpad, (1, 2))
+    nx = _pad_to(normal[..., 0], Hpad, Wpad, (1, 2))
+    ny = _pad_to(normal[..., 1], Hpad, Wpad, (1, 2))
+    nz = _pad_to(normal[..., 2], Hpad, Wpad, (1, 2))
+    invnd_p = _pad_to(inv_nd, Hpad, Wpad, (1, 2))
+    x0a = _pad_to(X0[..., 0], Hpad, Wpad, (0, 1))
+    x0b = _pad_to(X0[..., 1], Hpad, Wpad, (0, 1))
+    x0c = _pad_to(X0[..., 2], Hpad, Wpad, (0, 1))
+    uu = _pad_to(uv[..., 0], Hpad, Wpad, (0, 1))
+    vv = _pad_to(uv[..., 1], Hpad, Wpad, (0, 1))
+    w_p = _pad_to(w, Hpad, Wpad, (1, 2))
+    wtm_p = _pad_to(wtm, Hpad, Wpad, (1, 2))
+    if T != n_texels:
+        padT = T - n_texels
+        zg = jnp.zeros((padT, 3), goff.dtype)
+        goff = jnp.concatenate([goff, zg], axis=0)
+        zw = jnp.zeros((padT,) + w_p.shape[1:], w_p.dtype)
+        w_p = jnp.concatenate([w_p, zw], axis=0)
+        wtm_p = jnp.concatenate([wtm_p, zw], axis=0)
+
+    hl_s = Hl.reshape(1, 9).astype(jnp.float32)
+    hm_s = Hm.reshape(1, 3).astype(jnp.float32)
+    tr_s = Tr.reshape(1, 9).astype(jnp.float32)
+    tn_s = Tn.reshape(1, 3).astype(jnp.float32)
+    goff_s = goff.reshape(1, 3 * T).astype(jnp.float32)
+    size_s = size.reshape(1, 2).astype(jnp.float32)
+
+    grid = (C, Hpad // TILE_H, Wpad // TILE_W, T // TEXEL_CHUNK)
+
+    def im_c(c, i, j, t):
+        return (c, i, j)
+
+    def im_hw(c, i, j, t):
+        return (i, j)
+
+    def im_wt(c, i, j, t):
+        return (t, i, j)
+
+    def im_const(c, i, j, t):
+        return (0, 0)
+
+    out_shapes = [jax.ShapeDtypeStruct((C, Hpad, Wpad), jnp.float32)] * 5
+    num, ssum, ssq, inbf, cons = pl.pallas_call(
+        functools.partial(_texel_geom_kernel, nearest=nearest,
+                          patch_rows=patch_rows,
+                          geom_rows=g_rows, geom_cols=g_cols),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(hl_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(hm_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(tr_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(tn_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(goff_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(size_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((Hi, Wi), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hg, Wg), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM)
+        ] * 5,
+        interpret=INTERPRET,
+    )(
+        hl_s, hm_s, tr_s, tn_s, goff_s, size_s, img_p, dm_p,
+        depth_p, nx, ny, nz, invnd_p, x0a, x0b, x0c, uu, vv, w_p, wtm_p,
+    )
+
+    num = num[:, :H, :W]
+    ssum = ssum[:, :H, :W]
+    ssq = ssq[:, :H, :W]
+    inb = inbf[:, :H, :W] > 0.5
+    cons = cons[:, :H, :W]
+    norm_sq1 = ssq - ssum * ssum / jnp.maximum(sum_w[None], 1e-12)
+    nrm_sq = norm_sq0[None] * norm_sq1
+    ncc = jnp.clip(num * jax.lax.rsqrt(jnp.maximum(nrm_sq, 1e-30)), -1.0, 1.0)
+    score = 1.0 - ncc
+    return jnp.where((nrm_sq <= 1e-16) | ~inb, th_robust, score), cons

@@ -34,6 +34,11 @@ log "   geom-debug worst lines:"
 grep "geom-debug" "$OUT/4_split_kernel.log" | sort -t: -k2 -rn | head -5 \
   | tee -a "$OUT/summary.log"
 
+log "4b. gate counts, MERGED scoring+geom kernel (OMVS_GEOM_FUSED=1)"
+OMVS_GEOM_FUSED=1 timeout 2400 python scripts/dev_gate_counts.py geomfused \
+  > "$OUT/4b_geom_fused.log" 2>&1
+log "   rc=$? ($(grep RESULT "$OUT/4b_geom_fused.log" | tail -1))"
+
 log "5. bench.py (default path)"
 timeout 2400 python bench.py > "$OUT/5_bench.log" 2>&1
 log "   rc=$? ($(tail -1 "$OUT/5_bench.log"))"

@@ -193,3 +193,76 @@ def test_geom_term_pallas_interpret_matches_cpu(monkeypatch):
     finally:
         pm_kernel.geom_term_pallas._clear_cache()
     _check_geom_parity(out, ref)
+
+
+def _merged_case(h=120, w=160):
+    """Args + references for score_view_geom_pallas parity: score must match
+    score_view_pallas, cons must match the XLA _geometric_term."""
+    kernel_args, geom_ref = _geom_parity_case(h, w)
+    (dm, size, Tl, Tm, Tr, Tn, cd, X0, uv) = kernel_args
+    data, opts, _cd0, cn, _ = _example(h, w)
+    # rebuild normals/inv_nd for the modified candidates
+    den = jnp.einsum("chwk,hwk->chw", cn, X0) * jnp.maximum(cd, 1e-6)
+    safe = jnp.abs(den) > 1e-12
+    inv_nd = jnp.where(safe, 1.0 / jnp.where(safe, den, 1.0), 0.0)
+    j = 0
+    v = data.views
+    margs = (v.image[j], v.size[j], v.Hl[j], v.Hm[j], v.Tr[j], v.Tn[j],
+             dm, cd, cn, inv_nd, data.X0, data.uv, data.goff, data.w,
+             data.wtm, data.sum_w, data.norm_sq0)
+    mkw = dict(n_texels=int(data.goff.shape[0]),
+               th_robust=float(opts.th_robust), nearest=False)
+    # score reference = the STANDALONE kernel in interpret mode (identical
+    # patch-window semantics by construction; kernel-vs-CPU-scan parity is
+    # covered separately at a size whose warp spans fit the image window)
+    from openmvs_tpu.ops import pm_kernel
+
+    old = pm_kernel.INTERPRET
+    pm_kernel.INTERPRET = True
+    pm_kernel.score_view_pallas._clear_cache()
+    try:
+        score_ref = np.asarray(pm_kernel.score_view_pallas(
+            v.image[j], v.size[j], v.Hl[j], v.Hm[j],
+            jnp.maximum(cd, 1e-6), cn, inv_nd, data.X0, data.goff,
+            data.w, data.wtm, data.sum_w, data.norm_sq0, **mkw))
+    finally:
+        pm_kernel.INTERPRET = old
+        pm_kernel.score_view_pallas._clear_cache()
+    return margs, mkw, score_ref, geom_ref
+
+
+def test_score_view_geom_pallas_interpret(monkeypatch):
+    """Merged scoring+geom kernel through the interpreter: both outputs must
+    match their standalone references (kernel LOGIC, any backend)."""
+    from openmvs_tpu.ops import pm_kernel
+
+    margs, mkw, score_ref, geom_ref = _merged_case()
+    monkeypatch.setattr(pm_kernel, "INTERPRET", True)
+    pm_kernel.score_view_geom_pallas._clear_cache()
+    try:
+        s, cons = pm_kernel.score_view_geom_pallas(*margs, **mkw)
+    finally:
+        pm_kernel.score_view_geom_pallas._clear_cache()
+    _check_geom_parity(np.asarray(cons), geom_ref)
+    d = np.abs(np.asarray(s) - score_ref)
+    assert (d < 1e-3).mean() > 0.995, (d.mean(), d.max(), (d > 1e-3).mean())
+
+
+@pytest.mark.parametrize("h,w", [(120, 160), (480, 640)])
+def test_score_view_geom_pallas_tpu(h, w):
+    """Merged kernel Mosaic-compiled on real TPU at small AND pipeline
+    resolution."""
+    from conftest import tpu_devices
+
+    tpus = tpu_devices()
+    if not tpus:
+        pytest.skip("requires a TPU device")
+    from openmvs_tpu.ops import pm_kernel
+
+    margs, mkw, score_ref, geom_ref = _merged_case(h, w)
+    with jax.default_device(tpus[0]):
+        args_t = jax.tree.map(lambda x: jax.device_put(x, tpus[0]), margs)
+        s, cons = pm_kernel.score_view_geom_pallas(*args_t, **mkw)
+    _check_geom_parity(np.asarray(cons), geom_ref)
+    d = np.abs(np.asarray(s) - score_ref)
+    assert (d < 1e-3).mean() > 0.995, (d.mean(), d.max(), (d > 1e-3).mean())
