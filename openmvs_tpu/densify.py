@@ -714,9 +714,14 @@ def dense_reconstruction(
             if len(projected) < opts.min_views_filter:
                 filtered[rid] = r
                 continue
-            nd, nc = filters.filter_depth_adjust(
-                r.depth, r.conf, projected, opts, r.d_min, r.d_max
-            )
+            if opts.filter_adjust:
+                nd, nc = filters.filter_depth_adjust(
+                    r.depth, r.conf, projected, opts, r.d_min, r.d_max
+                )
+            else:
+                nd, nc = filters.filter_depth_strict(
+                    r.depth, r.conf, projected, opts
+                )
             filtered[rid] = dataclasses.replace(r, depth=nd, conf=nc)
         results = filtered
 

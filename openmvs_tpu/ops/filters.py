@@ -222,3 +222,55 @@ def filter_depth_adjust(
     new_depth = np.where(keep, avg, 0).astype(np.float32)
     new_conf = np.where(keep, pos_conf - neg_conf, 0).astype(np.float32)
     return new_depth, new_conf
+
+
+def filter_depth_strict(
+    depth_ref: np.ndarray,
+    conf_ref: np.ndarray,
+    projected: List[Tuple[np.ndarray, np.ndarray]],
+    opts: DenseOptions,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Non-adjusting cross-view filter (the bAdjust=false branch of
+    FilterDepthMap, SceneDensify.cpp:1219-1302): discard a depth unless it
+    agrees with enough neighbor-view depths both at the pixel (strict
+    threshold, >=min_views and >=75% of valid views) and in its 4-neighborhood
+    (loose threshold, >=2*min_views and >=65%).  Depth values are never
+    modified — only kept or zeroed.
+    """
+    th_strict = opts.depth_diff_threshold * 0.8
+    th_loose = opts.depth_diff_threshold * 1.2
+    n_min_views = opts.min_views_filter
+    valid = depth_ref > 0
+
+    n_good = np.zeros(depth_ref.shape, np.int32)
+    n_seen = np.zeros(depth_ref.shape, np.int32)
+    n_good_d = np.zeros(depth_ref.shape, np.int32)
+    n_seen_d = np.zeros(depth_ref.shape, np.int32)
+    for d_proj, _ in projected:
+        has = d_proj > 0
+        n_seen += has
+        n_good += has & _is_depth_similar(depth_ref, d_proj, th_strict)
+        # 4-neighborhood agreement (xDs deltas): shift the projected map
+        for dy, dx in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+            src = np.zeros_like(d_proj)
+            if dy == 0 and dx == -1:
+                src[:, 1:] = d_proj[:, :-1]
+            elif dy == 0 and dx == 1:
+                src[:, :-1] = d_proj[:, 1:]
+            elif dy == -1:
+                src[1:, :] = d_proj[:-1, :]
+            else:
+                src[:-1, :] = d_proj[1:, :]
+            hs = src > 0
+            n_seen_d += hs
+            n_good_d += hs & _is_depth_similar(depth_ref, src, th_loose)
+    keep = (
+        valid
+        & (n_good >= n_min_views)
+        & (n_good * 100 >= n_seen * 75)
+        & (n_good_d >= n_min_views * 2)
+        & (n_good_d * 100 >= n_seen_d * 65)
+    )
+    new_depth = np.where(keep, depth_ref, 0).astype(np.float32)
+    new_conf = np.where(keep, conf_ref, 0).astype(np.float32)
+    return new_depth, new_conf

@@ -84,6 +84,10 @@ import os as _os
 _COMPACT_SWEEPS = _os.environ.get("OMVS_COMPACT", "0") not in ("0", "")
 _COMPACT_COLS = _os.environ.get("OMVS_COMPACT") == "cols"
 _PATCH_ROWS_COMPACT = int(_os.environ.get("OMVS_PATCH_ROWS_COMPACT", "32"))
+# staged propagate-then-perturb half-steps (two scoring launches; perturbs
+# refine the propagated winner — the reference's order, DepthMap.cpp:641-852);
+# applies to the fused sweep path (the geom-split path keeps one launch)
+_STAGED_SWEEPS = _os.environ.get("OMVS_STAGED", "") == "1"
 
 
 class PMViews(NamedTuple):
@@ -1057,29 +1061,56 @@ def sweep_half(state, data, opts, key, n_views, use_geom=False, n_perturb=3,
 
 def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
                   parity, n_prop):
-    H, W = state.depth.shape
     # GLOBAL parity from data.uv — a row-tiled shard keeps the same lattice
     # as the full image (a local iota would flip parity on odd-offset tiles)
     parity_map = (data.uv[..., 0] + data.uv[..., 1]).astype(jnp.int32) % 2
     active = (parity_map == parity) & data.valid
 
-    cand_d, cand_n, cand_ok = [], [], []
-    for dy, dx in PROP_OFFSETS[:n_prop]:
-        d, n, ok = _propagate_candidate(data, state, opts, dy, dx)
-        cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-    if mode == "warp":
-        ck = jax.random.fold_in(key, parity * 131)
-        for d, n, ok in _probe_candidates(data, state, opts, ck):
-            cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-    else:
-        for r in range(n_perturb):
-            ck = jax.random.fold_in(key, parity * 131 + r)
-            d, n, ok = _perturb_candidate(data, state, opts, ck, SCALE_RANGES[r])
-            cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-    cd = jnp.stack(cand_d)               # (C, H, W)
-    cn = jnp.stack(cand_n)               # (C, H, W, 3)
-    cok = jnp.stack(cand_ok)             # (C, H, W)
+    def _prop_cands(st):
+        cand = [_propagate_candidate(data, st, opts, dy, dx)
+                for dy, dx in PROP_OFFSETS[:n_prop]]
+        return cand
 
+    def _perturb_cands(st):
+        cand = []
+        if mode == "warp":
+            ck = jax.random.fold_in(key, parity * 131)
+            cand.extend(_probe_candidates(data, st, opts, ck))
+        else:
+            for r in range(n_perturb):
+                ck = jax.random.fold_in(key, parity * 131 + r)
+                cand.append(_perturb_candidate(data, st, opts, ck,
+                                               SCALE_RANGES[r]))
+        return cand
+
+    def _stack(cand):
+        cd = jnp.stack([c[0] for c in cand])      # (C, H, W)
+        cn = jnp.stack([c[1] for c in cand])      # (C, H, W, 3)
+        cok = jnp.stack([c[2] for c in cand])     # (C, H, W)
+        return cd, cn, cok
+
+    if _STAGED_SWEEPS:
+        # Staged propagate-then-perturb (the reference's sequential order,
+        # DepthMap.cpp:641-852: propagation first, random refinement around
+        # the UPDATED estimate).  Two smaller scoring launches per half-step;
+        # perturbations refine the propagated winner instead of the stale
+        # incumbent.  Opt-in OMVS_STAGED=1 (A/B in scripts/tpu_validation.sh).
+        cd, cn, cok = _stack(_prop_cands(state))
+        state = _score_select(state, data, opts, cd, cn, cok, active, parity,
+                              n_views, use_geom, mode)
+        cd, cn, cok = _stack(_perturb_cands(state))
+        return _score_select(state, data, opts, cd, cn, cok, active, parity,
+                             n_views, use_geom, mode)
+
+    cd, cn, cok = _stack(_prop_cands(state) + _perturb_cands(state))
+    return _score_select(state, data, opts, cd, cn, cok, active, parity,
+                         n_views, use_geom, mode)
+
+
+def _score_select(state, data, opts, cd, cn, cok, active, parity, n_views,
+                  use_geom, mode):
+    """Score a candidate stack and take per-parity winners vs the incumbent."""
+    H, W = state.depth.shape
     if W % 2 == 0 and H % 2 == 0 and _COMPACT_SWEEPS:
         # checkerboard compaction: score only the active parity's pixels
         # (the reference's red/black kernels process exactly half each

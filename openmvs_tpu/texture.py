@@ -533,9 +533,13 @@ def generate_texture(
     tw = min(tw, opts.max_texture_size)
     th = min(th, opts.max_texture_size)
     pages = []
+    # empty-pixel marker color from the nEmptyColor knob (0x00BBGGRR packed,
+    # reference TextureMesh --empty-color; default 0x00FF7F27 = RGB(39,127,255))
+    ec = opts.empty_color
+    empty_rgb = (ec & 0xFF, (ec >> 8) & 0xFF, (ec >> 16) & 0xFF)
     for _ in range(n_pages):
         a = np.zeros((th, tw, 3), np.uint8)
-        a[:] = (39, 127, 255)  # empty color marker (reference empty_color)
+        a[:] = empty_rgb
         pages.append(a)
     atlas = pages[0]
 

@@ -178,14 +178,22 @@ def select_neighbor_views(
 def filter_neighbor_views(
     neighbors: List[ViewScore],
     opts: DenseOptions,
-    min_area: float = 0.1,
+    min_area: float = None,
     min_scale: float = 0.2,
     max_scale: float = 3.2,
-    min_angle: float = 3.0,
-    max_angle: float = 45.0,
+    min_angle: float = None,
+    max_angle: float = None,
     max_views: int = 12,
 ) -> List[ViewScore]:
-    """Keep only usable neighbors (reference Scene::FilterNeighborViews)."""
+    """Keep only usable neighbors (reference Scene::FilterNeighborViews;
+    angle/area bounds default to the OPTDENSE knobs as in
+    SceneDensify.cpp:279 SelectViews)."""
+    if min_area is None:
+        min_area = opts.min_area
+    if min_angle is None:
+        min_angle = opts.min_angle
+    if max_angle is None:
+        max_angle = opts.max_angle
     min_keep = max(4, max_views * 3 // 4)
     out = list(neighbors)
     for vs in sorted(neighbors, key=lambda v: v.score):

@@ -39,6 +39,14 @@ OMVS_GEOM_FUSED=1 timeout 2400 python scripts/dev_gate_counts.py geomfused \
   > "$OUT/4b_geom_fused.log" 2>&1
 log "   rc=$? ($(grep RESULT "$OUT/4b_geom_fused.log" | tail -1))"
 
+log "4c. staged prop-then-perturb sweep A/B (OMVS_STAGED=1)"
+OMVS_STAGED=1 timeout 2400 python scripts/dev_profile_densify.py \
+  > "$OUT/4c_staged.log" 2>&1
+log "   rc=$? ($(tail -2 "$OUT/4c_staged.log" | head -1))"
+timeout 2400 python scripts/dev_profile_densify.py \
+  > "$OUT/4d_unstaged.log" 2>&1
+log "   rc=$? unstaged ($(tail -2 "$OUT/4d_unstaged.log" | head -1))"
+
 log "5. bench.py (default path)"
 timeout 2400 python bench.py > "$OUT/5_bench.log" 2>&1
 log "   rc=$? ($(tail -1 "$OUT/5_bench.log"))"

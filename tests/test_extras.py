@@ -563,3 +563,56 @@ def test_roi_file_roundtrip(tmp_path):
     np.testing.assert_allclose(scene2.obb_min, scene.obb_min, rtol=1e-12)
     np.testing.assert_allclose(scene2.obb_max, scene.obb_max, rtol=1e-12)
     np.testing.assert_allclose(scene2.obb_rot, scene.obb_rot, rtol=1e-12)
+
+
+def test_filter_depth_strict_knob():
+    """bFilterAdjust=false branch (SceneDensify.cpp:1219-1302): depths kept
+    only with enough strict agreement at the pixel and loose agreement in the
+    4-neighborhood; values never modified, only kept or zeroed."""
+    import numpy as np
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu.ops import filters
+
+    opts = DenseOptions(min_views_filter=2)
+    h, w = 12, 16
+    depth = np.full((h, w), 5.0, np.float32)
+    conf = np.full((h, w), 0.7, np.float32)
+    agree = np.full((h, w), 5.0, np.float32)
+    off = np.full((h, w), 8.0, np.float32)  # disagreeing view
+
+    nd, nc = filters.filter_depth_strict(depth, conf, [(agree, conf)] * 3, opts)
+    assert np.all(nd[2:-2, 2:-2] == 5.0)         # interior fully supported
+    assert np.all(nc[nd > 0] == 0.7)             # conf passed through
+
+    nd2, _ = filters.filter_depth_strict(
+        depth, conf, [(agree, conf), (off, conf), (off, conf)], opts)
+    assert np.all(nd2 == 0)  # 1/3 strict agreement < min_views=2 -> discarded
+
+    # adjust branch would have averaged; strict never modifies a kept depth
+    near = np.full((h, w), 5.0 * 1.003, np.float32)
+    nd3, _ = filters.filter_depth_strict(depth, conf, [(near, conf)] * 3,
+                                         DenseOptions(min_views_filter=2))
+    kept = nd3 > 0
+    assert kept.any() and np.all(nd3[kept] == 5.0)
+
+
+def test_view_filter_knobs_consumed():
+    """min_area/min_angle/max_angle OPTDENSE knobs reach
+    filter_neighbor_views (SceneDensify.cpp:284-288)."""
+    import math
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu.view_selection import ViewScore, filter_neighbor_views
+
+    def mk(i, angle_deg, area=0.5, scale=1.0, score=10.0 ):
+        return ViewScore(id=i, points=100, scale=scale,
+                         angle=math.radians(angle_deg), area=area, score=score - i)
+
+    # 12 neighbors (filtering binds only above max(4, max_views*3/4)=9,
+    # Scene.cpp:956), three beyond a 20-deg max angle
+    neighbors = [mk(i, 10 + i) for i in range(9)] + [
+        mk(9, 50), mk(10, 55), mk(11, 60)]
+    kept_default = filter_neighbor_views(list(neighbors), DenseOptions())
+    assert len(kept_default) == 12  # default max_angle=65 keeps all
+    kept_tight = filter_neighbor_views(list(neighbors),
+                                       DenseOptions(max_angle=20.0))
+    assert {v.id for v in kept_tight} == set(range(9))
