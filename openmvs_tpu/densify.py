@@ -308,9 +308,9 @@ def estimate_depth_map(
             final_exact = it >= n_iters - n_exact
             mode = "exact" if (final_exact or all_exact) else "nn"
             state = patchmatch.sweep(
-                state, data, opts, jax.random.fold_in(key, it + 1), nV, is_geometric,
+                state, data, opts, key, nV, is_geometric,
                 mode=mode, rescore_state=(prev_mode is not None and mode != prev_mode),
-                n_perturb=n_pert, n_prop=8,
+                n_perturb=n_pert, n_prop=8, fold=it + 1,
             )
             prev_mode = mode
         state_np = (state.depth, state.normal)  # stays on device

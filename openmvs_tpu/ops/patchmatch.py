@@ -870,8 +870,16 @@ def sweep(
     mode: str = "nn",
     rescore_state: bool = False,
     n_prop: int = len(PROP_OFFSETS),
+    fold: int = 0,
 ) -> PMState:
     """One full PatchMatch iteration = two checkerboard half-steps.
+
+    fold != 0 derives this iteration's key as fold_in(key, fold) INSIDE the
+    jit (static value, so the fold costs nothing at runtime): an eager
+    per-iteration fold_in pays a device dispatch/tunnel round-trip per sweep
+    on this backend (~15 per view), which this removes.  Values are identical
+    to the eager fold, so results (and sharded-vs-serial parity, which folds
+    in-graph the same way, parallel/sharded.py:352) are unchanged.
 
     Search iterations default to mode="nn" (per-texel nearest-neighbor,
     4x fewer gathers); the final iterations use mode="exact" so surviving
@@ -894,9 +902,9 @@ def sweep(
     split = _os.environ.get("OMVS_GEOM_SPLIT")
     if use_geom and split and (split == "xla" or _use_pallas()):
         return _sweep_geom_split(state, data, opts, key, n_views, n_perturb,
-                                 mode, rescore_state, n_prop)
+                                 mode, rescore_state, n_prop, fold)
     return _sweep_fused(state, data, opts, key, n_views, use_geom, n_perturb,
-                        mode, rescore_state, n_prop)
+                        mode, rescore_state, n_prop, fold)
 
 
 def _geom_all_views(data: PMData, n_views: int, depth_c: jnp.ndarray) -> jnp.ndarray:
@@ -954,9 +962,12 @@ def _geom_xla_jit(data, depth_c, dm, size, Tl, Tm, Tr, Tn):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "opts", "n_perturb", "mode", "parity", "n_prop"))
-def _build_candidates(state, data, opts, key, parity, n_perturb, mode, n_prop):
+    "opts", "n_perturb", "mode", "parity", "n_prop", "fold"))
+def _build_candidates(state, data, opts, key, parity, n_perturb, mode, n_prop,
+                      fold=0):
     """(cd, cn, cok) for one parity half-step (the head of _sweep_parity)."""
+    if fold:
+        key = jax.random.fold_in(key, fold)
     cand_d, cand_n, cand_ok = [], [], []
     for dy, dx in PROP_OFFSETS[:n_prop]:
         d, n, ok = _propagate_candidate(data, state, opts, dy, dx)
@@ -1004,20 +1015,20 @@ def _rescore_with_geom(state, data, opts, n_views, mode, geom):
 
 
 def _sweep_geom_split(state, data, opts, key, n_views, n_perturb, mode,
-                      rescore_state, n_prop):
+                      rescore_state, n_prop, fold=0):
     if rescore_state:
         g = _geom_all_views(data, n_views, state.depth[None])
         state = _rescore_with_geom(state, data, opts, n_views, mode, g)
     for parity in (0, 1):
         cd, cn, cok = _build_candidates(state, data, opts, key, parity,
-                                        n_perturb, mode, n_prop)
+                                        n_perturb, mode, n_prop, fold)
         g = _geom_all_views(data, n_views, cd)
         state = _select_candidates(state, data, opts, cd, cn, cok, g, parity,
                                    n_views, mode)
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop"))
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop", "fold"))
 def _sweep_fused(
     state: PMState,
     data: PMData,
@@ -1029,7 +1040,10 @@ def _sweep_fused(
     mode: str = "nn",
     rescore_state: bool = False,
     n_prop: int = len(PROP_OFFSETS),
+    fold: int = 0,
 ) -> PMState:
+    if fold:
+        key = jax.random.fold_in(key, fold)
     if rescore_state:
         # scores from a different scoring mode are not comparable: rescore
         # the incumbent state with THIS mode before candidates compete
