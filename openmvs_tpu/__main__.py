@@ -183,6 +183,15 @@ def main(argv=None):
     p.add_argument("root")
     p.add_argument("-o", "--output", required=True)
 
+    p = sub.add_parser(
+        "dump", help="inspect .mvs / .dmap / .dimap files "
+        "(scripts/python/MvsReadMVS.py + MvsReadDMAP.py roles)")
+    p.add_argument("inputs", nargs="+",
+                   help=".mvs archive, .dmap depth map, or .dimap disparity")
+    p.add_argument("-o", "--output",
+                   help=".mvs: write the scene as json; .dmap: folder for "
+                   "depth/normal/confidence PNG visualizations")
+
     args = ap.parse_args(argv)
 
     from openmvs_tpu.scene import Scene
@@ -426,6 +435,102 @@ def main(argv=None):
         itf = import_polycam(args.root)
         mvsio.save(itf, args.output)
         print(f"imported {len(itf.images)} views -> {args.output}")
+
+    elif args.cmd == "dump":
+        _dump_files(args.inputs, args.output)
+
+
+def _dump_files(inputs, output=None):
+    """Inspect interchange artifacts (MvsReadMVS.py / MvsReadDMAP.py roles):
+    .mvs -> camera summary lines + optional full-json export; .dmap/.dimap ->
+    stats line + optional PNG visualizations."""
+    import json
+    import os
+
+    import numpy as np
+
+    from openmvs_tpu.io import dmap as dmapio
+    from openmvs_tpu.io import mvs as mvsio
+
+    for path in inputs:
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".mvs":
+            itf = mvsio.load(path)
+            for p_i, plat in enumerate(itf.platforms):
+                for c_i, cam in enumerate(plat.cameras):
+                    m = max(cam.width, cam.height) or 1
+                    print(f"Camera model loaded: platform {p_i}; camera {c_i};"
+                          f" f {cam.K[0][0]/m:.3f}x{cam.K[1][1]/m:.3f};"
+                          f" poses {len(plat.poses)}")
+            print(f"{path}: {len(itf.images)} images, "
+                  f"{len(itf.points)} vertices, "
+                  f"{len(itf.normals)} normals, "
+                  f"{len(itf.colors)} colors")
+            if output:
+                def _tolist(o):
+                    if isinstance(o, np.ndarray):
+                        return o.tolist()
+                    raise TypeError(type(o).__name__)
+                doc = {
+                    "platforms": [{
+                        "name": plat.name,
+                        "cameras": [{
+                            "width": cam.width, "height": cam.height,
+                            "K": np.asarray(cam.K).tolist(),
+                            "R": np.asarray(cam.R).tolist(),
+                            "C": np.asarray(cam.C).tolist(),
+                        } for cam in plat.cameras],
+                        "poses": [{"R": np.asarray(p.R).tolist(),
+                                   "C": np.asarray(p.C).tolist()}
+                                  for p in plat.poses],
+                    } for plat in itf.platforms],
+                    "images": [{
+                        "name": im.name, "platform_id": im.platform_id,
+                        "camera_id": im.camera_id, "pose_id": im.pose_id,
+                        "id": im.id,
+                    } for im in itf.images],
+                    "n_vertices": len(itf.points),
+                }
+                os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
+                with open(output, "w") as f:
+                    json.dump(doc, f, indent=1, default=_tolist)
+                print(f"scene json -> {output}")
+        elif ext in (".dmap", ".dimap"):
+            if ext == ".dimap":
+                from openmvs_tpu.io import dimap as dimapio
+
+                dd = dimapio.load(path)
+                disp = np.asarray(dd.disparity)
+                valid = np.isfinite(disp) & (disp != 0)
+                print(f"{path}: disparity {disp.shape}, "
+                      f"valid {valid.mean():.1%}")
+                continue
+            dd = dmapio.load(path)
+            d = np.asarray(dd.depth)
+            valid = d > 0
+            print(f"{path}: {dd.file_name} depth {d.shape} "
+                  f"range [{dd.depth_min:.3f}, {dd.depth_max:.3f}] "
+                  f"valid {valid.mean():.1%}"
+                  f"{' +normal' if dd.normal is not None else ''}"
+                  f"{' +conf' if dd.conf is not None else ''}")
+            if output:
+                from openmvs_tpu.utils import log as _log
+
+                os.makedirs(output, exist_ok=True)
+                vid = int(dd.view_ids[0]) if len(dd.view_ids) else 0
+                old = os.environ.get("OMVS_VERBOSE")
+                os.environ["OMVS_VERBOSE"] = "3"
+                try:
+                    _log.dump_depth_artifacts(output, vid, d, dd.normal,
+                                              dd.conf)
+                finally:
+                    if old is None:
+                        os.environ.pop("OMVS_VERBOSE", None)
+                    else:
+                        os.environ["OMVS_VERBOSE"] = old
+                print(f"visualizations -> {output}")
+        else:
+            print(f"{path}: unsupported extension {ext}")
 
 
 if __name__ == "__main__":

@@ -564,3 +564,46 @@ def test_cli_transform_align(tmp_path):
     ca = np.stack([im.camera.C for im in a.images])
     cb = np.stack([im.camera.C for im in back.images])
     np.testing.assert_allclose(cb, ca, atol=1e-6)
+
+
+def test_cli_dump(tmp_path, capsys):
+    """dump subcommand (MvsReadMVS.py/MvsReadDMAP.py example roles)."""
+    import json
+
+    import numpy as np
+
+    from openmvs_tpu.__main__ import main
+    from openmvs_tpu.io import dmap as dmapio
+    from openmvs_tpu.io import mvs as mvsio
+
+    # minimal .mvs
+    itf = mvsio.Interface()
+    cam = mvsio.CameraRig(K=np.eye(3) * 100, width=64, height=48)
+    itf.platforms.append(mvsio.Platform(
+        name="p0", cameras=[cam],
+        poses=[mvsio.Pose(R=np.eye(3), C=np.zeros(3))]))
+    im = mvsio.ImageMeta(); im.name = "a.jpg"; im.id = 0
+    itf.images.append(im)
+    scene_p = str(tmp_path / "s.mvs")
+    mvsio.save(itf, scene_p)
+    out_json = str(tmp_path / "s.json")
+    main(["dump", scene_p, "-o", out_json])
+    doc = json.load(open(out_json))
+    assert len(doc["platforms"]) == 1 and len(doc["images"]) == 1
+    assert "Camera model loaded" in capsys.readouterr().out
+
+    # minimal .dmap + PNG export
+    dd = dmapio.DepthData(
+        depth=np.full((16, 16), 2.0, np.float32), image_width=16,
+        image_height=16, depth_min=1.0, depth_max=3.0, file_name="a.jpg",
+        view_ids=np.array([0], np.uint32), K=np.eye(3), R=np.eye(3),
+        C=np.zeros(3),
+        normal=np.tile(np.float32([0, 0, -1]), (16, 16, 1)),
+        conf=np.full((16, 16), 0.5, np.float32))
+    dmap_p = str(tmp_path / "depth0000.dmap")
+    dmapio.save(dd, dmap_p)
+    viz = tmp_path / "viz"
+    main(["dump", dmap_p, "-o", str(viz)])
+    assert (viz / "depth0000.png").exists()
+    assert (viz / "normal0000.png").exists()
+    assert (viz / "conf0000.png").exists()
