@@ -27,6 +27,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _parse_opt_overrides(pairs, cls):
+    """--dense-opt NAME=VALUE overrides, typed from the dataclass field
+    (the reference pipeline forwards per-stage options to its binaries the
+    same way, MvgMvsPipeline.py step args)."""
+    import dataclasses
+
+    out = {}
+    types = {f.name: f.type for f in dataclasses.fields(cls)}
+    for pair in pairs or []:
+        name, _, val = pair.partition("=")
+        name = name.replace("-", "_")
+        if name not in types:
+            raise SystemExit(f"unknown {cls.__name__} field: {name}")
+        t = types[name]
+        if t in ("bool", bool):
+            out[name] = val.lower() in ("1", "true", "yes")
+        elif t in ("int", int):
+            out[name] = int(val)
+        elif t in ("float", float):
+            out[name] = float(val)
+        else:
+            out[name] = val
+    return out
+
+
 def run_stage(name, out_path, fn, resume=True):
     if resume and os.path.exists(out_path):
         print(f"[{name}] exists, skipping: {out_path}")
@@ -55,7 +80,10 @@ def process_scene(scene_path: str, out: str, args) -> None:
         from openmvs_tpu.densify import dense_reconstruction
 
         scene = Scene.load(scene_path)
-        opts = DenseOptions(estimator="sgm" if args.preset == "MVS_SGM" else "patchmatch")
+        kw = dict(estimator="sgm" if args.preset == "MVS_SGM" else "patchmatch")
+        kw.update(_parse_opt_overrides(getattr(args, "dense_opt", None),
+                                       DenseOptions))
+        opts = DenseOptions(**kw)
         pc = dense_reconstruction(scene, opts, save_dmaps_to=out,
                                   mesh=getattr(args, "mesh", None))
         scene.pointcloud = pc
@@ -269,6 +297,9 @@ def init_distributed(args):
             num_processes=args.num_hosts,
             process_id=args.host_id,
         )
+        print(f"jax.distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices",
+              flush=True)
     mesh = None
     if args.mesh_shape:
         import numpy as np
@@ -303,6 +334,11 @@ def main():
                     help="jax.distributed coordinator host:port (multi-host)")
     ap.add_argument("--num-hosts", type=int, default=1)
     ap.add_argument("--host-id", type=int, default=int(os.environ.get("OMVS_HOST_ID", "0")))
+    ap.add_argument("--dense-opt", action="append", default=[],
+                    metavar="NAME=VALUE",
+                    help="override a DenseOptions field for the densify "
+                         "stage (repeatable), e.g. --dense-opt "
+                         "estimation-iters=3")
     ap.add_argument("--mesh-shape", default="",
                     help="local (views x tile) estimation mesh, e.g. 2x4")
     args = ap.parse_args()
@@ -318,7 +354,26 @@ def main():
 
         scene = Scene.load(args.scene)
         chunks = split_scene(scene, max_points=args.split_max_points)
-        paths = export_chunks(scene, chunks, os.path.join(args.out, "chunks"))
+        chunk_dir = os.path.join(args.out, "chunks")
+        if args.num_hosts <= 1 or args.host_id == 0:
+            paths = export_chunks(scene, chunks, chunk_dir)
+            if args.num_hosts > 1:
+                # publish atomically (write + rename): peers poll the marker
+                marker = os.path.join(chunk_dir, ".chunks_ready")
+                with open(marker + ".tmp", "w") as f:
+                    f.write("\n".join(paths))
+                os.replace(marker + ".tmp", marker)
+        else:
+            # chunk splitting is deterministic but only host 0 WRITES the
+            # chunk files (concurrent writers would race); peers wait for
+            # its ready marker, matching per-host resume semantics
+            marker = os.path.join(chunk_dir, ".chunks_ready")
+            deadline = time.time() + 600
+            while not os.path.exists(marker):
+                if time.time() > deadline:
+                    raise RuntimeError("timed out waiting for host 0 chunks")
+                time.sleep(1.0)
+            paths = [p for p in open(marker).read().splitlines() if p]
         # deal chunks round-robin across hosts (per-host resume still applies)
         for ci, p in enumerate(paths):
             if ci % max(args.num_hosts, 1) != args.host_id % max(args.num_hosts, 1):

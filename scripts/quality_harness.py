@@ -24,9 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_gt_scene(n_views=5, W=320, H=240, grid=96, seed=0):
+def build_gt_scene(n_views=5, W=320, H=240, grid=96, seed=0, shape="smooth"):
     """Textured height-field + ring of cameras; returns (scene, gt_mesh,
-    gt_depth_fn) where gt_depth_fn(view_idx) renders the GT depth map."""
+    gt_depth_fn) where gt_depth_fn(view_idx) renders the GT depth map.
+
+    shape="smooth": gentle bumps (the round-1 harness).
+    shape="steps": adds two raised box plateaus (~0.9 and ~1.4 units tall,
+    15-23% of the 6.0 viewing distance) with near-vertical walls — sharp
+    depth discontinuities that OCCLUDE background differently per view,
+    stressing occlusion handling, discontinuity preservation and the
+    speckle/gap post-filters (the failure modes a smooth field never hits)."""
     import cv2
 
     from openmvs_tpu import native
@@ -40,6 +47,16 @@ def build_gt_scene(n_views=5, W=320, H=240, grid=96, seed=0):
     xx, yy = np.meshgrid(g, g)
     zz = (6.0 + 0.6 * np.sin(xx * 1.3) * np.cos(yy * 1.7)
           + 0.3 * np.sin(2.9 * xx + 1.0) * np.sin(2.3 * yy))
+    if shape == "steps":
+        # raised plateaus with steep (sigmoid, ~1.5-cell-wide) walls toward
+        # the cameras (−z); heights chosen to occlude several pixels of
+        # background at the side views
+        def plateau(cx, cy, hx, hy, height, sharp=8.0):
+            sx = 1 / (1 + np.exp(-sharp * (hx - np.abs(xx - cx))))
+            sy = 1 / (1 + np.exp(-sharp * (hy - np.abs(yy - cy))))
+            return height * sx * sy
+        zz = zz - plateau(-1.1, -0.7, 1.0, 0.9, 0.9) \
+                - plateau(1.3, 1.0, 0.8, 1.1, 1.4)
     verts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
     faces = []
     for r in range(grid - 1):
@@ -155,8 +172,10 @@ def main():
     import tempfile
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r02.json"
-    scene, gt_mesh, gt_depth = build_gt_scene()
-    results = {"harness": "synthetic textured height-field, 5 views, 320x240",
+    shape = sys.argv[2] if len(sys.argv) > 2 else "smooth"
+    scene, gt_mesh, gt_depth = build_gt_scene(shape=shape)
+    results = {"harness": f"synthetic textured height-field ({shape}), "
+                          "5 views, 320x240",
                "threshold_note": "F-score threshold 0.06 = ~1% of the 6.0 scene depth"}
     for est in ("patchmatch", "sgm"):
         with tempfile.TemporaryDirectory() as td:
