@@ -35,8 +35,13 @@ def save(dd: DisparityData, path: str):
         np.asarray(dd.Q, "<f8").reshape(16).tofile(f)
         np.array([dd.subpixel_steps], "<i2").tofile(f)
         np.array([w, h], "<i4").tofile(f)
+        # invalid (NaN) disparities persist as NO_DISP = int16 max
+        # (SemiGlobalMatcher.h:68, DECLARE_NO_INDEX = numeric_limits::max)
+        # so the cache round-trips them; a plain cast of NaN is undefined
         q = np.round(dd.disparity * dd.subpixel_steps)
-        np.clip(q, -32768, 32767).astype("<i2").tofile(f)
+        bad = ~np.isfinite(q)
+        q = np.clip(np.where(bad, 0, q), -32768, 32766)
+        np.where(bad, 32767, q).astype("<i2").tofile(f)
         if dd.cost is not None:
             np.asarray(dd.cost, "<u2").tofile(f)
 
@@ -51,8 +56,10 @@ def load(path: str) -> DisparityData:
         disp = np.fromfile(f, "<i2", int(w) * int(h)).reshape(h, w)
         rest = np.fromfile(f, "<u2")
         cost = rest[: h * w].reshape(h, w) if rest.size >= h * w else None
+    d = disp.astype(np.float32) / max(steps, 1)
+    d[disp == 32767] = np.nan  # NO_DISP marker (SemiGlobalMatcher.h:68)
     return DisparityData(
-        disparity=disp.astype(np.float32) / max(steps, 1),
+        disparity=d,
         image_width=int(iw), image_height=int(ih),
         H=H, Q=Q, subpixel_steps=steps, cost=cost,
     )

@@ -39,6 +39,11 @@ OMVS_GEOM_FUSED=1 timeout 2400 python scripts/dev_gate_counts.py geomfused \
   > "$OUT/4b_geom_fused.log" 2>&1
 log "   rc=$? ($(grep RESULT "$OUT/4b_geom_fused.log" | tail -1))"
 
+log "4e. patch-rows 16 A/B (halves the kernel row-blend loop; check counts)"
+OMVS_PATCH_ROWS=16 timeout 2400 python scripts/dev_gate_counts.py rows16 \
+  > "$OUT/4e_rows16.log" 2>&1
+log "   rc=$? ($(grep RESULT "$OUT/4e_rows16.log" | tail -1))"
+
 log "4c. staged prop-then-perturb sweep A/B (OMVS_STAGED=1)"
 OMVS_STAGED=1 timeout 2400 python scripts/dev_profile_densify.py \
   > "$OUT/4c_staged.log" 2>&1

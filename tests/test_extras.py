@@ -68,6 +68,7 @@ def test_dimap_roundtrip(tmp_path):
 
     rng = np.random.default_rng(2)
     disp = np.round(rng.uniform(-64, 64, (120, 160)) * 4) / 4.0
+    disp[5:9, 7:13] = np.nan  # invalid pixels persist as NO_DISP
     dd = dimap.DisparityData(
         disparity=disp.astype(np.float32), image_width=160, image_height=120,
         H=rng.normal(size=(3, 3)), Q=rng.normal(size=(4, 4)),
@@ -76,7 +77,9 @@ def test_dimap_roundtrip(tmp_path):
     p = str(tmp_path / "x.dimap")
     dimap.save(dd, p)
     back = dimap.load(p)
-    np.testing.assert_allclose(back.disparity, disp, atol=1e-6)
+    assert np.isnan(back.disparity[5:9, 7:13]).all()
+    good = np.isfinite(disp)
+    np.testing.assert_allclose(back.disparity[good], disp[good], atol=1e-6)
     np.testing.assert_allclose(back.H, dd.H)
     np.testing.assert_allclose(back.Q, dd.Q)
     np.testing.assert_array_equal(back.cost, dd.cost)
