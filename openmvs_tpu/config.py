@@ -191,6 +191,8 @@ class RefineOptions:
     max_views: int = 8
     decimate: float = 0.0
     close_holes: int = 30
+    # 0 disabled, 1 auto (remesh only alongside a decimation), 2 force
+    # (RefineMesh.cpp:126, SceneRefine.cpp:552)
     ensure_edge_size: int = 1
     max_face_area: int = 32
     scales: int = 3

@@ -242,14 +242,18 @@ def dryrun_refine(devs) -> None:
         KB_R=_np.tile(K, (npair, 1, 1)),
         KB_t=_np.zeros((npair, 3), f32),
         sizeB=_np.tile(_np.asarray([Hh, Ww], f32), (npair, 1)),
+        CA=_np.zeros((npair, 3), f32),
+        reg_scale=_np.ones((npair,), f32),
     )
     pds = jax.device_put(pds, sh)
     adj = jax.device_put(jnp.zeros((nv, 12), jnp.int32) - 1, rep)
     deg = jax.device_put(jnp.zeros(nv, jnp.float32), rep)
+    faces = jax.device_put(
+        jnp.asarray(rng.integers(0, nv, (40, 3)).astype(_np.int32)), rep)
     z = jax.device_put(jnp.zeros((nv, 3), jnp.float32), rep)
     v2, _, _, e = _device_steps(verts, z, z, jnp.int32(0), pds, adj, deg,
-                                jnp.float32(0.01), jnp.float32(0.5),
-                                jnp.float32(npair))
+                                faces, jnp.float32(0.5), jnp.float32(0.1),
+                                jnp.float32(0.2))
     jax.block_until_ready(v2)
     print(f"dryrun refine OK: {npair} pairs sharded over {len(devs)} devices, "
           f"E={float(e):.4f}")

@@ -17,8 +17,10 @@ natively per iteration and its (face id, barycentric) maps are constants
 within the step — the reference's "fixed visibility per iteration"
 assumption.  Stacked pairs are vmapped, and on multi-device systems the
 pair axis shards over a 1-D jax Mesh (GSPMD inserts the gradient
-all-reduce), replacing the reference's EventThreadPool pair queue; 4 Adam
-iterations run on device per host re-rasterization round-trip.
+all-reduce), replacing the reference's EventThreadPool pair queue; 4
+plain-GD iterations (the reference update rule, SceneRefine.cpp:1385-1411,
+with pair-averaged photometric gradients) run on device per host
+re-rasterization round-trip.
 """
 
 from __future__ import annotations
@@ -54,7 +56,17 @@ def subdivide_to_area(mesh: Mesh, scene: Scene, max_area: float, max_rounds: int
     (SubdivideMesh role, SceneRefine.cpp:1291-1307)."""
     v = mesh.vertices.astype(np.float64)
     f = mesh.faces.astype(np.int64)
+    # geometric-outlier faces (edges far beyond the median, i.e. the junk
+    # rim triangles every graph-cut reconstruction carries at the scene
+    # border) are never subdivided: their midpoints would land far off the
+    # surface and refinement cannot recover barely-observed geometry
+    el = np.linalg.norm(v[f[:, 0]] - v[f[:, 1]], axis=1)
+    med_el = float(np.median(el)) if len(el) else 0.0
     for _ in range(max_rounds):
+        emax = np.maximum(
+            np.linalg.norm(v[f[:, 0]] - v[f[:, 1]], axis=1),
+            np.maximum(np.linalg.norm(v[f[:, 1]] - v[f[:, 2]], axis=1),
+                       np.linalg.norm(v[f[:, 2]] - v[f[:, 0]], axis=1)))
         area = np.zeros(len(f))
         for img in scene.images:
             pr = _project_np(img.working_camera(), v)
@@ -66,38 +78,65 @@ def subdivide_to_area(mesh: Mesh, scene: Scene, max_area: float, max_rounds: int
             z = pr[f].min(axis=1)[:, 2]
             ar[z <= 0] = 0
             area = np.maximum(area, ar)
-        split = area > max_area
+        split = (area > max_area) & (emax <= 4.0 * med_el)
         if not split.any():
             break
-        # midpoint subdivision of selected faces (1 -> 4), edge-consistent
-        edges = {}
+        # CONFORMING midpoint subdivision (red-green): every edge of a
+        # marked face gets a midpoint; unmarked faces sharing split edges
+        # are bisected to match (1 split edge -> 2 faces, 2 -> 3), so no
+        # T-vertices/cracks appear.  Cracks are not merely cosmetic here:
+        # their half-edges are single-sided, so _vertex_boundary would flag
+        # interior seam vertices as boundary and DISABLE smoothing exactly
+        # where the photometric term is noisiest.
+        edges: Dict[Tuple[int, int], int] = {}
+        vlist: List[np.ndarray] = []
+        nv0 = len(v)
 
         def midpoint(a, b):
             key = (min(a, b), max(a, b))
             if key not in edges:
-                edges[key] = len(vlist)
+                edges[key] = nv0 + len(vlist)
                 vlist.append(0.5 * (v[a] + v[b]))
             return edges[key]
 
-        vlist: List[np.ndarray] = []
+        for fi in np.nonzero(split)[0]:
+            a, b, c = f[fi]
+            midpoint(a, b), midpoint(b, c), midpoint(c, a)
         new_faces = []
         for fi in range(len(f)):
             a, b, c = f[fi]
             if split[fi]:
-                ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-                nv0 = len(v)
-                new_faces += [
-                    (a, nv0 + ab, nv0 + ca), (b, nv0 + bc, nv0 + ab),
-                    (c, nv0 + ca, nv0 + bc), (nv0 + ab, nv0 + bc, nv0 + ca),
-                ]
-            else:
-                new_faces.append((a, b, c))
+                ab = edges[(min(a, b), max(a, b))]
+                bc = edges[(min(b, c), max(b, c))]
+                ca = edges[(min(c, a), max(c, a))]
+                new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc),
+                              (ab, bc, ca)]
+                continue
+            vs = (a, b, c)
+            # ms[i] = midpoint of the edge OPPOSITE vs[i], if split
+            ms = (edges.get((min(b, c), max(b, c))),
+                  edges.get((min(c, a), max(c, a))),
+                  edges.get((min(a, b), max(a, b))))
+            k = sum(m is not None for m in ms)
+            if k == 0:
+                new_faces.append(vs)
+            elif k == 3:
+                new_faces += [(a, ms[2], ms[1]), (b, ms[0], ms[2]),
+                              (c, ms[1], ms[0]), (ms[2], ms[0], ms[1])]
+            elif k == 1:
+                i = next(j for j in range(3) if ms[j] is not None)
+                A, B, C = vs[i], vs[(i + 1) % 3], vs[(i + 2) % 3]
+                m = ms[i]
+                new_faces += [(A, B, m), (A, m, C)]
+            else:  # k == 2: unsplit edge is opposite vs[i]
+                i = next(j for j in range(3) if ms[j] is None)
+                A, B, C = vs[i], vs[(i + 1) % 3], vs[(i + 2) % 3]
+                mAB = ms[(i + 2) % 3]
+                mCA = ms[(i + 1) % 3]
+                new_faces += [(A, mAB, mCA), (mAB, B, C), (mAB, C, mCA)]
         if vlist:
             v = np.concatenate([v, np.asarray(vlist)], axis=0)
         f = np.asarray(new_faces, np.int64)
-        # crack fix: neighboring unsplit faces keep their corner — acceptable
-        # for refinement (gradients re-close cracks); the final clean pass
-        # removes leftover non-manifoldness.
     return Mesh(vertices=v.astype(np.float32), faces=f.astype(np.int32))
 
 
@@ -179,6 +218,11 @@ class PairData(NamedTuple):
     KB_R: jnp.ndarray
     KB_t: jnp.ndarray
     sizeB: jnp.ndarray     # (2,) valid (Hb, Wb) of imgB (imgB may be padded)
+    CA: jnp.ndarray        # (3,) camera-A center (world) for the grazing cull
+    reg_scale: jnp.ndarray  # () avgDepthA*avgDepthB/(fA*fB): pixel-footprint
+    #                         world area (the reference RegularizationScale,
+    #                         SceneRefine.cpp:1169) converting per-pixel
+    #                         gradient density into world units
 
 
 def _bilinear(img, x, y):
@@ -241,6 +285,16 @@ def _warp_coords(verts: jnp.ndarray, pd: PairData):
     xb = XB[..., 0] * izb
     yb = XB[..., 1] * izb
     ok = ok & (xb >= 1) & (xb <= pd.sizeB[1] - 2) & (yb >= 1) & (yb <= pd.sizeB[0] - 2)
+    # grazing-angle cull (SceneRefine.cpp:926-929, orientation-agnostic):
+    # pixels whose face is nearly edge-on to the A-ray carry an unstable
+    # projection Jacobian and mostly gradient noise
+    e1 = P[..., 1, :] - P[..., 0, :]
+    e2 = P[..., 2, :] - P[..., 0, :]
+    N = jnp.cross(e1, e2)
+    dA = X - pd.CA
+    nd = jnp.abs(jnp.sum(N * dA, axis=-1))
+    nrm = jnp.sqrt(jnp.sum(N * N, axis=-1) * jnp.sum(dA * dA, axis=-1)) + 1e-20
+    ok = ok & (nd > 0.1 * nrm)
     return xb, yb, izb, ok
 
 
@@ -268,7 +322,12 @@ def _box_zncc_energy(A: jnp.ndarray, B: jnp.ndarray, M: jnp.ndarray,
     vA = box(A * A * M) / n - mA * mA
     vB = box(B * B * M) / n - mB * mB
     ncc = cAB * jax.lax.rsqrt(jnp.maximum(vA * vB, 1e-12))
-    score = jnp.where(M > 0, 1.0 - jnp.clip(ncc, -1.0, 1.0), 0.0)
+    # texture-reliability weight (SceneRefine.cpp:890-893): low-variance
+    # (textureless) windows contribute ~zero score AND ~zero gradient,
+    # instead of ZNCC noise; treated as a constant weight like the reference
+    minv = jax.lax.stop_gradient(jnp.minimum(vA, vB))
+    rf = minv / (minv + 0.0015)
+    score = jnp.where(M > 0, rf * (1.0 - jnp.clip(ncc, -1.0, 1.0)), 0.0)
     return jnp.sum(score) / jnp.maximum(jnp.sum(M), 1.0)
 
 
@@ -317,53 +376,93 @@ def _pair_energy_grad_manual(verts: jnp.ndarray, pd: PairData, half: int = 3):
     g = jnp.zeros_like(verts).at[pd.face_vid.reshape(-1)].add(
         contrib.reshape(-1, 3)
     )
-    return e, g
+    # per-vertex observation support: did any valid pixel of this pair touch
+    # the vertex?  (the reference's per-pair _photoGradNorm>0 test,
+    # SceneRefine.cpp:1174-1188, used to average gradients over pairs)
+    touched = jnp.zeros(verts.shape[0], jnp.float32).at[
+        pd.face_vid.reshape(-1)
+    ].add(jnp.broadcast_to(ok[..., None], pd.face_vid.shape)
+          .reshape(-1).astype(jnp.float32))
+    sup = (touched > 0).astype(jnp.float32)
+    n_valid = jnp.sum(ok.astype(jnp.float32))
+    return e, g, sup, n_valid
 
 
 @jax.jit
-def _device_steps(v, m, vv2, it0, pds, adj, deg, step0, reg_w, n_pairs=None,
-                  boundary=None, ratio=None):
-    """4 refinement iterations on device (energy+grad+Adam), between host
-    re-rasterizations.  Module-level with every constant as an argument so
-    the compiled module is shape-keyed only (persistent-cache friendly).
-    n_pairs: true pair count when the pair axis is padded for sharding.
+def _device_steps(v, m, vv2, it0, pds, adj, deg, faces, step0, med_edge,
+                  reg_w, boundary=None, ratio=None):
+    """4 refinement iterations on device between host re-rasterizations.
+    Module-level with every constant as an argument so the compiled module is
+    shape-keyed only (persistent-cache friendly).  m/vv2 are unused legacy
+    optimizer-state slots kept for caller compatibility.
 
-    boundary/ratio: the reference's two-ring regularizer — descent direction
-    rigidity*g1 - elasticity*g2 with rigidity=(1-ratio)*w, elasticity=
-    ratio*w (SceneRefine.cpp:642-656); ratio>=1 uses only the elastic term.
-    boundary=None falls back to the round-1 first-order energy."""
-    b1, b2 = 0.9, 0.999
-    if n_pairs is None:
-        n_pairs = pds.imgA.shape[0]
-
-    def energy_grad(v):
-        es, gs_pairs = jax.vmap(_pair_energy_grad_manual, in_axes=(None, 0))(v, pds)
-        w = reg_w * n_pairs
-        if boundary is None:
-            es2, gs2 = _smooth_energy_grad_manual(v, adj, deg)
-            return jnp.sum(es) + w * es2, jnp.sum(gs_pairs, axis=0) + w * gs2
-        g1, g2, score = _smooth_grads_tworing(v, adj, deg, boundary)
-        nv = v.shape[0]
-        scale = w * 2.0 / nv          # the round-1 energy-gradient scale
-        r = 0.9 if ratio is None else ratio
-        g_reg = jnp.where(
-            r >= 1.0, scale * g2,
-            scale * (r * g2 - (1.0 - r) * g1))
-        return jnp.sum(es) + w * score / nv, jnp.sum(gs_pairs, axis=0) + g_reg
+    The update mirrors the reference's plain decayed gradient descent
+    (SceneRefine.cpp:1385-1411), NOT Adam: per-coordinate normalization lets
+    weakly-observed vertices take full-size steps from gradient noise while
+    capping the smoothness restoring force at the same magnitude — measured
+    on the synthetic quality harness as a random walk of the poorly-observed
+    periphery (rms-to-GT 0.03 -> 0.12+).  Faithful structure instead:
+      photo[v] = mean over supporting pairs (photoGrad/photoGradNorm,
+                 SceneRefine.cpp:644-654) of the pair's exact energy gradient
+                 in WORLD units: mean-energy grad * n_valid_pixels *
+                 reg_scale (pixel-footprint world area, the reference
+                 RegularizationScale) — so gradients VANISH as the surface
+                 converges (no renormalization that would re-amplify noise);
+      projected onto the vertex normal (the reference moves vertices along
+                 normals only, N*sg, SceneRefine.cpp:944-951 — the ZNCC
+                 aperture problem makes tangential components mostly noise);
+      capped    per vertex at 0.3*med_edge/step0 so one iteration never
+                 moves a vertex more than a fraction of the local edge
+                 (trust region: caps, never amplifies);
+      reg      = elasticity*g2 - rigidity*g1 with elasticity=ratio*w,
+                 rigidity=(1-ratio)*w (SceneRefine.cpp:642-656);
+      v       -= 0.98^it * step0 * (photo + reg)   with step0 = the
+                 reference gstep (0.5 at the default gradient_step=45.05).
+    boundary/ratio default to no-boundary / 0.9 when not given."""
+    del m, vv2
 
     def body(i, carry):
-        v, m, vv2, _ = carry
+        v, _ = carry
         it = (it0 + i).astype(jnp.float32)
-        e, g = energy_grad(v)
-        m = b1 * m + (1 - b1) * g
-        vv2 = b2 * vv2 + (1 - b2) * g * g
-        mh = m / (1 - b1 ** (it + 1))
-        vh = vv2 / (1 - b2 ** (it + 1))
-        denom = jnp.sqrt(vh) + jnp.sqrt(jnp.max(vh)) * 1e-3 + 1e-12
-        v = v - step0 * (0.98 ** it) * mh / denom
-        return (v, m, vv2, e)
+        e, g = _energy_grad(v, pds, adj, deg, faces, step0, med_edge,
+                            reg_w, boundary, ratio)
+        v = v - (0.98 ** it) * step0 * g
+        return (v, e)
 
-    return jax.lax.fori_loop(0, 4, body, (v, m, vv2, jnp.float32(0.0)))
+    v, e = jax.lax.fori_loop(0, 4, body, (v, jnp.float32(0.0)))
+    return v, jnp.zeros_like(v), jnp.zeros_like(v), e
+
+
+def _energy_grad(v, pds, adj, deg, faces, step0, med_edge, reg_w,
+                 boundary=None, ratio=None):
+    """(energy, descent direction) for one refinement iteration — the
+    computation described in _device_steps' docstring."""
+    nv = v.shape[0]
+    es, gs_pairs, sups, n_valids = jax.vmap(
+        _pair_energy_grad_manual, in_axes=(None, 0))(v, pds)
+    # world-unit per-pair gradients (mean-energy grad -> pixel sum ->
+    # world area), then the reference's average over supporting pairs
+    w_pair = (n_valids * pds.reg_scale)[:, None, None]
+    n_sup = jnp.sum(sups, axis=0)                           # (nv,)
+    photo = (jnp.sum(gs_pairs * w_pair, axis=0)
+             / jnp.maximum(n_sup, 1.0)[:, None])
+    # area-weighted vertex normals; photometric movement along normals only
+    fv = v[faces]                                           # (nf, 3, 3)
+    fn = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    vn = jnp.zeros_like(v).at[faces.reshape(-1)].add(
+        jnp.repeat(fn, 3, axis=0))
+    vn = vn / (jnp.linalg.norm(vn, axis=-1, keepdims=True) + 1e-20)
+    photo = jnp.sum(photo * vn, axis=-1, keepdims=True) * vn
+    cap = 0.3 * med_edge / step0
+    pn = jnp.linalg.norm(photo, axis=-1, keepdims=True)
+    photo = photo * (cap / jnp.maximum(pn, cap))
+    bnd = boundary if boundary is not None else jnp.zeros(nv, bool)
+    g1, g2, score = _smooth_grads_tworing(v, adj, deg, bnd)
+    r = 0.9 if ratio is None else ratio
+    g_reg = jnp.where(r >= 1.0, reg_w * g2,
+                      reg_w * (r * g2 - (1.0 - r) * g1))
+    e = jnp.sum(es) + reg_w * score / nv
+    return e, photo + g_reg
 
 
 def _smooth_energy_grad_manual(verts: jnp.ndarray, adj: jnp.ndarray,
@@ -445,25 +544,30 @@ def refine_mesh(
     if not scene.images[0].meta.view_scores:
         select_views_for_scene(scene, DenseOptions())
 
-    # pre-refinement mesh conditioning (SceneRefine.cpp:1291-1307 /
-    # RefineMesh app): optional decimation, hole closing, isotropic remesh
-    if 0 < opts.decimate < 1 or opts.close_holes > 0:
+    # pre-refinement mesh conditioning (MeshRefine::SubdivideMesh,
+    # SceneRefine.cpp:480-556): decimation + hole closing only when a
+    # decimation was requested; ensure_edge_size follows the reference's
+    # tri-state (0 disabled, 1 AUTO = only alongside a decimation, 2 force,
+    # RefineMesh.cpp:126 + SceneRefine.cpp:552).  Running the remesher
+    # unconditionally is actively harmful: it also densifies the junk
+    # long-edge rim faces every real reconstruction carries, multiplying
+    # off-surface vertices before refinement even starts.
+    decimating = 0 < opts.decimate < 1
+    if decimating:
         from openmvs_tpu import mesh_ops
 
         mesh = mesh_ops.clean_mesh(
-            mesh,
-            decimate=opts.decimate if 0 < opts.decimate < 1 else 1.0,
+            mesh, decimate=opts.decimate,
             close_holes_size=opts.close_holes,
             remove_spurious_percent=0.0, do_remove_spikes=False,
             smooth_iters=0, last_clean=False)
-    if opts.ensure_edge_size > 0:
+    if (opts.ensure_edge_size == 1 and decimating) or opts.ensure_edge_size >= 2:
         from openmvs_tpu import mesh_ops
 
         e = mesh.vertices[mesh.faces[:, 0]] - mesh.vertices[mesh.faces[:, 1]]
         med = float(np.median(np.linalg.norm(e, axis=1)))
         # cap edges at ~2x the median (EnsureEdgeSize default policy)
-        mesh = mesh_ops.ensure_edge_size(mesh, 2.0 * med,
-                                         max_rounds=opts.ensure_edge_size)
+        mesh = mesh_ops.ensure_edge_size(mesh, 2.0 * med, max_rounds=2)
 
     # select pairs: each view with its best-scoring neighbor(s);
     # alternative_pair (nAlternatePair): 0 both directions, 1 alternate by
@@ -520,12 +624,14 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
     deg_j = jnp.asarray(deg, jnp.float32)
     bnd_j = jnp.asarray(_vertex_boundary(faces, len(mesh.vertices)))
 
-    # step scaled to the local geometry: a fraction of the median edge
-    # length (movement per iteration stays sub-facet, keeping the fixed
-    # rasterization assumption valid)
+    # median edge length: the trust-region unit (movement per iteration is
+    # capped at a fraction of it, keeping the fixed rasterization valid)
     e = mesh.vertices[faces[:, 0]] - mesh.vertices[faces[:, 1]]
     med_edge = float(np.median(np.linalg.norm(e, axis=1)))
-    step0 = med_edge * 0.08 * opts.gradient_step / 45.05
+    # reference step parse (SceneRefine.cpp:1355-1358): the fractional part
+    # of gradient_step scaled by 10 is the GD step (45.05 -> 0.5)
+    gs = float(opts.gradient_step)
+    step0 = (gs - int(gs)) * 10.0 if gs > 1 else (gs if gs > 0 else 0.5)
 
     # gradients are hand-derived (see _pair_energy_grad_manual) so the whole
     # step runs on the TPU: autodiff only touches the gather-free ZNCC tail.
@@ -560,10 +666,18 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
     def raster_pair_np(a, b, v_np):
         camA, camB = cams[a], cams[b]
         H, W = grays[a].shape
-        pr = _project_np(camA, v_np.astype(np.float64))
-        fid, _, bar = native.rasterize(pr, faces, H, W)
+        prA = _project_np(camA, v_np.astype(np.float64))
+        fid, _, bar = native.rasterize(prA, faces, H, W)
         mask = fid >= 0
         fv = faces[np.where(mask, fid, 0)]
+        # RegularizationScale (SceneRefine.cpp:1169): mean viewing depth of
+        # the surface in each view over the focal lengths — the world area
+        # of one pixel footprint
+        zA = prA[:, 2]
+        avgA = float(zA[zA > 0].mean()) if (zA > 0).any() else 1.0
+        zB = _project_np(camB, v_np.astype(np.float64))[:, 2]
+        avgB = float(zB[zB > 0].mean()) if (zB > 0).any() else 1.0
+        reg_scale = avgA * avgB / float(camA.K[0, 0] * camB.K[0, 0])
         def pad2(x, fill=0):
             if x.shape[0] == Hm_ and x.shape[1] == Wm_:
                 return x
@@ -576,13 +690,16 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
                 (-(camA.K @ camA.R) @ camA.C).astype(np.float32),
                 (camB.K @ camB.R).astype(np.float32),
                 (-(camB.K @ camB.R) @ camB.C).astype(np.float32),
-                np.asarray(grays[b].shape, np.float32))
+                np.asarray(grays[b].shape, np.float32),
+                camA.C.astype(np.float32),
+                np.float32(reg_scale))
 
     def build_pds_stacked(v_np):
         # stays numpy: the jit call uploads the whole pytree in one transfer
         # (separate jnp.asarray calls each pay a tunnel round-trip)
         cols = [raster_pair_np(a, b, v_np) for (a, b) in pairs]
-        return PairData(*[np.stack([c[k] for c in cols]) for k in range(10)])
+        return PairData(*[np.stack([c[k] for c in cols])
+                          for k in range(len(PairData._fields))])
 
     v_np = np.asarray(verts)
     iters = max(4, int(opts.iters * (0.5 if scale < 1.0 else 1.0)))
@@ -617,9 +734,10 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
         v_d = jnp.asarray(v_np)
         m_d = jnp.zeros_like(v_d)
         vv2_d = jnp.zeros_like(v_d)
+        faces_j = jnp.asarray(faces)
         if shard_pairs is not None:
-            v_d, m_d, vv2_d, adj_j, deg_j = jax.device_put(
-                (v_d, m_d, vv2_d, adj_j, deg_j), replicate)
+            v_d, m_d, vv2_d, adj_j, deg_j, faces_j = jax.device_put(
+                (v_d, m_d, vv2_d, adj_j, deg_j, faces_j), replicate)
         # iteration schedule (SceneRefine.cpp:1362-1370): the elastic-only
         # regularizer takes over after 70% of the iterations; planar-vertex
         # pruning runs periodically from 40% when planar_vertex_ratio > 0
@@ -632,9 +750,10 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
             ratio_it = (opts.rigidity_elasticity_ratio
                         if it <= iter_stop else 1.0)
             v_d, m_d, vv2_d, e = device_steps(
-                v_d, m_d, vv2_d, jnp.int32(it), pds, adj_j, deg_j,
-                jnp.float32(step0), jnp.float32(opts.regularity_weight),
-                jnp.float32(len(pairs)), bnd_j, jnp.float32(ratio_it))
+                v_d, m_d, vv2_d, jnp.int32(it), pds, adj_j, deg_j, faces_j,
+                jnp.float32(step0), jnp.float32(med_edge),
+                jnp.float32(opts.regularity_weight), bnd_j,
+                jnp.float32(ratio_it))
             if it % 8 == 0:
                 log.info("  iter %d: E=%.5f", it, float(e))
             if it >= iter_start and iters - it > 5:
@@ -663,11 +782,12 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
                         adj, deg = _vertex_adjacency(faces, len(v_now))
                         adj_j = jnp.asarray(adj)
                         deg_j = jnp.asarray(deg, jnp.float32)
+                        faces_j = jnp.asarray(faces)
                         bnd_j = jnp.asarray(_vertex_boundary(faces, len(v_now)))
                         boundary_np = np.asarray(bnd_j)
                         if shard_pairs is not None:
-                            adj_j, deg_j, bnd_j = jax.device_put(
-                                (adj_j, deg_j, bnd_j), replicate)
+                            adj_j, deg_j, faces_j, bnd_j = jax.device_put(
+                                (adj_j, deg_j, faces_j, bnd_j), replicate)
                         v_d = jnp.asarray(v_now)
                         m_d = jnp.zeros_like(v_d)
                         vv2_d = jnp.zeros_like(v_d)

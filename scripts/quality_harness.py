@@ -165,6 +165,71 @@ def run_estimator(scene, gt_depth, gt_mesh, estimator, tmpdir):
         "wall_s": round(wall, 1),
         "depth_vs_gt": depth_metrics,
         "cloud_fscore@0.06": {k: round(float(v), 4) for k, v in fs.items()},
+    }, pc
+
+
+def run_mesh_refine(scene, gt_mesh, pc):
+    """Mesh + photometric refine leg: does RefineMesh measurably move the
+    reconstructed surface toward GT (SceneRefine.cpp role)?  Metric =
+    vertical distance to the ANALYTIC GT height field (the GT surface is
+    z = F(x, y) on a regular grid) — distance to GT *vertex samples* has a
+    ~half-grid-spacing floor that buries sub-0.03 surface movement.
+    Vertices outside the height-field domain (rim junk every real
+    reconstruction carries) are excluded and counted separately."""
+    from scipy.interpolate import RegularGridInterpolator
+
+    from openmvs_tpu.config import MeshOptions, RefineOptions
+    from openmvs_tpu.reconstruct import reconstruct_mesh
+    from openmvs_tpu.refine import refine_mesh
+    from openmvs_tpu import mesh_ops
+
+    g = int(round(np.sqrt(len(gt_mesh.vertices))))
+    gx = gt_mesh.vertices[:g, 0]
+    gy = gt_mesh.vertices[::g, 1]
+    gz = gt_mesh.vertices[:, 2].reshape(g, g)
+    interp = RegularGridInterpolator((gy, gx), gz, bounds_error=False,
+                                     fill_value=np.nan)
+
+    def dist_stats(m):
+        v = np.asarray(m.vertices)
+        zgt = interp(v[:, [1, 0]])
+        inside = np.isfinite(zgt)
+        d = np.abs(v[inside, 2] - zgt[inside])
+        return {"mean": round(float(d.mean()), 5),
+                "rms": round(float(np.sqrt((d ** 2).mean())), 5),
+                "p90": round(float(np.percentile(d, 90)), 5),
+                "outside_frac": round(float(1 - inside.mean()), 4)}
+
+    sc = scene
+    sc.pointcloud = pc
+    t0 = time.time()
+    mesh = reconstruct_mesh(sc, MeshOptions())
+    mesh = mesh_ops.clean_mesh(mesh, decimate=0.7)
+    before = dist_stats(mesh)
+    rm = refine_mesh(sc, mesh, RefineOptions(scales=2, iters=16))
+    after = dist_stats(rm)
+    # noise-recovery leg: photometric refinement must pull a z-perturbed
+    # surface back toward GT (the convergence-power signal; the leg above
+    # only guards that an already-converged mesh is not damaged)
+    from openmvs_tpu.scene import Mesh as _Mesh
+
+    rng = np.random.default_rng(11)
+    nz = mesh.vertices.copy()
+    nz[:, 2] += rng.normal(0, 0.05, len(nz)).astype(np.float32)
+    noisy_before = dist_stats(_Mesh(vertices=nz, faces=mesh.faces))
+    rn = refine_mesh(sc, _Mesh(vertices=nz, faces=mesh.faces),
+                     RefineOptions(scales=2, iters=24))
+    noisy_after = dist_stats(rn)
+    return {
+        "faces": len(mesh.faces),
+        "wall_s": round(time.time() - t0, 1),
+        "vertex_to_gt_before": before,
+        "vertex_to_gt_after": after,
+        "improved": bool(after["rms"] <= before["rms"] * 1.02),
+        "noise_recovery_before": noisy_before,
+        "noise_recovery_after": noisy_after,
+        "noise_recovered": bool(
+            noisy_after["rms"] < noisy_before["rms"] * 0.8),
     }
 
 
@@ -184,7 +249,11 @@ def main():
 
             sc = copy.deepcopy(scene)
             try:
-                results[est] = run_estimator(sc, gt_depth, gt_mesh, est, td)
+                results[est], pc = run_estimator(sc, gt_depth, gt_mesh, est, td)
+                if est == "patchmatch":
+                    results["mesh_refine"] = run_mesh_refine(sc, gt_mesh, pc)
+                    print("mesh_refine ->",
+                          json.dumps(results["mesh_refine"]), flush=True)
             except Exception as e:  # record failures honestly
                 results[est] = {"error": repr(e)[:300]}
             print(est, "->", json.dumps(results[est])[:240], flush=True)

@@ -1,0 +1,102 @@
+"""End-to-end refinement behavior: a z-perturbed ground-truth surface must
+move back TOWARD the true surface, and poorly-observed border vertices must
+not random-walk away (the reference's pair-averaged photometric gradient +
+plain decayed GD, SceneRefine.cpp:644-654,1385-1411 — the failure mode this
+guards against is an Adam-style per-coordinate update amplifying gradient
+noise at low-support vertices)."""
+
+import numpy as np
+import pytest
+
+
+def _build_scene(grid=22, W=160, H=120, n_views=3, seed=0):
+    import cv2
+
+    from openmvs_tpu import native
+    from openmvs_tpu.io import mvs as mvsio
+    from openmvs_tpu.geometry.camera import Camera
+    from openmvs_tpu.scene import Mesh, PointCloud, Scene, SceneImage
+
+    rng = np.random.default_rng(seed)
+    g = np.linspace(-3, 3, grid)
+    xx, yy = np.meshgrid(g, g)
+    zz = (6.0 + 0.5 * np.sin(xx * 1.1) * np.cos(yy * 1.4)
+          + 0.25 * np.sin(2.3 * xx) * np.sin(1.9 * yy))
+    verts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+    faces = []
+    for r in range(grid - 1):
+        for c in range(grid - 1):
+            i = r * grid + c
+            faces.append((i, i + 1, i + grid))
+            faces.append((i + 1, i + grid + 1, i + grid))
+    faces = np.asarray(faces, np.int32)
+    gt_mesh = Mesh(vertices=verts.astype(np.float32), faces=faces)
+
+    def texture(x, y):
+        t = (0.5 + 0.2 * np.sin(6.1 * x) * np.cos(5.3 * y)
+             + 0.15 * np.sin(11.7 * x + 2.0) + 0.12 * np.cos(9.3 * y + 1.0))
+        return np.clip(t, 0.02, 0.98)
+
+    K = np.array([[0.9 * W, 0, W / 2 - 0.5], [0, 0.9 * W, H / 2 - 0.5],
+                  [0, 0, 1.0]])
+    scene = Scene()
+    for i in range(n_views):
+        C = np.array([-1.0 + 1.0 * i, 0.1 * (i % 2), 0.0])
+        cam = Camera(K, np.eye(3), C)
+        meta = mvsio.ImageMeta()
+        meta.id = i
+        meta.name = f"gt{i}.png"
+        meta.platform_id = i
+        scene.platforms.append(mvsio.Platform(
+            name=f"p{i}", cameras=[mvsio.CameraRig(K=K, width=W, height=H)],
+            poses=[mvsio.Pose(R=np.eye(3), C=C)]))
+        img = SceneImage(meta=meta, camera=cam, width=W, height=H)
+        Xc = (verts - cam.C) @ cam.R.T
+        uv = Xc @ cam.K.T
+        z = np.maximum(uv[:, 2], 1e-12)
+        pr = np.stack([uv[:, 0] / z, uv[:, 1] / z, Xc[:, 2]], -1)
+        fid, _, bary = native.rasterize(pr, faces, H, W)
+        hit = fid >= 0
+        fv = faces[np.where(hit, fid, 0)]
+        P = (verts[fv] * bary[..., None]).sum(axis=2)
+        gray = np.where(hit, texture(P[..., 0], P[..., 1]), 0.0)
+        img.gray = cv2.GaussianBlur(gray.astype(np.float32), (0, 0), 0.5)
+        scene.images.append(img)
+
+    sel = rng.choice(len(verts), 200, replace=False)
+    scene.pointcloud = PointCloud(
+        points=verts[sel].astype(np.float32),
+        views=[np.arange(n_views, dtype=np.uint32)] * len(sel),
+        weights=[np.ones(n_views, np.float32)] * len(sel))
+    return scene, gt_mesh
+
+
+def test_refine_converges_without_periphery_blowup():
+    from scipy.spatial import cKDTree
+
+    from openmvs_tpu.config import RefineOptions
+    from openmvs_tpu.refine import refine_mesh
+    from openmvs_tpu.scene import Mesh
+
+    scene, gt = _build_scene()
+    rng = np.random.default_rng(7)
+    v0 = gt.vertices.copy()
+    v0[:, 2] += rng.normal(0, 0.06, len(v0)).astype(np.float32)
+    noisy = Mesh(vertices=v0, faces=gt.faces)
+
+    tree = cKDTree(gt.vertices)
+
+    def stats(m):
+        d, _ = tree.query(np.asarray(m.vertices), k=1)
+        return float(np.sqrt((d ** 2).mean())), float(d.max())
+
+    rms0, _ = stats(noisy)
+    opts = RefineOptions(scales=1, iters=16, max_face_area=10_000,
+                         decimate=0.0, close_holes=0, ensure_edge_size=0)
+    refined = refine_mesh(scene, noisy, opts)
+    rms1, worst1 = stats(refined)
+    # photometric descent must recover a meaningful part of the noise
+    assert rms1 < rms0 * 0.85, (rms0, rms1)
+    # and no vertex may shoot away from the surface (periphery random-walk):
+    # the initial noise is ~0.06 rms, the GT grid step is 6/21=0.29
+    assert worst1 < 0.5, worst1
