@@ -430,6 +430,18 @@ def isotropic_remesh(mesh: Mesh, target_edge: float, iters: int = 4,
     return Mesh(vertices=v.astype(np.float32), faces=f.astype(np.int32))
 
 
+def compute_volume(mesh: Mesh) -> float:
+    """Signed mesh volume by the divergence theorem (Mesh::ComputeVolume
+    role): sum of signed tetrahedra volumes det(a,b,c)/6 over faces.  Exact
+    for watertight meshes; an open ground-contact boundary closes implicitly
+    against the origin plane (Scene::ComputeLeveledVolume usage)."""
+    v = mesh.vertices.astype(np.float64)
+    a = v[mesh.faces[:, 0]]
+    b = v[mesh.faces[:, 1]]
+    c = v[mesh.faces[:, 2]]
+    return abs(float(np.einsum("ij,ij->i", a, np.cross(b, c)).sum()) / 6.0)
+
+
 def ensure_edge_size(mesh: Mesh, max_edge: float, max_rounds: int = 4) -> Mesh:
     """Bound the longest edge at max_edge via isotropic remeshing
     (EnsureEdgeSize role, Mesh.h:185)."""
