@@ -46,6 +46,7 @@ _HTML = """<!DOCTYPE html>
  <b>openmvs_tpu viewer</b><br>
  <label><input type="checkbox" id="showPts" checked> points (PTS_N)</label>
  <label><input type="checkbox" id="showMesh" checked> mesh (MESH_N faces)</label>
+ <label id="texRow" style="display:none"><input type="checkbox" id="showTex" checked> textured</label>
  <label><input type="checkbox" id="showCams" checked> cameras (CAM_N)</label>
  <label>point size <input type="range" id="psize" min="1" max="6" value="2"></label>
  <button id="shot">screenshot</button>
@@ -81,6 +82,12 @@ const P = prog(VS, FS);
 const loc={aP:gl.getAttribLocation(P,'aP'),aC:gl.getAttribLocation(P,'aC'),
  uMVP:gl.getUniformLocation(P,'uMVP'),uPS:gl.getUniformLocation(P,'uPS'),
  uA:gl.getUniformLocation(P,'uA')};
+// textured-mesh program (atlas pages stacked vertically on export)
+const VST=`attribute vec3 aP;attribute vec2 aT;uniform mat4 uMVP;
+ varying vec2 vT;void main(){gl_Position=uMVP*vec4(aP,1.0);vT=aT;}`;
+const FST=`precision mediump float;varying vec2 vT;uniform sampler2D uTex;
+ void main(){gl_FragColor=vec4(texture2D(uTex,vT).rgb,1.0);}`;
+let PT=null, locT=null, texObj=null, texPosBuf=null, texUVBuf=null, texN=0;
 
 function buf(data, target){const b=gl.createBuffer();
  gl.bindBuffer(target||gl.ARRAY_BUFFER,b);
@@ -99,6 +106,24 @@ if(meshV){meshBuf=buf(meshV);meshIdx=buf(meshI,gl.ELEMENT_ARRAY_BUFFER);
  for(let i=0;i<meshV.length;i+=3){const t=(meshV[i+1]-mn)/(mx-mn+1e-9);
   mc[i]=0.4+0.4*t;mc[i+1]=0.5;mc[i+2]=0.8-0.4*t;}
  meshColBuf=buf(mc);}
+if(DATA.tex_png && DATA.tex_v){
+ PT=prog(VST,FST);
+ locT={aP:gl.getAttribLocation(PT,'aP'),aT:gl.getAttribLocation(PT,'aT'),
+  uMVP:gl.getUniformLocation(PT,'uMVP'),uTex:gl.getUniformLocation(PT,'uTex')};
+ texPosBuf=buf(decode(DATA.tex_v,Float32Array));
+ const uv=decode(DATA.tex_uv,Float32Array);
+ texUVBuf=buf(uv);texN=uv.length/2;
+ texObj=gl.createTexture();
+ const im=new Image();
+ im.onload=()=>{gl.bindTexture(gl.TEXTURE_2D,texObj);
+  gl.texImage2D(gl.TEXTURE_2D,0,gl.RGB,gl.RGB,gl.UNSIGNED_BYTE,im);
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_MIN_FILTER,gl.LINEAR);
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_MAG_FILTER,gl.LINEAR);
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_WRAP_S,gl.CLAMP_TO_EDGE);
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_WRAP_T,gl.CLAMP_TO_EDGE);
+  requestAnimationFrame(draw);};
+ im.src='data:image/png;base64,'+DATA.tex_png;
+ document.getElementById('texRow').style.display='block';}
 const camBuf = buf(camLines);
 const camColor = new Float32Array(camLines.length);
 for(let i=0;i<camColor.length;i+=3){camColor[i]=1;camColor[i+1]=0.8;camColor[i+2]=0.1;}
@@ -147,7 +172,21 @@ function draw(){
  gl.uniform1f(loc.uA,1.0);
  function attrib(b,l,s){gl.bindBuffer(gl.ARRAY_BUFFER,b);
   gl.enableVertexAttribArray(l);gl.vertexAttribPointer(l,s,gl.FLOAT,false,0,0);}
- if(document.getElementById('showMesh').checked && meshBuf){
+ const texOn = PT && texObj && document.getElementById('showTex').checked;
+ if(document.getElementById('showMesh').checked && texOn){
+  gl.useProgram(PT);
+  gl.uniformMatrix4fv(locT.uMVP,false,new Float32Array(MVP));
+  gl.activeTexture(gl.TEXTURE0);gl.bindTexture(gl.TEXTURE_2D,texObj);
+  gl.uniform1i(locT.uTex,0);
+  gl.bindBuffer(gl.ARRAY_BUFFER,texPosBuf);
+  gl.enableVertexAttribArray(locT.aP);
+  gl.vertexAttribPointer(locT.aP,3,gl.FLOAT,false,0,0);
+  gl.bindBuffer(gl.ARRAY_BUFFER,texUVBuf);
+  gl.enableVertexAttribArray(locT.aT);
+  gl.vertexAttribPointer(locT.aT,2,gl.FLOAT,false,0,0);
+  gl.drawArrays(gl.TRIANGLES,0,texN);
+  gl.useProgram(P);}
+ else if(document.getElementById('showMesh').checked && meshBuf){
   attrib(meshBuf,loc.aP,3);attrib(meshColBuf,loc.aC,3);
   gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,meshIdx);
   gl.drawElements(gl.TRIANGLES,meshN,gl.UNSIGNED_INT,0);}
@@ -197,7 +236,7 @@ cv.onclick=e=>{if(e.shiftKey)return;
 document.getElementById('shot').onclick=()=>{
  const a=document.createElement('a');a.download='viewer.png';
  a.href=cv.toDataURL('image/png');a.click();};
-for(const id of ['showPts','showMesh','showCams','psize'])
+for(const id of ['showPts','showMesh','showTex','showCams','psize'])
  document.getElementById(id).oninput=()=>requestAnimationFrame(draw);
 window.onresize=()=>requestAnimationFrame(draw);
 draw();
@@ -227,6 +266,32 @@ def export_html(scene: Scene, out_path: str, max_points: int = 1_500_000,
         data["mesh_v"] = _b64(np.asarray(mesh.vertices, np.float32))
         data["mesh_i"] = _b64(np.asarray(mesh.faces, np.uint32))
         mesh_faces = len(mesh.faces)
+        if mesh.has_texture:
+            # textured rendering: atlas pages stacked vertically into one
+            # PNG; per-corner positions + UVs (OBJ-style v flipped into the
+            # stacked-texture t coordinate: t = (page + 1 - v) / n_pages)
+            import cv2
+
+            pages = (mesh.textures if mesh.textures
+                     else [mesh.texture])
+            n_pg = len(pages)
+            atlas = np.concatenate([np.asarray(p, np.uint8) for p in pages],
+                                   axis=0)
+            while max(atlas.shape[:2]) > 8192:
+                atlas = atlas[::2, ::2]
+            ok, png = cv2.imencode(".png", atlas[..., ::-1])
+            if ok:
+                fp = (np.asarray(mesh.face_page, np.int64)
+                      if mesh.face_page is not None
+                      else np.zeros(len(mesh.faces), np.int64))
+                uv = np.asarray(mesh.face_tex_coords, np.float64).copy()
+                t = (fp[:, None] + 1.0 - uv[..., 1]) / n_pg
+                uv2 = np.stack([uv[..., 0], t], axis=-1)
+                data["tex_v"] = _b64(
+                    np.asarray(mesh.vertices, np.float32)[
+                        mesh.faces.reshape(-1)])
+                data["tex_uv"] = _b64(uv2.reshape(-1, 2).astype(np.float32))
+                data["tex_png"] = base64.b64encode(png.tobytes()).decode()
 
     # camera frusta as line segments
     centers = []

@@ -246,3 +246,41 @@ def test_trws_energy_competitive_with_lbp():
         if e_trw > e_lbp * 1.02:
             worse += 1
     assert worse <= 1, f"TRW-S worse than LBP in {worse}/5 trials"
+
+
+def test_viewer_textured_mesh_export(plane_scene, tmp_path):
+    """The WebGL viewer embeds the textured mesh (atlas PNG + per-corner
+    UVs in the stacked-page coordinate system)."""
+    import base64
+    import json
+    import re
+
+    import cv2
+
+    from openmvs_tpu.texture import texture_mesh
+    from openmvs_tpu.config import TextureOptions
+    from openmvs_tpu.viewer_web import export_html
+    from openmvs_tpu.scene import PointCloud
+
+    scene, mesh = plane_scene
+    tex = texture_mesh(scene, mesh, TextureOptions())
+    assert tex.has_texture
+    scene.mesh = tex
+    scene.pointcloud = PointCloud(
+        points=tex.vertices.copy(),
+        views=[np.zeros(0, np.uint32)] * len(tex.vertices),
+        weights=[np.zeros(0, np.float32)] * len(tex.vertices))
+    out = str(tmp_path / "tex.html")
+    export_html(scene, out)
+    html = open(out).read()
+    m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+    data = json.loads(m.group(1))
+    assert "tex_png" in data and "tex_v" in data and "tex_uv" in data
+    png = np.frombuffer(base64.b64decode(data["tex_png"]), np.uint8)
+    atlas = cv2.imdecode(png, cv2.IMREAD_COLOR)
+    assert atlas is not None and atlas.shape[0] >= tex.texture.shape[0]
+    uv = np.frombuffer(base64.b64decode(data["tex_uv"]), np.float32)
+    assert len(uv) == 2 * 3 * len(tex.faces)
+    assert np.all(uv >= -1e-5) and np.all(uv <= 1 + 1e-5)
+    pos = np.frombuffer(base64.b64decode(data["tex_v"]), np.float32)
+    assert len(pos) == 3 * 3 * len(tex.faces)
