@@ -461,7 +461,10 @@ def _energy_grad(v, pds, adj, deg, faces, step0, med_edge, reg_w,
     r = 0.9 if ratio is None else ratio
     g_reg = jnp.where(r >= 1.0, reg_w * g2,
                       reg_w * (r * g2 - (1.0 - r) * g1))
-    e = jnp.sum(es) + reg_w * score / nv
+    # normalize the smoothness score by the REAL vertex count (degree > 0)
+    # so the logged energy is invariant to vertex-count bucketing
+    nv_real = jnp.maximum(jnp.sum((deg > 0).astype(jnp.float32)), 1.0)
+    e = jnp.sum(es) + reg_w * score / nv_real
     return e, photo + g_reg
 
 
@@ -594,15 +597,33 @@ def refine_mesh(
             pairs.append((i, int(np.argmin(d))))
     log.info("refining with %d pairs", len(pairs))
 
+    # pad every scale's pair rasters to the FULL-scale dimensions so the
+    # compiled device step is shape-stable across scales (one compile per
+    # refine instead of one per scale — compile time dominates refine wall
+    # time on the TPU); the pad region is fully masked, so results are
+    # identical up to float reduction order (OMVS_REFINE_NO_BUCKET=1
+    # disables)
+    import os as _os
+
+    pad_hw = None
+    if not _os.environ.get("OMVS_REFINE_NO_BUCKET"):
+        pad_hw = (max(im.gray.shape[0] for im in scene.images),
+                  max(im.gray.shape[1] for im in scene.images))
     cur = mesh
     for si in range(opts.scales):
         scale = opts.scale_step ** (opts.scales - 1 - si)
         with timed(log, f"scale {scale:.2f}"):
-            cur = _refine_at_scale(scene, cur, pairs, scale, opts)
+            cur = _refine_at_scale(scene, cur, pairs, scale, opts,
+                                   pad_hw=pad_hw)
     return cur
 
 
-def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions) -> Mesh:
+def _bucket(n: int, q: int) -> int:
+    return ((max(n, 1) + q - 1) // q) * q
+
+
+def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
+                     opts: RefineOptions, pad_hw=None) -> Mesh:
     from openmvs_tpu.io import images as imio
 
     # scaled images + cameras
@@ -617,12 +638,39 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
                     if scale != 1.0 else img.working_camera())
 
     mesh = subdivide_to_area(mesh, scene, float(opts.max_face_area) / max(scale, 1e-3))
-    verts = jnp.asarray(mesh.vertices, jnp.float32)
     faces = mesh.faces
-    adj, deg = _vertex_adjacency(faces, len(mesh.vertices))
-    adj_j = jnp.asarray(adj)
-    deg_j = jnp.asarray(deg, jnp.float32)
-    bnd_j = jnp.asarray(_vertex_boundary(faces, len(mesh.vertices)))
+    nvr = len(mesh.vertices)
+    adj, deg = _vertex_adjacency(faces, nvr)
+    boundary_np = _vertex_boundary(faces, nvr)
+
+    # vertex/face-count bucketing (with pad_hw): device arrays padded to
+    # coarse buckets so the compiled step's shapes coincide across scales
+    # and runs; dummy vertices have no faces, no adjacency, boundary=True
+    # and no pixel support, so they contribute exactly nothing
+    import os as _os
+
+    if _os.environ.get("OMVS_REFINE_CPU_AD"):
+        pad_hw = None   # the full-AD validation path stays unpadded
+    nv_pad = _bucket(nvr, 2048) if pad_hw is not None else nvr
+    nf_pad = _bucket(len(faces), 4096) if pad_hw is not None else len(faces)
+
+    def dev_arrays(v_real, f_real, adj_real, deg_real, bnd_real):
+        vp = np.zeros((nv_pad, 3), np.float32)
+        vp[: len(v_real)] = v_real
+        fp = np.zeros((nf_pad, 3), np.int32)
+        fp[: len(f_real)] = f_real
+        ap = np.full((nv_pad, adj_real.shape[1]), -1, np.int32)
+        ap[: len(adj_real)] = adj_real
+        dp = np.zeros(nv_pad, np.float32)
+        dp[: len(deg_real)] = deg_real
+        bp = np.ones(nv_pad, bool)
+        bp[: len(bnd_real)] = bnd_real
+        return (jnp.asarray(vp), jnp.asarray(fp), jnp.asarray(ap),
+                jnp.asarray(dp), jnp.asarray(bp))
+
+    verts_p, faces_j, adj_j, deg_j, bnd_j = dev_arrays(
+        mesh.vertices.astype(np.float32), faces, adj, deg, boundary_np)
+    verts = verts_p
 
     # median edge length: the trust-region unit (movement per iteration is
     # capped at a fraction of it, keeping the fixed rasterization valid)
@@ -637,8 +685,6 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
     # step runs on the TPU: autodiff only touches the gather-free ZNCC tail.
     # OMVS_REFINE_CPU_AD=1 restores the full-AD-on-CPU path (the fused
     # gather autodiff graph miscompiles on this TPU stack).
-    import os as _os
-
     _dev = None
     _use_cpu_ad = bool(_os.environ.get("OMVS_REFINE_CPU_AD"))
     if _use_cpu_ad:
@@ -662,6 +708,8 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
 
     Hm_ = max(g.shape[0] for g in grays)
     Wm_ = max(g.shape[1] for g in grays)
+    if pad_hw is not None:
+        Hm_, Wm_ = max(Hm_, pad_hw[0]), max(Wm_, pad_hw[1])
 
     def raster_pair_np(a, b, v_np):
         camA, camB = cams[a], cams[b]
@@ -734,18 +782,16 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
         v_d = jnp.asarray(v_np)
         m_d = jnp.zeros_like(v_d)
         vv2_d = jnp.zeros_like(v_d)
-        faces_j = jnp.asarray(faces)
         if shard_pairs is not None:
-            v_d, m_d, vv2_d, adj_j, deg_j, faces_j = jax.device_put(
-                (v_d, m_d, vv2_d, adj_j, deg_j, faces_j), replicate)
+            v_d, m_d, vv2_d, adj_j, deg_j, faces_j, bnd_j = jax.device_put(
+                (v_d, m_d, vv2_d, adj_j, deg_j, faces_j, bnd_j), replicate)
         # iteration schedule (SceneRefine.cpp:1362-1370): the elastic-only
         # regularizer takes over after 70% of the iterations; planar-vertex
         # pruning runs periodically from 40% when planar_vertex_ratio > 0
         iter_stop = iters * 7 // 10
         iter_start = iters * 4 // 10 if opts.planar_vertex_ratio > 0 else 1 << 30
-        boundary_np = np.asarray(bnd_j)
         for it in range(0, iters, 4):
-            v_prev = np.asarray(v_d)
+            v_prev = np.asarray(v_d)[:nvr]
             pds = put(build_pds_stacked(v_prev))
             ratio_it = (opts.rigidity_elasticity_ratio
                         if it <= iter_stop else 1.0)
@@ -760,7 +806,7 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
                 # planar-vertex pruning (SceneRefine.cpp:1377-1399): remove
                 # interior vertices that barely moved AND sit on a flat
                 # one-ring; threshold = viewing depth * planar_vertex_ratio
-                v_now = np.asarray(v_d)
+                v_now = np.asarray(v_d)[:nvr]
                 move = np.linalg.norm(v_now - v_prev, axis=1)
                 wmask = (adj >= 0)
                 nbm = v_now[np.maximum(adj, 0)]
@@ -779,22 +825,21 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float, opts: RefineOptions
                                  int(kill.sum()))
                         v_now = v_now[remap >= 0]
                         faces = keep_faces
-                        adj, deg = _vertex_adjacency(faces, len(v_now))
-                        adj_j = jnp.asarray(adj)
-                        deg_j = jnp.asarray(deg, jnp.float32)
-                        faces_j = jnp.asarray(faces)
-                        bnd_j = jnp.asarray(_vertex_boundary(faces, len(v_now)))
-                        boundary_np = np.asarray(bnd_j)
-                        if shard_pairs is not None:
-                            adj_j, deg_j, faces_j, bnd_j = jax.device_put(
-                                (adj_j, deg_j, faces_j, bnd_j), replicate)
-                        v_d = jnp.asarray(v_now)
+                        nvr = len(v_now)
+                        adj, deg = _vertex_adjacency(faces, nvr)
+                        boundary_np = _vertex_boundary(faces, nvr)
+                        v_dd, faces_j, adj_j, deg_j, bnd_j = dev_arrays(
+                            v_now.astype(np.float32), faces, adj, deg,
+                            boundary_np)
+                        v_d = v_dd
                         m_d = jnp.zeros_like(v_d)
                         vv2_d = jnp.zeros_like(v_d)
                         if shard_pairs is not None:
-                            v_d, m_d, vv2_d = jax.device_put(
-                                (v_d, m_d, vv2_d), replicate)
-        v_np = np.asarray(v_d)
+                            v_d, m_d, vv2_d, adj_j, deg_j, faces_j, bnd_j = \
+                                jax.device_put((v_d, m_d, vv2_d, adj_j,
+                                                deg_j, faces_j, bnd_j),
+                                               replicate)
+        v_np = np.asarray(v_d)[:nvr]
         return Mesh(vertices=v_np.astype(np.float32), faces=faces)
 
     # CPU full-AD fallback (OMVS_REFINE_CPU_AD=1)

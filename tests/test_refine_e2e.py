@@ -100,3 +100,38 @@ def test_refine_converges_without_periphery_blowup():
     # and no vertex may shoot away from the surface (periphery random-walk):
     # the initial noise is ~0.06 rms, the GT grid step is 6/21=0.29
     assert worst1 < 0.5, worst1
+
+
+def test_refine_shape_bucketing_single_compile(monkeypatch):
+    """Shape bucketing (pair rasters padded to full-scale dims + vertex/face
+    buckets) must let ONE compiled device step serve every scale, with
+    results unchanged up to float reduction order."""
+    from scipy.spatial import cKDTree
+
+    import openmvs_tpu.refine as rf
+    from openmvs_tpu.config import RefineOptions
+    from openmvs_tpu.scene import Mesh
+
+    scene, gt = _build_scene()
+    rng = np.random.default_rng(7)
+    v0 = gt.vertices.copy()
+    v0[:, 2] += rng.normal(0, 0.05, len(v0)).astype(np.float32)
+    opts = RefineOptions(scales=2, iters=8, max_face_area=64)
+
+    n0 = rf._device_steps._cache_size()
+    m1 = rf.refine_mesh(scene, Mesh(vertices=v0.copy(), faces=gt.faces.copy()),
+                        opts)
+    assert rf._device_steps._cache_size() - n0 <= 1
+
+    monkeypatch.setenv("OMVS_REFINE_NO_BUCKET", "1")
+    m2 = rf.refine_mesh(scene, Mesh(vertices=v0.copy(), faces=gt.faces.copy()),
+                        opts)
+    assert len(m1.vertices) == len(m2.vertices)
+    tree = cKDTree(gt.vertices)
+
+    def rms(m):
+        d, _ = tree.query(np.asarray(m.vertices), k=1)
+        return float(np.sqrt((d ** 2).mean()))
+
+    assert abs(rms(m1) - rms(m2)) < 1e-4
+    assert np.abs(m1.vertices - m2.vertices).max() < 5e-3
