@@ -20,6 +20,12 @@ timeout 1200 python -m pytest tests/test_pm_kernel.py -q \
   > "$OUT/2_pm_kernel.log" 2>&1
 log "   rc=$? ($(tail -1 "$OUT/2_pm_kernel.log"))"
 
+log "2b. refine on TPU: manual-grad parity + e2e convergence (incl. shape bucketing)"
+OMVS_RUN_PIPELINE_TEST=1 timeout 2400 python -m pytest \
+  tests/test_refine_grad.py tests/test_refine_e2e.py -q \
+  > "$OUT/2b_refine_tpu.log" 2>&1
+log "   rc=$? ($(tail -1 "$OUT/2b_refine_tpu.log"))"
+
 log "3. gate counts, split structure with XLA term (OMVS_GEOM_SPLIT=xla)"
 OMVS_GEOM_SPLIT=xla timeout 2400 python scripts/dev_gate_counts.py splitxla \
   > "$OUT/3_split_xla.log" 2>&1
