@@ -58,6 +58,14 @@ TILE_W = 128
 # texels processed per grid step: amortizes the fixed per-step cost (block
 # bookkeeping across 15 operands) over several gather sweeps
 TEXEL_CHUNK = 5
+# OMVS_SLAB=1: diagonal-slab row selection — replaces the per-row
+# broadcast/blend scan (patch_rows iterations) with one equality-select per
+# static (8, PATCH_COLS) slab (patch_rows-7 iterations, no broadcasts):
+# output sublane o reads its sample from patch row ly[o, l], and for real
+# plane-induced warps ly ~ o + const (y-slope near 1), so that row sits in
+# slab patch[k:k+8] at k = ly - o.  Lanes whose warp leaves the covered
+# diagonal band invalidate exactly like an out-of-patch sample.
+SLAB = bool(int(_os.environ.get("OMVS_SLAB", "0")))
 
 
 def _texel_kernel(
@@ -167,18 +175,40 @@ def _texel_score_body(
 
         v_top = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         v_bot = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        for r in range(patch_rows):
-            row = patch[r : r + 1, :]
-            g_l = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-            g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-            for b in range(n_blk):
-                t = jnp.broadcast_to(row[:, 128 * b : 128 * (b + 1)], (TILE_H, TILE_W))
-                g_l = jnp.where(blk == b, jnp.take_along_axis(t, loc, axis=1), g_l)
-                if not nearest:
-                    g_r = jnp.where(blk1 == b, jnp.take_along_axis(t, loc1, axis=1), g_r)
-            g = g_l if nearest else g_l * (1.0 - fx) + g_r * fx
-            v_top = jnp.where(ly == r, g, v_top)
-            v_bot = jnp.where(ly == r - 1, g, v_bot)
+        if SLAB and TILE_H == 8:
+            o_sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+            d_top = ly - o_sub
+            n_slab = patch_rows - TILE_H + 1
+            # both rows (ly, ly+1) must sit on the covered diagonal band
+            ok = ok & (d_top >= 0) & (d_top + 1 <= n_slab - 1)
+            for k in range(n_slab):
+                slab = patch[k : k + TILE_H, :]          # (8, PATCH_COLS)
+                g_l = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                for b in range(n_blk):
+                    t = slab[:, 128 * b : 128 * (b + 1)]
+                    g_l = jnp.where(blk == b,
+                                    jnp.take_along_axis(t, loc, axis=1), g_l)
+                    if not nearest:
+                        g_r = jnp.where(blk1 == b,
+                                        jnp.take_along_axis(t, loc1, axis=1),
+                                        g_r)
+                g = g_l if nearest else g_l * (1.0 - fx) + g_r * fx
+                v_top = jnp.where(d_top == k, g, v_top)
+                v_bot = jnp.where(d_top == k - 1, g, v_bot)
+        else:
+            for r in range(patch_rows):
+                row = patch[r : r + 1, :]
+                g_l = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                for b in range(n_blk):
+                    t = jnp.broadcast_to(row[:, 128 * b : 128 * (b + 1)], (TILE_H, TILE_W))
+                    g_l = jnp.where(blk == b, jnp.take_along_axis(t, loc, axis=1), g_l)
+                    if not nearest:
+                        g_r = jnp.where(blk1 == b, jnp.take_along_axis(t, loc1, axis=1), g_r)
+                g = g_l if nearest else g_l * (1.0 - fx) + g_r * fx
+                v_top = jnp.where(ly == r, g, v_top)
+                v_bot = jnp.where(ly == r - 1, g, v_bot)
         if nearest:
             val = jnp.where(fy < 0.5, v_top, v_bot)
         else:

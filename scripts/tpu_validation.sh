@@ -50,6 +50,11 @@ OMVS_PATCH_ROWS=16 timeout 2400 python scripts/dev_gate_counts.py rows16 \
   > "$OUT/4e_rows16.log" 2>&1
 log "   rc=$? ($(grep RESULT "$OUT/4e_rows16.log" | tail -1))"
 
+log "4f. diagonal-slab row selection A/B (OMVS_SLAB=1; check counts + time)"
+OMVS_SLAB=1 timeout 2400 python scripts/dev_gate_counts.py slab \
+  > "$OUT/4f_slab.log" 2>&1
+log "   rc=$? ($(grep RESULT "$OUT/4f_slab.log" | tail -1))"
+
 log "4c. staged prop-then-perturb sweep A/B (OMVS_STAGED=1)"
 OMVS_STAGED=1 timeout 2400 python scripts/dev_profile_densify.py \
   > "$OUT/4c_staged.log" 2>&1

@@ -266,3 +266,36 @@ def test_score_view_geom_pallas_tpu(h, w):
     _check_geom_parity(np.asarray(cons), geom_ref)
     d = np.abs(np.asarray(s) - score_ref)
     assert (d < 1e-3).mean() > 0.995, (d.mean(), d.max(), (d > 1e-3).mean())
+
+
+def test_slab_row_selection_interpret(monkeypatch):
+    """OMVS_SLAB diagonal-slab row selection must reproduce the row-scan
+    kernel's scores wherever the slab band covers the warp (on this real
+    camera geometry the y-slope is ~1, so coverage should be near-total);
+    uncovered pixels must surface as invalidated (worst score), never as
+    silently wrong values."""
+    from openmvs_tpu.ops import pm_kernel
+    from openmvs_tpu.ops import patchmatch as pm
+
+    data, opts, cd, cn, inv_nd = _example()
+    j = 0
+    v = data.views
+    kw = dict(n_texels=int(data.goff.shape[0]),
+              th_robust=float(opts.th_robust), nearest=False)
+    args = (v.image[j], v.size[j], v.Hl[j], v.Hm[j], cd, cn, inv_nd,
+            data.X0, data.goff, data.w, data.wtm, data.sum_w, data.norm_sq0)
+
+    monkeypatch.setattr(pm_kernel, "INTERPRET", True)
+    pm_kernel.score_view_pallas._clear_cache()
+    try:
+        s_row = np.asarray(pm_kernel.score_view_pallas(*args, **kw))
+        monkeypatch.setattr(pm_kernel, "SLAB", True)
+        pm_kernel.score_view_pallas._clear_cache()
+        s_slab = np.asarray(pm_kernel.score_view_pallas(*args, **kw))
+    finally:
+        pm_kernel.score_view_pallas._clear_cache()
+
+    agree = np.isclose(s_slab, s_row, rtol=1e-5, atol=1e-6)
+    worst = s_slab >= s_row  # invalidation can only worsen the score
+    assert np.all(agree | worst)
+    assert agree.mean() > 0.97, agree.mean()
