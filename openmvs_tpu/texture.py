@@ -17,6 +17,8 @@ Waechter'14 "Let There Be Color"):
 
 from __future__ import annotations
 
+import functools
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -134,7 +136,6 @@ def label_faces_lbp(
     lam = np.float32(smoothness)
     lam_k = (lam_edge.astype(np.float32) if lam_edge is not None
              else np.full((nf, 3), lam, np.float32))
-    msg = np.zeros((nf, 3, L), np.float32)
     adj_safe = np.where(adj >= 0, adj, 0)
     # reverse slot: which slot of neighbor points back to me
     rev = np.zeros((nf, 3), np.int64)
@@ -144,6 +145,17 @@ def label_faces_lbp(
             mask = (nb >= 0) & (adj[adj_safe[:, k], kk] == np.arange(nf))
             rev[mask, k] = kk
     valid_edge = adj >= 0
+
+    # big graphs run the same schedule on the accelerator (jit + scatter);
+    # numpy stays the default for the common small case (less overhead)
+    jax_thresh = int(os.environ.get("OMVS_LBP_JAX_MIN_FACES", "200000"))
+    if nf >= jax_thresh or os.environ.get("OMVS_LBP_JAX") == "1":
+        labels = _label_faces_lbp_device(data, adj, lam_k, rev, valid_edge,
+                                         iters)
+        labels[quality.max(axis=1) <= 0] = -1
+        return labels
+
+    msg = np.zeros((nf, 3, L), np.float32)
     for _ in range(iters):
         # belief excluding each incoming message
         total_in = msg.sum(axis=1)                        # (nf, L)
@@ -161,6 +173,40 @@ def label_faces_lbp(
     labels = belief.argmin(axis=1)
     labels[quality.max(axis=1) <= 0] = -1                # unseen faces
     return labels
+
+
+def _label_faces_lbp_device(data, adj, lam_k, rev, valid_edge, iters):
+    """label_faces_lbp's message schedule as one jit (scatter deliveries on
+    a dummy-row-padded message array) — the TPU path for meshes too large
+    for the numpy loop.  Bitwise-faithful to the numpy schedule: beliefs fix
+    at iteration start, deliveries within an iteration are sequential."""
+    import jax
+    import jax.numpy as jnp
+
+    nf, L = data.shape
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(data, adj, lam_k, rev, valid, iters):
+        msg = jnp.zeros((nf + 1, 3, L), jnp.float32)
+
+        def body(_, msg):
+            b = data + msg[:nf].sum(axis=1)
+            for k in range(3):
+                h = b - msg[:nf, k, :]
+                hmin = h.min(axis=1, keepdims=True)
+                out = jnp.minimum(h, hmin + lam_k[:, k : k + 1])
+                out = out - out.min(axis=1, keepdims=True)
+                tgt = jnp.where(valid[:, k], adj[:, k], nf)  # nf = dummy row
+                msg = msg.at[tgt, rev[:, k], :].set(out)
+            return msg
+
+        msg = jax.lax.fori_loop(0, iters, body, msg)
+        belief = data + msg[:nf].sum(axis=1)
+        return jnp.argmin(belief, axis=1)
+
+    return np.array(run(jnp.asarray(data), jnp.asarray(adj.astype(np.int32)),
+                        jnp.asarray(lam_k), jnp.asarray(rev.astype(np.int32)),
+                        jnp.asarray(valid_edge), iters))
 
 
 def label_faces_trws(

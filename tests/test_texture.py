@@ -248,6 +248,34 @@ def test_trws_energy_competitive_with_lbp():
     assert worse <= 1, f"TRW-S worse than LBP in {worse}/5 trials"
 
 
+def test_lbp_jax_path_matches_numpy(monkeypatch):
+    """The device LBP path (OMVS_LBP_JAX=1 / big-mesh auto-switch) must
+    reproduce the numpy message schedule label-for-label."""
+    from openmvs_tpu.texture import label_faces_lbp
+
+    rng = np.random.default_rng(7)
+    nf, V = 400, 5
+    adj = np.full((nf, 3), -1, np.int64)
+    for i in range(nf):
+        adj[i, 0] = (i + 1) % nf
+        adj[i, 1] = (i - 1) % nf
+        adj[i, 2] = (i + nf // 2) % nf
+
+    for trial in range(3):
+        quality = rng.uniform(0.0, 1.0, (nf, V)).astype(np.float32)
+        quality[rng.uniform(size=(nf, V)) < 0.2] = 0
+        quality[3] = 0  # fully unseen face -> label -1 on both paths
+        lam_edge = (rng.uniform(0.1, 2.0, (nf, 3)).astype(np.float32)
+                    if trial % 2 else None)
+        monkeypatch.delenv("OMVS_LBP_JAX", raising=False)
+        l_np = label_faces_lbp(quality, adj, 0.5, iters=30, lam_edge=lam_edge)
+        monkeypatch.setenv("OMVS_LBP_JAX", "1")
+        l_jx = label_faces_lbp(quality, adj, 0.5, iters=30, lam_edge=lam_edge)
+        monkeypatch.delenv("OMVS_LBP_JAX", raising=False)
+        assert np.array_equal(l_np, l_jx)
+        assert l_np[3] == -1
+
+
 def test_viewer_textured_mesh_export(plane_scene, tmp_path):
     """The WebGL viewer embeds the textured mesh (atlas PNG + per-corner
     UVs in the stacked-page coordinate system)."""
