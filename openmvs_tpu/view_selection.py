@@ -127,9 +127,7 @@ def select_neighbor_views(
     # ROI membership weighting (nPointInsideROI, Scene.cpp:824-836):
     # mode 2 counts only in-ROI points, mode 1 down-weights outsiders to 0.7
     if opts.point_inside_roi > 0 and scene.is_bounded():
-        local = (P - (scene.obb_min + scene.obb_max) / 2) @ scene.obb_rot.T
-        half = (scene.obb_max - scene.obb_min) / 2
-        inside = np.all(np.abs(local) <= half, axis=1)
+        inside = scene.roi_contains(P)
         if opts.point_inside_roi > 1:
             contrib = np.where(inside, contrib, 0.0)
         else:

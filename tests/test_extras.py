@@ -568,6 +568,40 @@ def test_roi_file_roundtrip(tmp_path):
     np.testing.assert_allclose(scene2.obb_rot, scene.obb_rot, rtol=1e-12)
 
 
+def test_rotated_obb_containment():
+    """OBB membership follows the reference convention (Interface.h:665-668):
+    obb_rot maps world->OBB coords and min/max corners live in OBB coords —
+    no world-center subtraction."""
+    from scipy.spatial.transform import Rotation
+
+    from openmvs_tpu.scene import Scene
+
+    rng = np.random.default_rng(5)
+    R = Rotation.from_euler("xyz", [20, -35, 50], degrees=True).as_matrix()
+    # a slab in OBB coords, far from the world origin
+    lo = np.array([10.0, -2.0, 5.0])
+    hi = np.array([14.0, 2.0, 6.0])
+    scene = Scene()
+    scene.obb_rot = R
+    scene.obb_min = lo
+    scene.obb_max = hi
+
+    # ground truth by construction: sample local coords, map back to world
+    loc_in = rng.uniform(lo + 0.01, hi - 0.01, (200, 3))
+    loc_out = loc_in + np.array([0, 0, 1.5])  # shifted past the z slab
+    world_in = loc_in @ R            # p = R^T l  (row-vector form)
+    world_out = loc_out @ R
+    assert scene.roi_contains(world_in).all()
+    assert not scene.roi_contains(world_out).any()
+
+    # crop_to_roi keeps exactly the inside points
+    pc = scene.pointcloud
+    pc.points = np.concatenate([world_in, world_out]).astype(np.float32)
+    pc.views = [np.array([0], np.int32)] * 400
+    removed = scene.crop_to_roi()
+    assert removed == 200 and len(pc.points) == 200
+
+
 def test_filter_depth_strict_knob():
     """bFilterAdjust=false branch (SceneDensify.cpp:1219-1302): depths kept
     only with enough strict agreement at the pixel and loose agreement in the
