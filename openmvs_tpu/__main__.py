@@ -143,6 +143,19 @@ def main(argv=None):
                         "texture; written next to it as *_textured.obj")
     p.add_argument("--mesh-file", default="",
                    help="mesh to attach to the scene before transforming")
+    p.add_argument("--compute-volume", action="store_true",
+                   help="compute the (ground-leveled) mesh volume "
+                        "(TransformScene --compute-volume)")
+    p.add_argument("--plane-threshold", type=float, default=20.0,
+                   help="ground-plane RANSAC threshold (0 auto, <0 skip "
+                        "leveling and assume watertight)")
+    p.add_argument("--sample-mesh", type=float, default=-100000,
+                   help="mesh sampling for plane estimation (<0 point count)")
+    p.add_argument("--up-axis", type=int, default=2, choices=(0, 1, 2))
+    p.add_argument("--max-resolution", type=int, default=0,
+                   help="rescale scene images to fit this resolution "
+                        "(Scene::ScaleImages); resized files are written "
+                        "next to the output scene")
     p.add_argument("-o", "--output", required=True)
 
     p = sub.add_parser("import-colmap")
@@ -367,6 +380,19 @@ def main(argv=None):
             T = np.eye(4)
             T[: len(vals) // 4, :] = np.array(vals).reshape(-1, 4)
             scene.apply_transform(T)
+        if args.max_resolution > 0:
+            folder = os.path.join(
+                os.path.dirname(os.path.abspath(args.output)), "images_scaled")
+            n = scene.scale_images(max_resolution=args.max_resolution,
+                                   folder=folder)
+            print(f"rescaled {n} images -> {folder}")
+        if args.compute_volume:
+            if len(scene.mesh.faces) == 0:
+                raise SystemExit("error: --compute-volume needs a mesh "
+                                 "(use --mesh-file)")
+            vol = scene.compute_leveled_volume(args.plane_threshold,
+                                               args.sample_mesh, args.up_axis)
+            print(f"mesh volume: {vol:g}")
         scene.save(args.output)
         print(f"transformed scene -> {args.output}")
 

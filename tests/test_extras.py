@@ -568,6 +568,54 @@ def test_roi_file_roundtrip(tmp_path):
     np.testing.assert_allclose(scene2.obb_rot, scene.obb_rot, rtol=1e-12)
 
 
+def test_scale_images_roundtrip(tmp_path):
+    """transform --max-resolution semantics: resized files are written,
+    the saved scene points at them, and projections stay consistent after
+    reload (Scene::ScaleImages role, Scene.cpp:1507)."""
+    from openmvs_tpu.scene import Scene
+
+    src = "/root/reference/apps/Tests/data/scene.mvs"
+    s = Scene.load(src)
+    n = s.scale_images(max_resolution=320, folder=str(tmp_path / "imgs"))
+    assert n == len(s.images)
+    out = str(tmp_path / "scaled.mvs")
+    s.save(out)
+
+    s1 = Scene.load(src)
+    s2 = Scene.load(out)
+    s2.images[0].load()
+    assert max(s2.images[0].width, s2.images[0].height) <= 320
+    P = np.asarray(s1.pointcloud.points[:50], np.float64)
+    u1 = s1.images[0].camera.project(P)
+    u2 = s2.images[0].camera.project(P)
+    ratio = (max(s2.images[0].width, s2.images[0].height)
+             / max(s1.images[0].width, s1.images[0].height))
+    # pixel-center convention: u' = (u + 0.5) * ratio - 0.5
+    err = np.abs(u2 - ((u1 + 0.5) * ratio - 0.5)).max()
+    assert err < 0.05
+
+
+def test_save_synthesizes_platforms(tmp_path):
+    """Scenes built via the API (cameras on images, no platforms) must
+    round-trip through the Interface stream."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_mesh import sphere_scene
+
+    from openmvs_tpu.scene import Scene
+
+    s = sphere_scene(n=300)
+    assert not s.platforms
+    p = str(tmp_path / "api.mvs")
+    s.save(p)
+    s2 = Scene.load(p)
+    assert len(s2.images) == len(s.images)
+    for a, b in zip(s.images, s2.images):
+        np.testing.assert_allclose(a.camera.K, b.camera.K, rtol=1e-12)
+        np.testing.assert_allclose(a.camera.R, b.camera.R, rtol=1e-12)
+        np.testing.assert_allclose(a.camera.C, b.camera.C, atol=1e-12)
+
+
 def test_rotated_obb_containment():
     """OBB membership follows the reference convention (Interface.h:665-668):
     obb_rot maps world->OBB coords and min/max corners live in OBB coords —
