@@ -368,7 +368,10 @@ def main(argv=None):
                            faces=pd.faces.astype(np.int32))
             out_mesh = mesh_ops.transfer_texture(scene.mesh, dst)
             base = args.transfer_texture_file.rsplit(".", 1)[0]
-            save_mesh_obj(f"{base}_textured.obj", out_mesh)
+            save_mesh_obj(
+                f"{base}_textured.obj", out_mesh.vertices, out_mesh.faces,
+                face_tex_coords=out_mesh.face_tex_coords,
+                texture=out_mesh.texture)
             print(f"texture transferred -> {base}_textured.obj")
             return
         if args.align_file:
@@ -441,6 +444,9 @@ def main(argv=None):
         from openmvs_tpu.interfaces.visualsfm import import_nvm
 
         itf = import_nvm(args.nvm, args.images)
+        mvsio.save(itf, args.output)
+        print(f"imported {len(itf.images)} views -> {args.output}")
+
     elif args.cmd == "import-bundler":
         from openmvs_tpu.interfaces.visualsfm import import_bundler
 

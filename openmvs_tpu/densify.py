@@ -685,7 +685,10 @@ def dense_reconstruction(
                 ),
                 have, devices,
             )
-        new_results: Dict[int, DepthMapResult] = {}
+        # resumed-from-dmap views (and any view whose re-estimation failed)
+        # must keep contributing as neighbor inputs and to fusion — mirror
+        # the sharded branch's restore
+        new_results: Dict[int, DepthMapResult] = dict(results)
         for i, r in raw.items():
             if r is not None:
                 new_results[scene.images[i].meta.id] = r

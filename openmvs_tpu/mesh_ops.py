@@ -278,6 +278,14 @@ def sample_points(mesh: Mesh, n_points: int, seed: int = 0):
     return pts.astype(np.float32), n.astype(np.float32)
 
 
+def face_areas(mesh: Mesh) -> np.ndarray:
+    """Per-face triangle areas (float64, (nf,))."""
+    v, f = mesh.vertices.astype(np.float64), mesh.faces
+    e1 = v[f[:, 1]] - v[f[:, 0]]
+    e2 = v[f[:, 2]] - v[f[:, 0]]
+    return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+
+
 def subdivide(mesh: Mesh) -> Mesh:
     """Uniform 1->4 midpoint subdivision (Mesh::Subdivide role)."""
     v = mesh.vertices.astype(np.float64)

@@ -553,7 +553,12 @@ def score_hypotheses(
         # low-res prior blend (DepthMap.cpp:552-561)
         s_blend = (1.0 - f_blend)[None] * s + f_blend[None] * delta
         s = jnp.where(d0[None] > 0, s_blend, s)
-        return jnp.minimum(s, 2.0)
+        s = jnp.minimum(s, 2.0)
+        # padded neighbor slot (sharded stacking pads the view axis with
+        # size-(0,0) views): pin to the 2.0 clip so the smoothness bonus
+        # cannot drag th_robust below the min-mean ignore threshold and
+        # let a nonexistent view enter the best-two average
+        return jnp.where(size[0] > 0, s, 2.0)
 
     big = jnp.full(depth.shape, jnp.inf, jnp.float32)
     if mode in ("exact", "nn") and _use_pallas():

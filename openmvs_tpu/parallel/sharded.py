@@ -348,8 +348,12 @@ def make_level_step(mesh: Mesh, opts, n_views: int, schedule, use_geom: bool):
             sd_e = _extend_rows(sd[i], "tile")
             sn_e = _extend_rows(sn[i], "tile")
             key = keys[i]
+            # score the incumbent in the FIRST sweep's sampling mode, exactly
+            # as the serial path does (densify.py first_mode) — otherwise
+            # nn-mode candidates compete against exact-scored seeds
             st = patchmatch.init_state(d_ext, opts, key, sd_e, sn_e,
-                                       n_views, use_geom)
+                                       n_views, use_geom,
+                                       mode=schedule[0][0])
             st = halo_exchange(st, "tile")
             prev_mode = None
             for it, (mode, n_prop) in enumerate(schedule):

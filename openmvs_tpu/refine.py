@@ -162,16 +162,14 @@ def _vertex_boundary(faces: np.ndarray, nv: int) -> np.ndarray:
     """(nv,) bool: vertices on an open mesh border (edges used by only one
     face) — excluded from smoothing like the reference's vertexBoundary
     (SceneRefine.cpp:968)."""
-    from collections import Counter
+    from openmvs_tpu.mesh_ops import edges_of_faces
 
-    cnt = Counter()
-    for a, b, c in faces:
-        for x, y in ((a, b), (b, c), (c, a)):
-            cnt[(min(x, y), max(x, y))] += 1
     boundary = np.zeros(nv, bool)
-    for (x, y), n in cnt.items():
-        if n == 1:
-            boundary[x] = boundary[y] = True
+    if len(faces) == 0:
+        return boundary
+    _, uniq, inv = edges_of_faces(np.asarray(faces))
+    border = uniq[np.bincount(inv) == 1]
+    boundary[border.ravel()] = True
     return boundary
 
 
@@ -680,6 +678,14 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
     # of gradient_step scaled by 10 is the GD step (45.05 -> 0.5)
     gs = float(opts.gradient_step)
     step0 = (gs - int(gs)) * 10.0 if gs > 1 else (gs if gs > 0 else 0.5)
+    if step0 == 0.0:
+        # an integer gradient_step decodes to a zero GD step in the
+        # reference too — but there it is a silent no-op; warn and use the
+        # reference default step (SceneRefine.cpp:1355 gstep=0.4) instead
+        log.warning(
+            "gradient_step=%g has zero fractional part -> zero GD step; "
+            "using default 0.4 (encode step in the fraction, e.g. 45.04)", gs)
+        step0 = 0.4
 
     # gradients are hand-derived (see _pair_energy_grad_manual) so the whole
     # step runs on the TPU: autodiff only touches the gather-free ZNCC tail.

@@ -73,13 +73,14 @@ def phase2(max_dim, ref_idx=0):
 
     def spy_sweep(state, data, opts_, key, n_views, use_geom=False,
                   n_perturb=3, mode="nn", rescore_state=False,
-                  n_prop=len(pm.PROP_OFFSETS)):
+                  n_prop=len(pm.PROP_OFFSETS), fold=0):
         if use_geom:
             cd, cn, cok = pm._build_candidates(state, data, opts_, key, 0,
-                                               n_perturb, mode, n_prop)
+                                               n_perturb, mode, n_prop,
+                                               fold=fold)
             captures.append((data, np.asarray(cd), 0))
         return orig_sweep(state, data, opts_, key, n_views, use_geom,
-                          n_perturb, mode, rescore_state, n_prop)
+                          n_perturb, mode, rescore_state, n_prop, fold)
 
     pm.sweep = spy_sweep
     try:

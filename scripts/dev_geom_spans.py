@@ -30,13 +30,14 @@ def main(max_dim=320, ref_idx=0):
 
     def spy_sweep(state, data, opts_, key, n_views, use_geom=False,
                   n_perturb=3, mode="nn", rescore_state=False,
-                  n_prop=len(pm.PROP_OFFSETS)):
+                  n_prop=len(pm.PROP_OFFSETS), fold=0):
         if use_geom and not captures:
             cd, _, _ = pm._build_candidates(state, data, opts_, key, 0,
-                                            n_perturb, mode, n_prop)
+                                            n_perturb, mode, n_prop,
+                                            fold=fold)
             captures.append((data, np.asarray(cd)))
         return orig_sweep(state, data, opts_, key, n_views, use_geom,
-                          n_perturb, mode, rescore_state, n_prop)
+                          n_perturb, mode, rescore_state, n_prop, fold)
 
     pm.sweep = spy_sweep
     try:

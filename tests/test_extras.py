@@ -242,6 +242,21 @@ def test_perview_resume_skips_existing_dmaps(tmp_path):
     assert calls == []          # the resumed view was never re-estimated
     assert len(pc) > 0          # fused from the loaded dmap
 
+    # regression: with geometric passes enabled, a fully-resumed scene must
+    # still fuse the loaded dmaps (the geometric loop once rebuilt `results`
+    # from freshly estimated views only, dropping every resumed view)
+    D.estimate_depth_map = spy
+    try:
+        from openmvs_tpu.config import DenseOptions
+
+        pc2 = D.dense_reconstruction(
+            sc, DenseOptions(estimation_geometric_iters=2, optimize=0,
+                             fuse_mode="merge"),
+            max_dim=W, save_dmaps_to=str(tmp_path))
+    finally:
+        D.estimate_depth_map = orig
+    assert len(pc2) > 0
+
 
 def test_point_cloud_filter_removes_floater():
     """A floating point in front of observed surface points must be removed

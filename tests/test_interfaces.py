@@ -181,6 +181,14 @@ def test_nvm_import(tmp_path):
     assert len(itf.points) == 2
     np.testing.assert_allclose(itf.platforms[1].poses[0].C, [0.5, 0, 0])
 
+    # the CLI path must actually write the output file (regression: the
+    # import-bundler branch once swallowed import-nvm's save)
+    from openmvs_tpu.__main__ import main
+
+    out = str(tmp_path / "model.mvs")
+    main(["import-nvm", p, "-o", out])
+    assert os.path.exists(out)
+
 
 def test_metashape_import(tmp_path):
     from openmvs_tpu.interfaces.metashape import import_metashape
