@@ -771,6 +771,7 @@ def dense_reconstruction(
                 [m[0] for m in meta],
                 _dmap_fusion_loader(scene, save_dmaps_to, meta),
                 max_cached=max_nb + 2,
+                neighbor_ids={m[0]: m[2] for m in meta},
             )
             pc = fusion.fuse_depth_maps(
                 None, opts, estimate_color=opts.estimate_colors > 0,

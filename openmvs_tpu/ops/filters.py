@@ -145,30 +145,28 @@ def project_depth_to_view(
     z = Xc[:, 2]
     front = z > 0
     Xc, z = Xc[front], z[front]
-    sel_idx = np.nonzero(front)[0]
     p = (Xc @ cam_ref.K.T)
     px = p[:, 0] / z
     py = p[:, 1] / z
 
-    out = np.zeros((hr, wr), np.float32)
-    out_conf = np.zeros((hr, wr), np.float32)
     cvals = conf_src[yy, xx][front] if conf_src is not None else np.ones(len(z), np.float32)
     fx = np.floor(px).astype(np.int64)
     fy = np.floor(py).astype(np.int64)
     big = np.float32(np.inf)
     zbuf = np.full(hr * wr, big, np.float32)
     flat_conf = np.zeros(hr * wr, np.float32)
+    zf = z.astype(np.float32)
+    # splat each source depth into its 4 covering texels; min z-buffer wins,
+    # second pass attaches the winners' confidences (same masks reused)
+    splats = []
     for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
         ax, ay = fx + dx, fy + dy
         ok = (ax >= 0) & (ax < wr) & (ay >= 0) & (ay < hr)
         lin = ay[ok] * wr + ax[ok]
-        np.minimum.at(zbuf, lin, z[ok].astype(np.float32))
-    # second pass to attach confidences of the winning depths
-    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        ax, ay = fx + dx, fy + dy
-        ok = (ax >= 0) & (ax < wr) & (ay >= 0) & (ay < hr)
-        lin = ay[ok] * wr + ax[ok]
-        winner = zbuf[lin] == z[ok].astype(np.float32)
+        splats.append((lin, ok))
+        np.minimum.at(zbuf, lin, zf[ok])
+    for lin, ok in splats:
+        winner = zbuf[lin] == zf[ok]
         flat_conf[lin[winner]] = cvals[ok][winner]
     zbuf[~np.isfinite(zbuf)] = 0
     out = zbuf.reshape(hr, wr)

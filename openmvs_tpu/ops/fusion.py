@@ -55,7 +55,8 @@ class ViewProvider:
     evicted-and-reloaded map keeps its zeroed pixels.
     """
 
-    def __init__(self, view_ids: Sequence[int], loader, max_cached: int = 6):
+    def __init__(self, view_ids: Sequence[int], loader, max_cached: int = 6,
+                 neighbor_ids: Optional[Dict[int, Sequence[int]]] = None):
         from collections import OrderedDict
 
         self._ids = list(view_ids)
@@ -64,6 +65,11 @@ class ViewProvider:
         self._cache: "OrderedDict[int, ViewDepthData]" = OrderedDict()
         self._invalid: Dict[int, np.ndarray] = {}   # vid -> linear idx array
         self._meta: Dict[int, tuple] = {}           # vid -> (shape, nbr_ids)
+        if neighbor_ids:
+            # pre-seeded neighbor lists let the connectivity ordering pass
+            # run without loading every .dmap from disk first
+            for vid, nbrs in neighbor_ids.items():
+                self._meta[vid] = (None, tuple(nbrs))
 
     def ids(self) -> List[int]:
         return list(self._ids)
@@ -248,12 +254,18 @@ def fuse_depth_maps(
                 member_view_ids.append(np.full(len(winners), nb.image_id, np.uint32))
                 member_weights.append(wb_.astype(np.float32))
                 claims.append((nb.image_id, winners, lin_a[first_pos]))
-                # invalidate conflicting neighbor depths in front of the point
-                conflict = has_depth & ~similar & (zb > db)
+                # invalidate neighbor depths the fused point sits in FRONT
+                # of: B measured a surface BEHIND the point, i.e. claims
+                # free space where the point is (SceneDensify.cpp:1572
+                # `if (pt.z < depthB) invalidDepths += &depthB`; similar
+                # depths whose normals disagree fall through to the same
+                # test there, so the conflict set is ~agree, not ~similar)
+                conflict = has_depth & ~agree & (zb < db)
+                conflict &= ~np.isin(lin, uniq)  # pixels merged this round
                 if conflict.any():
                     provider.invalidate(nb.image_id, np.unique(lin[conflict]))
             else:
-                conflict = has_depth & ~similar & (zb > db)
+                conflict = has_depth & ~agree & (zb < db)
                 if conflict.any():
                     provider.invalidate(nb.image_id, np.unique(lin[conflict]))
 
@@ -263,9 +275,9 @@ def fuse_depth_maps(
         kept_map[keep] = next_point_idx + np.arange(int(keep.sum()))
         own_ref[yy[keep], xx[keep]] = kept_map[keep]
         own_ref[yy[~keep], xx[~keep]] = -2  # consumed, not refused forever
-        for vid, rows, lins in claims:
+        for cvid, rows, lins in claims:
             k = keep[rows]
-            ow = owner[vid].reshape(-1)
+            ow = owner[cvid].reshape(-1)
             ow[lins[k]] = kept_map[rows[k]]
 
         inv_w = 1.0 / acc_W[keep]

@@ -416,9 +416,10 @@ def _geometric_term(
     Tr: jnp.ndarray,
     Tn: jnp.ndarray,
     patch_rows: int = 0,
+    force_xla: bool = False,
 ) -> jnp.ndarray:
     """Forward-backward reprojection consistency (DepthMap.cpp:535-551)."""
-    if _use_pallas() and _os.environ.get("OMVS_GEOM_KERNEL"):
+    if not force_xla and _use_pallas() and _os.environ.get("OMVS_GEOM_KERNEL"):
         # lane-gather kernel for the dm sample (XLA lowers it to serial
         # scalar gathers).  OPT-IN ONLY on this backend: standalone the
         # kernel matches the CPU scorer (tests/test_pm_kernel.py
@@ -942,28 +943,39 @@ def _geom_all_views(data: PMData, n_views: int, depth_c: jnp.ndarray) -> jnp.nda
 
 @functools.partial(jax.jit)
 def _geom_xla_jit(data, depth_c, dm, size, Tl, Tm, Tr, Tn):
-    """Standalone-jitted XLA geometric term (debug reference)."""
-    h_j, w_j = size[0], size[1]
-    X = data.X0[None] * depth_c[..., None]
-    X1 = jnp.einsum("ab,chwb->chwa", Tl, X) + Tm
-    z1 = X1[..., 2]
-    zok = z1 > 1e-8
-    iz = jnp.where(zok, 1.0 / jnp.where(zok, z1, 1.0), 0.0)
-    x1 = X1[..., 0] * iz
-    y1 = X1[..., 1] * iz
-    inside = zok & (depth_c > 0) & \
-        (x1 >= 1) & (x1 <= w_j - 2) & (y1 >= 1) & (y1 <= h_j - 2)
-    d1 = _bilinear(dm, x1, y1)
-    similar = inside & (d1 > 0) & (jnp.abs(z1 - d1) < 0.03 * z1)
-    Xb = jnp.stack([x1 * d1, y1 * d1, d1], axis=-1)
-    XB = jnp.einsum("ab,chwb->chwa", Tr, Xb) + Tn
-    zb = XB[..., 2]
-    izb = jnp.where(zb > 1e-8, 1.0 / jnp.where(zb > 1e-8, zb, 1.0), 0.0)
-    uu = data.uv[..., 0]
-    vv = data.uv[..., 1]
-    dist = jnp.sqrt((uu - XB[..., 0] * izb) ** 2 + (vv - XB[..., 1] * izb) ** 2)
-    cons = jnp.minimum(jnp.sqrt(dist * (dist + 2.0)), 4.0)
-    return jnp.where(similar & (zb > 1e-8), cons, 4.0)
+    """Standalone-jitted XLA geometric term (debug reference): the SAME
+    _geometric_term body with the kernel branch disabled, so the
+    OMVS_GEOM_DEBUG comparison and OMVS_GEOM_SPLIT=xla mode always compare
+    against the live semantics rather than a hand-synced copy."""
+    return _geometric_term(data, None, depth_c, dm, size, Tl, Tm, Tr, Tn,
+                           force_xla=True)
+
+
+def _prop_cand_list(data, state, opts, n_prop):
+    """Propagation candidates — the ONE construction both the fused sweep
+    and the geom-split path use (keeping them shared is what guarantees
+    split-vs-fused RNG/result parity)."""
+    return [_propagate_candidate(data, state, opts, dy, dx)
+            for dy, dx in PROP_OFFSETS[:n_prop]]
+
+
+def _perturb_cand_list(data, state, opts, key, parity, n_perturb, mode):
+    """Perturb/probe candidates with the canonical fold_in(parity*131+r)
+    key schedule (shared by fused and split paths, see _prop_cand_list)."""
+    if mode == "warp":
+        ck = jax.random.fold_in(key, parity * 131)
+        return list(_probe_candidates(data, state, opts, ck))
+    return [_perturb_candidate(data, state, opts,
+                               jax.random.fold_in(key, parity * 131 + r),
+                               SCALE_RANGES[r])
+            for r in range(n_perturb)]
+
+
+def _stack_cands(cand):
+    cd = jnp.stack([c[0] for c in cand])      # (C, H, W)
+    cn = jnp.stack([c[1] for c in cand])      # (C, H, W, 3)
+    cok = jnp.stack([c[2] for c in cand])     # (C, H, W)
+    return cd, cn, cok
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -973,20 +985,9 @@ def _build_candidates(state, data, opts, key, parity, n_perturb, mode, n_prop,
     """(cd, cn, cok) for one parity half-step (the head of _sweep_parity)."""
     if fold:
         key = jax.random.fold_in(key, fold)
-    cand_d, cand_n, cand_ok = [], [], []
-    for dy, dx in PROP_OFFSETS[:n_prop]:
-        d, n, ok = _propagate_candidate(data, state, opts, dy, dx)
-        cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-    if mode == "warp":
-        ck = jax.random.fold_in(key, parity * 131)
-        for d, n, ok in _probe_candidates(data, state, opts, ck):
-            cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-    else:
-        for r in range(n_perturb):
-            ck = jax.random.fold_in(key, parity * 131 + r)
-            d, n, ok = _perturb_candidate(data, state, opts, ck, SCALE_RANGES[r])
-            cand_d.append(d); cand_n.append(n); cand_ok.append(ok)
-    return jnp.stack(cand_d), jnp.stack(cand_n), jnp.stack(cand_ok)
+    return _stack_cands(
+        _prop_cand_list(data, state, opts, n_prop)
+        + _perturb_cand_list(data, state, opts, key, parity, n_perturb, mode))
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "n_views", "mode", "parity"))
@@ -1086,27 +1087,13 @@ def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
     active = (parity_map == parity) & data.valid
 
     def _prop_cands(st):
-        cand = [_propagate_candidate(data, st, opts, dy, dx)
-                for dy, dx in PROP_OFFSETS[:n_prop]]
-        return cand
+        return _prop_cand_list(data, st, opts, n_prop)
 
     def _perturb_cands(st):
-        cand = []
-        if mode == "warp":
-            ck = jax.random.fold_in(key, parity * 131)
-            cand.extend(_probe_candidates(data, st, opts, ck))
-        else:
-            for r in range(n_perturb):
-                ck = jax.random.fold_in(key, parity * 131 + r)
-                cand.append(_perturb_candidate(data, st, opts, ck,
-                                               SCALE_RANGES[r]))
-        return cand
+        return _perturb_cand_list(data, st, opts, key, parity, n_perturb,
+                                  mode)
 
-    def _stack(cand):
-        cd = jnp.stack([c[0] for c in cand])      # (C, H, W)
-        cn = jnp.stack([c[1] for c in cand])      # (C, H, W, 3)
-        cok = jnp.stack([c[2] for c in cand])     # (C, H, W)
-        return cd, cn, cok
+    _stack = _stack_cands
 
     if _STAGED_SWEEPS:
         # Staged propagate-then-perturb (the reference's sequential order,
@@ -1130,10 +1117,14 @@ def _score_select(state, data, opts, cd, cn, cok, active, parity, n_views,
                   use_geom, mode):
     """Score a candidate stack and take per-parity winners vs the incumbent."""
     H, W = state.depth.shape
-    if W % 2 == 0 and H % 2 == 0 and _COMPACT_SWEEPS:
+    if (W % 2 == 0 and H % 2 == 0 and _COMPACT_SWEEPS
+            and mode in ("exact", "nn")):
         # checkerboard compaction: score only the active parity's pixels
         # (the reference's red/black kernels process exactly half each
-        # step, PatchMatchCUDA.cu:597-609) — 2x less scoring work
+        # step, PatchMatchCUDA.cu:597-609) — 2x less scoring work.
+        # mode="warp" is excluded: the warp-once scorer takes its 25-texel
+        # window stats with dense shifts over the (compacted) lattice, so
+        # compaction would mix same-parity pixels ~2 real rows/cols apart
         if _COMPACT_COLS:
             comp = lambda x: _compact_parity(x, parity)
             scat = _scatter_parity

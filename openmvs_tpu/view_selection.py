@@ -71,6 +71,14 @@ def select_neighbor_views(
     sel_pts_arr = flat_pt[mine]
     if len(sel_pts_arr) == 0:
         return []
+    # ROI mode 2 (nPointInsideROI > 1) skips outside-ROI points ENTIRELY —
+    # before depth stats and pair accumulation (Scene.cpp:832-834 continue)
+    roi_mode = opts.point_inside_roi if scene.is_bounded() else 0
+    if roi_mode > 1:
+        in_roi = scene.roi_contains(pts_all[sel_pts_arr])
+        sel_pts_arr = sel_pts_arr[in_roi]
+        if len(sel_pts_arr) == 0:
+            return []
     seen = np.zeros(len(scene.pointcloud.views), bool)
     seen[sel_pts_arr] = True
     pair_mask = seen[flat_pt] & ~mine
@@ -124,14 +132,11 @@ def select_neighbor_views(
 
     contrib = np.maximum(w_angle, 0.1) * w_scale
 
-    # ROI membership weighting (nPointInsideROI, Scene.cpp:824-836):
-    # mode 2 counts only in-ROI points, mode 1 down-weights outsiders to 0.7
-    if opts.point_inside_roi > 0 and scene.is_bounded():
+    # ROI membership weighting (nPointInsideROI, Scene.cpp:824-836): mode 1
+    # down-weights outsiders to 0.7 (mode 2 already excluded them above)
+    if roi_mode == 1:
         inside = scene.roi_contains(P)
-        if opts.point_inside_roi > 1:
-            contrib = np.where(inside, contrib, 0.0)
-        else:
-            contrib = np.where(inside, contrib, 0.7 * contrib)
+        contrib = np.where(inside, contrib, 0.7 * contrib)
     max_id = int(pair_view.max()) + 1
     score_acc = np.bincount(pair_view, weights=contrib, minlength=max_id)
     scale_acc = np.bincount(pair_view, weights=ratio, minlength=max_id)
@@ -222,7 +227,11 @@ def select_views_for_scene(scene: Scene, opts: DenseOptions,
         if neighbors:
             best = neighbors[0].score
             th = max(opts.view_min_score, best * opts.view_min_score_ratio)
-            neighbors = [v for v in neighbors if v.score >= th] or neighbors[:1]
+            # when even the best neighbor scores below the absolute minimum
+            # the image keeps NO neighbors and is skipped for estimation
+            # (SceneDensify.cpp:334-339 breaks on the first sub-fMinScore
+            # neighbor, leaving images.size()<2)
+            neighbors = [v for v in neighbors if v.score >= th]
         neighbors = filter_neighbor_views(neighbors, opts, max_views=opts.max_views)
         scene.images[i].meta.view_scores = neighbors
     if opts.num_views == 1:
@@ -264,7 +273,9 @@ def select_pairs_global(scene: Scene, opts: DenseOptions) -> dict:
         c = partner.get(r, r)
         if r != c and partner.get(c) == r and S[r, c] > 0:
             pairs[ids[r]] = ids[c]
-        elif r == c or partner.get(c) != r:
+        else:
+            # unassigned, in a k-cycle, or mutual with zero score — all go
+            # to the greedy leftover matching
             leftover.append(r)
     free = set(leftover)
     cand = sorted(

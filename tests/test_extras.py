@@ -716,3 +716,38 @@ def test_view_filter_knobs_consumed():
     kept_tight = filter_neighbor_views(list(neighbors),
                                        DenseOptions(max_angle=20.0))
     assert {v.id for v in kept_tight} == set(range(9))
+
+
+def test_fusion_invalidates_seen_through_depths():
+    """Conflict invalidation direction (SceneDensify.cpp:1572): a neighbor
+    depth BEHIND the fused point (the neighbor claims free space where the
+    point is) must be discarded; a neighbor depth IN FRONT must survive."""
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu.geometry.camera import Camera
+    from openmvs_tpu.ops import fusion
+
+    K = np.array([[10.0, 0, 4], [0, 10.0, 4], [0, 0, 1]])
+    cam_a = Camera(K, np.eye(3), np.zeros(3))
+    cam_b = Camera(K, np.eye(3), np.array([0.1, 0, 0]))
+    opts = DenseOptions(min_views_fuse=1)
+
+    def run(db_val):
+        da = np.zeros((8, 8), np.float32)
+        da[4, 4] = 1.0          # point at world (0,0,1); projects to B (3,4)
+        db = np.zeros((8, 8), np.float32)
+        db[4, 3] = db_val
+        views = [
+            fusion.ViewDepthData(0, 0, cam_a, da, None,
+                                 np.full((8, 8), 0.9, np.float32), None, [1]),
+            fusion.ViewDepthData(1, 1, cam_b, db, None,
+                                 np.full((8, 8), 0.9, np.float32), None, [0]),
+        ]
+        return fusion.fuse_depth_maps(views, opts, estimate_color=False,
+                                      estimate_normal=False)
+
+    # B measured 2.0 BEHIND the point -> B's depth is invalidated, only the
+    # fused point from A remains
+    assert len(run(2.0)) == 1
+    # B measured 0.5 IN FRONT of the point -> B's depth survives and fuses
+    # as its own point
+    assert len(run(0.5)) == 2
