@@ -156,37 +156,34 @@ def close_holes(vertices: np.ndarray, faces: np.ndarray, max_size: int = 30):
     boundary = uniq[counts == 1]
     if len(boundary) == 0:
         return vertices, faces
-    # build boundary adjacency: vertex -> next vertices
-    from collections import defaultdict
-
-    adj = defaultdict(list)
-    for a, b in boundary:
-        adj[int(a)].append(int(b))
-        adj[int(b)].append(int(a))
+    # directed boundary loops: each boundary edge appears in exactly one
+    # face; walking it REVERSED makes the fill fan wind opposite the
+    # adjacent face across the shared edge, i.e. with consistent outward
+    # orientation (the old vertex-sorted trace flipped ~half the fans)
+    bset = set(map(tuple, boundary.tolist()))
+    nxt: dict = {}
+    for f in faces:
+        for u, v in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            key = (u, v) if u < v else (v, u)
+            if key in bset:
+                nxt[int(v)] = int(u)
     visited = set()
     new_vs = []
     new_fs = []
     nv = len(vertices)
-    for a, b in boundary:
-        a = int(a)
-        if a in visited:
+    for start in list(nxt):
+        if start in visited:
             continue
-        # trace loop
-        loop = [a]
-        visited.add(a)
-        cur, prev = a, -1
+        loop = [start]
+        cur = nxt[start]
         ok = True
-        for _ in range(max_size + 1):
-            nxts = [v for v in adj[cur] if v != prev and v not in visited]
-            if not nxts:
-                # closed back to start?
-                ok = loop[0] in adj[cur] and len(loop) >= 3
+        while cur != start:
+            if cur in visited or cur not in nxt or len(loop) > max_size:
+                ok = False
                 break
-            prev, cur = cur, nxts[0]
-            visited.add(cur)
             loop.append(cur)
-        else:
-            ok = False
+            cur = nxt[cur]
+        visited.update(loop)
         if not ok or len(loop) < 3 or len(loop) > max_size:
             continue
         centroid = vertices[loop].mean(axis=0)
@@ -472,7 +469,9 @@ def split_mesh(mesh: Mesh, max_faces: int) -> list:
         lo = idx[c[:, ax] <= med]
         hi = idx[c[:, ax] > med]
         if len(lo) == 0 or len(hi) == 0:   # degenerate (coincident centroids)
-            return [idx[:max_faces], idx[max_faces:]]
+            # no spatial separation possible: slice into max_faces pieces so
+            # every chunk still honors the size contract
+            return [idx[i:i + max_faces] for i in range(0, len(idx), max_faces)]
         return rec(lo) + rec(hi)
 
     chunks = []
@@ -506,6 +505,17 @@ def transfer_texture(src: Mesh, dst: Mesh) -> Mesh:
     tree = cKDTree(sc)
     corners = dst.vertices[dst.faces].reshape(-1, 3)      # (nf*3, 3)
     _, fi = tree.query(corners, k=1)
+    # multi-page atlases: each dst face must sample ONE page — corners
+    # whose nearest src face lives on another page snap to the face
+    # nearest the dst face's centroid, whose page the dst face inherits
+    page = None
+    if src.face_page is not None and src.textures is not None:
+        fcent = dst.vertices[dst.faces].mean(axis=1)
+        _, fc = tree.query(fcent, k=1)
+        page = src.face_page[fc].astype(np.int32)
+        fi3 = fi.reshape(-1, 3)
+        mismatch = src.face_page[fi3] != page[:, None]
+        fi = np.where(mismatch, fc[:, None], fi3).reshape(-1)
     tri = src.vertices[src.faces[fi]]                     # (m, 3, 3)
     # barycentric coords of the projection onto each source triangle
     v0 = tri[:, 1] - tri[:, 0]
@@ -527,4 +537,4 @@ def transfer_texture(src: Mesh, dst: Mesh) -> Mesh:
           + b2[:, None] * uv_src[:, 2])
     return Mesh(vertices=dst.vertices, faces=dst.faces,
                 face_tex_coords=uv.reshape(len(dst.faces), 3, 2).astype(np.float32),
-                texture=src.texture)
+                texture=src.texture, textures=src.textures, face_page=page)

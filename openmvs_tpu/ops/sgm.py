@@ -32,20 +32,27 @@ import numpy as np
 
 # --------------------------------------------------------------- cost volume
 def census_transform(img: jnp.ndarray, window: int = 5) -> jnp.ndarray:
-    """Census bit-pattern per pixel (uint32), (2*r+1)^2-1 comparisons."""
+    """Census bit-pattern per pixel, (2*r+1)^2-1 comparisons.
+
+    Returns (H, W, n_words) uint32 — bits beyond 32 (window >= 7: up to 48
+    comparisons) spill into additional words; a single-word shift-by->=32
+    would silently drop the outer ring."""
     r = window // 2
     H, W = img.shape
+    n_cmp = window * window - 1
+    n_words = -(-n_cmp // 32)
     pad = jnp.pad(img, r, mode="edge")
-    bits = jnp.zeros((H, W), jnp.uint32)
+    words = [jnp.zeros((H, W), jnp.uint32) for _ in range(n_words)]
     b = 0
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             if dy == 0 and dx == 0:
                 continue
             nb = jax.lax.dynamic_slice(pad, (dy + r, dx + r), (H, W))
-            bits = bits | (jnp.uint32(nb < img) << jnp.uint32(b))
+            words[b // 32] = words[b // 32] | (
+                jnp.uint32(nb < img) << jnp.uint32(b % 32))
             b += 1
-    return bits
+    return jnp.stack(words, axis=-1)
 
 
 def _popcount32(x: jnp.ndarray) -> jnp.ndarray:
@@ -67,12 +74,12 @@ def census_cost_volume(
     for i in range(num_d):
         d = d_min + i
         if d >= 0:
-            shifted = jnp.pad(cr, ((0, 0), (d, 0)))[:, :W]
+            shifted = jnp.pad(cr, ((0, 0), (d, 0), (0, 0)))[:, :W]
             invalid_col = jnp.arange(W) < d
         else:
-            shifted = jnp.pad(cr, ((0, 0), (0, -d)))[:, -d:]
+            shifted = jnp.pad(cr, ((0, 0), (0, -d), (0, 0)))[:, -d:]
             invalid_col = jnp.arange(W) >= W + d
-        c = _popcount32((cl ^ shifted).astype(jnp.uint32)).astype(jnp.float32)
+        c = _popcount32((cl ^ shifted).astype(jnp.uint32)).sum(-1).astype(jnp.float32)
         c = jnp.where(invalid_col[None, :], float(max_bits), c)
         costs.append(c)
     return jnp.stack(costs, axis=-1)
@@ -322,14 +329,16 @@ def wzncc_weights(gray: jnp.ndarray, half_x: int = 3, half_y: int = 3):
     return w, tw, sum_w, norm_sq0
 
 
-@functools.partial(jax.jit, static_argnames=("d_min", "num_d", "half_x", "half_y"))
-def wzncc_cost_volume(
-    left: jnp.ndarray, right: jnp.ndarray, d_min: int, num_d: int,
-    half_x: int = 3, half_y: int = 3,
+@functools.partial(jax.jit, static_argnames=("num_d", "half_x", "half_y"))
+def _wzncc_volume0(
+    left: jnp.ndarray, right_shifted: jnp.ndarray, d_min: jnp.ndarray,
+    num_d: int, half_x: int = 3, half_y: int = 3,
 ) -> jnp.ndarray:
-    """(H, W, D) uint8 bilateral-weighted ZNCC costs
-    (SemiGlobalMatcher.cpp:948-975): cost = 255 for ncc <= 0 or
-    out-of-image, else round((1 - min(ncc,1)) * 255)."""
+    """wzncc_cost_volume body at a FIXED d_min=0 slice layout: the caller
+    pre-shifts `right` by d_min columns, so the compile cache key depends
+    only on shape and num_d (a static d_min recompiled the whole volume
+    graph for every stereo pair's seeded range).  d_min rides along as a
+    traced scalar purely for the out-of-image column test."""
     H, W = left.shape
     eps = 1e-3
     w, tw, sum_w, norm_sq0 = wzncc_weights(left, half_x, half_y)
@@ -339,15 +348,14 @@ def wzncc_cost_volume(
 
     # right texel stacks shifted per disparity: pad right along x by the
     # disparity range so each d is a pure static slice
-    lo_pad = max(0, d_min + num_d - 1 + half_x) + pad
-    hi_pad = max(0, -d_min + half_x) + pad
-    rp = jnp.pad(right, ((pad, pad), (hi_pad, lo_pad)))
+    lo_pad = num_d - 1 + half_x + pad
+    hi_pad = half_x + pad
+    rp = jnp.pad(right_shifted, ((pad, pad), (hi_pad, lo_pad)))
 
     def cost_at(i):
-        d = d_min + i
         texr = jnp.stack([
             jax.lax.dynamic_slice(
-                rp, (dy + pad, dx + d + hi_pad), (H, W))
+                rp, (dy + pad, dx + i + hi_pad), (H, W))
             for dy, dx in offs
         ])
         s = jnp.sum(w * texr, axis=0)
@@ -357,13 +365,32 @@ def wzncc_cost_volume(
         ncc = nom * jax.lax.rsqrt(jnp.maximum(norm_sq0 * norm_sq1 + eps, 1e-12))
         c = jnp.where(ncc <= 0, 255.0,
                       jnp.round((1.0 - jnp.minimum(ncc, 1.0)) * 255.0))
-        # out-of-image columns invalid
-        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) + d
+        # out-of-image columns invalid (original right-image coordinates)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) + i + d_min
         c = jnp.where((xs < 0) | (xs >= W), 255.0, c)
         return c.astype(jnp.uint8)
 
     vol = jnp.stack([cost_at(i) for i in range(num_d)], axis=-1)
     return vol
+
+
+def wzncc_cost_volume(
+    left, right, d_min: int, num_d: int, half_x: int = 3, half_y: int = 3,
+) -> jnp.ndarray:
+    """(H, W, D) uint8 bilateral-weighted ZNCC costs
+    (SemiGlobalMatcher.cpp:948-975): cost = 255 for ncc <= 0 or
+    out-of-image, else round((1 - min(ncc,1)) * 255)."""
+    r = np.asarray(right, np.float32)
+    W = r.shape[1]
+    shifted = np.zeros_like(r)
+    if d_min >= 0:
+        if d_min < W:
+            shifted[:, :W - d_min] = r[:, d_min:]
+    else:
+        if -d_min < W:
+            shifted[:, -d_min:] = r[:, :W + d_min]
+    return _wzncc_volume0(jnp.asarray(left), jnp.asarray(shifted),
+                          jnp.int32(d_min), num_d, half_x, half_y)
 
 
 def disparity_range_map(prior_disp: np.ndarray, out_shape,
@@ -428,13 +455,14 @@ def disparity_range_map(prior_disp: np.ndarray, out_shape,
     return lo2.astype(np.int16), hi2.astype(np.int16)
 
 
-@functools.partial(jax.jit, static_argnames=("d_min",))
+@jax.jit
 def mask_volume(vol: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
-                d_min: int) -> jnp.ndarray:
+                d_min) -> jnp.ndarray:
     """Set costs outside each pixel's [lo, hi) window to CMAX — the dense
-    equivalent of the reference's compressed per-pixel ranges."""
+    equivalent of the reference's compressed per-pixel ranges.  d_min is
+    traced (a static value would recompile per stereo pair)."""
     D = vol.shape[-1]
-    ds = jnp.arange(D, dtype=jnp.int32) + d_min
+    ds = jnp.arange(D, dtype=jnp.int32) + jnp.int32(d_min)
     inwin = (ds[None, None, :] >= lo[..., None].astype(jnp.int32)) & (
         ds[None, None, :] < hi[..., None].astype(jnp.int32))
     return jnp.where(inwin, vol, jnp.uint8(255))
@@ -650,6 +678,23 @@ def match_pair_tsgm(
         # level-global bounds from the per-pixel windows
         l_min = int(min(lo.min(), glo))
         l_max = int(max(hi.max(), ghi))
+        span = l_max - l_min
+        if span > max_num_d:
+            # the volume cannot cover the whole span: place the coverage
+            # window where it keeps the most per-pixel ranges alive instead
+            # of silently truncating the high (far-field) end
+            cand = np.unique(np.linspace(
+                l_min, l_max - max_num_d, 17).astype(int))
+            covered = [int(((lo >= c) & (hi <= c + max_num_d)).sum())
+                       for c in cand]
+            l_min = int(cand[int(np.argmax(covered))])
+            n_lost = lo.size - max(covered)
+            if n_lost:
+                from openmvs_tpu.utils.log import get_logger
+                get_logger("sgm").warning(
+                    "disparity span %d > max_num_d %d at level %d: "
+                    "%d/%d pixels' ranges fall outside the coverage window",
+                    span, max_num_d, li, n_lost, lo.size)
         num_d = min(l_max - l_min, max_num_d)
         if num_d <= 1:
             num_d = 2
@@ -659,7 +704,7 @@ def match_pair_tsgm(
         num_d = min(-(-num_d // 16) * 16, max_num_d)
 
         volL = mask_volume(
-            wzncc_cost_volume(jnp.asarray(A), jnp.asarray(B), l_min, num_d),
+            wzncc_cost_volume(A, B, l_min, num_d),
             jnp.asarray(lo), jnp.asarray(hi), l_min)
         aggL = aggregate8(volL, jnp.asarray(A), p1, p2, alpha, num_dirs, beta)
         dintL = np.asarray(jnp.argmin(aggL, axis=-1)).astype(np.int32) + l_min
@@ -667,7 +712,7 @@ def match_pair_tsgm(
 
         r_min = -(l_min + num_d - 1)
         volR = mask_volume(
-            wzncc_cost_volume(jnp.asarray(B), jnp.asarray(A), r_min, num_d),
+            wzncc_cost_volume(B, A, r_min, num_d),
             jnp.asarray(loR), jnp.asarray(hiR), r_min)
         aggR = aggregate8(volR, jnp.asarray(B), p1, p2, alpha, num_dirs, beta)
         dintR = np.asarray(jnp.argmin(aggR, axis=-1)).astype(np.int32) + r_min
