@@ -198,9 +198,14 @@ def estimate_depth_map(
     if not neighbors:
         return None
     num = opts.num_views if opts.num_views > 0 else len(neighbors)
-    nbr_ids = [vs.id for vs in neighbors[:num]]
     id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
-    nbr_imgs = [scene.images[id_to_idx[i]] for i in nbr_ids if i in id_to_idx]
+    # filter ids and images TOGETHER: a scored neighbor absent from the
+    # scene (split scenes, external neighbor files) must not shift the
+    # positional zip of depths vs cameras in _assemble_pm_host
+    nbr_ids = [vs.id for vs in neighbors if vs.id in id_to_idx][:num]
+    if not nbr_ids:
+        return None
+    nbr_imgs = [scene.images[id_to_idx[i]] for i in nbr_ids]
 
     # sparse seeds at full working resolution
     pts_sel = []
@@ -274,7 +279,7 @@ def estimate_depth_map(
             ref_gray, ref_cam, nbr_grays, nbr_cams, opts, d_min, d_max, lowres_prior,
             nbr_depths, usable=img.usable_mask(opts.ignore_mask_label),
         )
-        key = jax.random.PRNGKey(rng_seed * 7919 + ref_idx * 131 + level + 1000 * max(geometric_iter, 0))
+        key = jax.random.PRNGKey(rng_seed * 7919 + ref_idx * 131 + level + 1000 * (geometric_iter + 1))
         nV = len(nbr_grays)
         # first-sweep sampling mode (computed early so init_state scores the
         # incumbent in the same mode the first candidates compete in)
@@ -696,14 +701,20 @@ def dense_reconstruction(
 
     _prof.__exit__(None, None, None)
 
-    # optimize: speckle + gaps
-    for r in results.values():
-        optimize_depth_map(r, opts)
+    # optimize: speckle + gaps.  Resumed views were optimized+filtered
+    # BEFORE being saved in the run that produced them — re-applying the
+    # non-idempotent filters would compound across resume cycles
+    for rid, r in results.items():
+        if rid not in resumed:
+            optimize_depth_map(r, opts)
 
     # pass 3: cross-view filtering (adjust mode)
     if opts.optimize & 4:
         filtered: Dict[int, DepthMapResult] = {}
         for rid, r in results.items():
+            if rid in resumed:
+                filtered[rid] = r
+                continue
             projected = []
             for nb_id in r.neighbor_ids:
                 nb = results.get(nb_id)
@@ -731,6 +742,8 @@ def dense_reconstruction(
     if save_dmaps_to:
         os.makedirs(save_dmaps_to, exist_ok=True)
         for rid, r in results.items():
+            if rid in resumed:
+                continue          # already on disk, unchanged this run
             dd = dmapio.DepthData(
                 depth=r.depth,
                 image_width=scene.images[r.image_idx].width,

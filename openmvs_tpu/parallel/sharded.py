@@ -536,7 +536,7 @@ def estimate_views_sharded(scene, opts, mesh: Mesh, prev_results=None,
                 seeds_n.append(sn)
             keys.append(np.asarray(_jax.random.PRNGKey(
                 rng_seed * 7919 + vi["ref_idx"] * 131 + level
-                + 1000 * max(geometric_iter, 0))))
+                + 1000 * (geometric_iter + 1))))
 
         # stack + pad the views axis
         def stackpad(arrs):

@@ -610,8 +610,14 @@ def refine_mesh(
     cur = mesh
     for si in range(opts.scales):
         scale = opts.scale_step ** (opts.scales - 1 - si)
+        # alternate mode (nAlternatePair=1, SceneRefine.cpp:597-600): the
+        # pair direction flips with the outer iteration parity — here the
+        # scale index plays the reference's iteration role
+        sp = pairs
+        if opts.alternative_pair == 1 and si % 2 == 1:
+            sp = [(j, i) for (i, j) in pairs]
         with timed(log, f"scale {scale:.2f}"):
-            cur = _refine_at_scale(scene, cur, pairs, scale, opts,
+            cur = _refine_at_scale(scene, cur, sp, scale, opts,
                                    pad_hw=pad_hw)
     return cur
 
@@ -819,9 +825,14 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
                 mean_nb = (nbm * wmask[..., None]).sum(1) / np.maximum(
                     deg[:, None], 1)
                 g1n = np.linalg.norm(mean_nb - v_now, axis=1)
-                dists = np.linalg.norm(
-                    v_now[None] - np.stack([c.C for c in cams])[:, None], axis=-1)
-                th = dists.min(axis=0) * opts.planar_vertex_ratio
+                # running per-camera minimum: the broadcast form would
+                # materialize an (n_cams, nv, 3) temporary — gigabytes on
+                # large refines
+                min_d = np.full(len(v_now), np.inf)
+                for c in cams:
+                    np.minimum(min_d, np.linalg.norm(v_now - c.C, axis=1),
+                               out=min_d)
+                th = min_d * opts.planar_vertex_ratio
                 kill = (~boundary_np) & (move < th) & (g1n < th) & (deg > 0)
                 if kill.sum() > max(16, 0.002 * len(v_now)):
                     keep_faces, remap = _collapse_vertices(

@@ -116,6 +116,25 @@ def remove_outlier_views(quality: np.ndarray, face_colors: List[np.ndarray],
     return q
 
 
+def _rev_slots(adj: np.ndarray):
+    """(adj_safe, rev, valid_edge) for message passing on the face-dual.
+
+    An edge is valid only when the neighbor points BACK (mutual): around
+    non-manifold edges the 3-slot adjacency can hold one-directional
+    entries whose messages would otherwise clobber the neighbor's slot 0."""
+    nf = len(adj)
+    adj_safe = np.where(adj >= 0, adj, 0)
+    rev = np.zeros((nf, 3), np.int64)
+    mutual = np.zeros((nf, 3), bool)
+    for k in range(3):
+        nb = adj[:, k]
+        for kk in range(3):
+            mask = (nb >= 0) & (adj[adj_safe[:, k], kk] == np.arange(nf))
+            rev[mask, k] = kk
+            mutual[mask, k] = True
+    return adj_safe, rev, (adj >= 0) & mutual
+
+
 def label_faces_lbp(
     quality: np.ndarray, adj: np.ndarray, smoothness: float, iters: int = 30,
     lam_edge: Optional[np.ndarray] = None,
@@ -136,15 +155,7 @@ def label_faces_lbp(
     lam = np.float32(smoothness)
     lam_k = (lam_edge.astype(np.float32) if lam_edge is not None
              else np.full((nf, 3), lam, np.float32))
-    adj_safe = np.where(adj >= 0, adj, 0)
-    # reverse slot: which slot of neighbor points back to me
-    rev = np.zeros((nf, 3), np.int64)
-    for k in range(3):
-        nb = adj[:, k]
-        for kk in range(3):
-            mask = (nb >= 0) & (adj[adj_safe[:, k], kk] == np.arange(nf))
-            rev[mask, k] = kk
-    valid_edge = adj >= 0
+    adj_safe, rev, valid_edge = _rev_slots(adj)
 
     # big graphs run the same schedule on the accelerator (jit + scatter);
     # numpy stays the default for the common small case (less overhead)
@@ -226,14 +237,7 @@ def label_faces_trws(
     lam_k = (lam_edge.astype(np.float32) if lam_edge is not None
              else np.full((nf, 3), np.float32(smoothness), np.float32))
     msg = np.zeros((nf, 3, V), np.float32)
-    adj_safe = np.where(adj >= 0, adj, 0)
-    rev = np.zeros((nf, 3), np.int64)
-    for k in range(3):
-        nb = adj[:, k]
-        for kk in range(3):
-            mask = (nb >= 0) & (adj[adj_safe[:, k], kk] == np.arange(nf))
-            rev[mask, k] = kk
-    valid_edge = adj >= 0
+    adj_safe, rev, valid_edge = _rev_slots(adj)
     rho = np.float32(rho)
     for _ in range(iters):
         theta = data + msg.sum(axis=1)                  # (nf, V) reparam
@@ -415,7 +419,7 @@ def _pack_skyline(sizes: List[Tuple[int, int]], max_w: int) -> Tuple[List[Tuple[
 
 def generate_texture(
     scene: Scene, mesh: Mesh, labels: np.ndarray, opts: TextureOptions,
-    max_dim: int,
+    max_dim: int, adj: Optional[np.ndarray] = None,
 ) -> Mesh:
     """Patch extraction + atlas packing + texcoords (GenerateTexture,
     SceneTexture.cpp:344-2327)."""
@@ -423,7 +427,8 @@ def generate_texture(
     from scipy.sparse.csgraph import connected_components
 
     nf = len(mesh.faces)
-    adj = _face_adjacency(mesh.faces)
+    if adj is None:
+        adj = _face_adjacency(mesh.faces)
     # components of same-label connected faces
     rows, cols = [], []
     for k in range(3):
@@ -538,11 +543,14 @@ def generate_texture(
         pos, used_w, used_h = _pack_skyline(sizes, max_w)
         if used_h > opts.max_texture_size:
             pos = [None] * len(sizes)  # force multi-page via MaxRects
+            used_w = used_h = 0
     patch_page = np.zeros(len(patches), np.int64)
     if any(q is None for q in pos):
         # multi-page atlas (SceneTexture multi-texture support,
-        # SceneTexture.cpp:2270-2327): pack remaining patches page by page
-        page = 0
+        # SceneTexture.cpp:2270-2327): pack remaining patches page by page.
+        # When NOTHING is placed yet (skyline overflow reset) the first
+        # batch must land on page 0, not leave it empty
+        page = -1 if all(q is None for q in pos) else 0
         remaining = [i for i, q in enumerate(pos) if q is None]
         while remaining:
             page += 1
@@ -602,11 +610,19 @@ def generate_texture(
     face_dy = np.zeros(nf)
     face_view = np.full(nf, -1, np.int64)
     face_page = np.zeros(nf, np.int32)
+    face_x0 = np.zeros(nf)
+    face_y0 = np.zeros(nf)
+    face_x1 = np.ones(nf)
+    face_y1 = np.ones(nf)
     for pi_, p in enumerate(patches):
         face_dx[p.faces] = p.atlas_x - p.x0
         face_dy[p.faces] = p.atlas_y - p.y0
         face_view[p.faces] = p.view
         face_page[p.faces] = patch_page[pi_]
+        face_x0[p.faces] = p.x0
+        face_y0[p.faces] = p.y0
+        face_x1[p.faces] = p.x0 + p.w - 1
+        face_y1[p.faces] = p.y0 + p.h - 1
     views_used = sorted({p.view for p in patches})
     proj_stack = np.zeros((max(views_used) + 1, len(mesh.vertices), 2))
     for vv in views_used:
@@ -614,6 +630,11 @@ def generate_texture(
     mapped = face_view >= 0
     fv_safe = np.where(mapped, face_view, views_used[0])
     uv_f = proj_stack[fv_safe[:, None], mesh.faces]          # (nf, 3, 2)
+    # clamp projections into the face's patch rect: a vertex projecting
+    # outside the image (border faces) must sample its own patch's edge
+    # texels, not a neighboring patch or empty atlas space
+    uv_f[..., 0] = np.clip(uv_f[..., 0], face_x0[:, None], face_x1[:, None])
+    uv_f[..., 1] = np.clip(uv_f[..., 1], face_y0[:, None], face_y1[:, None])
     ftc[..., 0] = np.where(mapped[:, None], (uv_f[..., 0] + face_dx[:, None]) / tw, 0)
     ftc[..., 1] = np.where(mapped[:, None], 1.0 - (uv_f[..., 1] + face_dy[:, None]) / th, 0)
     ftc = np.clip(ftc, 0.0, 1.0).astype(np.float32)
@@ -887,4 +908,4 @@ def texture_mesh(
     n_unseen = int((labels < 0).sum())
     log.info("labels: %d faces, %d unseen", len(labels), n_unseen)
     with timed(log, "generate texture"):
-        return generate_texture(scene, mesh, labels, opts, max_dim)
+        return generate_texture(scene, mesh, labels, opts, max_dim, adj=adj)
