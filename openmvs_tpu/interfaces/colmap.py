@@ -88,10 +88,14 @@ def R_to_qvec(R: np.ndarray) -> np.ndarray:
 
 
 def _K_from_params(model: str, p: np.ndarray) -> np.ndarray:
-    if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "SIMPLE_RADIAL_FISHEYE", "FOV"):
+    # single-focal models (params f, cx, cy, [k...]): SIMPLE_PINHOLE,
+    # SIMPLE_RADIAL(_FISHEYE), RADIAL(_FISHEYE).  Everything else —
+    # PINHOLE, OPENCV*, FULL_OPENCV, FOV, THIN_PRISM_FISHEYE — is
+    # fx fy cx cy [...] (COLMAP src/colmap/sensor/models.h)
+    if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "SIMPLE_RADIAL_FISHEYE",
+                 "RADIAL", "RADIAL_FISHEYE"):
         f, cx, cy = p[0], p[1], p[2]
         return np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]])
-    # PINHOLE-family: fx fy cx cy ...
     fx, fy, cx, cy = p[0], p[1], p[2], p[3]
     return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
 
@@ -270,23 +274,50 @@ def export_colmap(itf: mvsio.Interface, out_folder: str):
                 K = cam.K
                 f.write(f"{cid} PINHOLE {cam.width} {cam.height} "
                         f"{K[0,0]} {K[1,1]} {K[0,2]} {K[1,2]}\n")
+    # per-image camera composition (reused for the 2D observation lists)
+    cams = []
+    for im in itf.images:
+        plat = itf.platforms[im.platform_id]
+        rig = plat.cameras[im.camera_id]
+        pose = plat.poses[im.pose_id]
+        R = rig.R @ pose.R
+        C = pose.R.T @ rig.C + pose.C
+        cams.append((R, C, np.asarray(rig.K, np.float64)))
+    # a consistent COLMAP model requires each track element to reference a
+    # real POINT2D entry of its image: build per-image observation lists
+    # (x y POINT3D_ID) by projecting the point, and record the index
+    obs: List[List[tuple]] = [[] for _ in itf.images]
+    tracks: List[str] = []
+    for i, p in enumerate(itf.points):
+        parts = []
+        for v in (itf.point_views[i] if itf.point_views else ()):  # noqa: B905
+            v = int(v)
+            if v >= len(cams):
+                continue
+            R, C, K = cams[v]
+            Xc = R @ (np.asarray(p, np.float64) - C)
+            if Xc[2] <= 1e-12:
+                continue
+            u = K[0, 0] * Xc[0] / Xc[2] + K[0, 2]
+            w_ = K[1, 1] * Xc[1] / Xc[2] + K[1, 2]
+            parts.append(f"{v+1} {len(obs[v])}")
+            obs[v].append((u, w_, i + 1))
+        tracks.append(" ".join(parts))
     with open(os.path.join(out_folder, "images.txt"), "w") as f:
         f.write("# Image list: IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME\n")
+        f.write("#   POINTS2D[] as (X, Y, POINT3D_ID)\n")
         for i, im in enumerate(itf.images):
-            plat = itf.platforms[im.platform_id]
-            rig = plat.cameras[im.camera_id]
-            pose = plat.poses[im.pose_id]
-            R = rig.R @ pose.R
-            C = pose.R.T @ rig.C + pose.C
+            R, C, _ = cams[i]
             q = R_to_qvec(R)
             t = -R @ C
             cid = cam_ids[(im.platform_id, im.camera_id)]
+            pts2d = " ".join(f"{u} {v_} {pid}" for u, v_, pid in obs[i])
             f.write(f"{i+1} {q[0]} {q[1]} {q[2]} {q[3]} {t[0]} {t[1]} {t[2]} "
-                    f"{cid} {os.path.basename(im.name)}\n\n")
+                    f"{cid} {os.path.basename(im.name)}\n{pts2d}\n")
     with open(os.path.join(out_folder, "points3D.txt"), "w") as f:
         f.write("# 3D point list: POINT3D_ID X Y Z R G B ERROR TRACK[]\n")
         has_col = len(itf.colors) == len(itf.points)
         for i, p in enumerate(itf.points):
             col = itf.colors[i] if has_col else (128, 128, 128)
-            track = " ".join(f"{int(v)+1} 0" for v in itf.point_views[i]) if itf.point_views else ""
-            f.write(f"{i+1} {p[0]} {p[1]} {p[2]} {col[0]} {col[1]} {col[2]} 0 {track}\n")
+            f.write(f"{i+1} {p[0]} {p[1]} {p[2]} {col[0]} {col[1]} {col[2]} "
+                    f"0 {tracks[i]}\n")

@@ -112,8 +112,11 @@ def import_metashape(xml_path: str, images_folder: str = "",
         plat.poses.append(mvsio.Pose(R=R, C=C))
         label = cam.get("label") or f"camera{cam.get('id')}"
         name = label if os.path.splitext(label)[1] else label + ".jpg"
+        # anchor relative names: images_folder if given, else beside the
+        # XML (a bare label would resolve against the process cwd)
+        folder = images_folder or os.path.dirname(os.path.abspath(xml_path))
         meta = mvsio.ImageMeta(
-            name=os.path.join(images_folder, name) if images_folder else name,
+            name=name if os.path.isabs(name) else os.path.join(folder, name),
             platform_id=pid, camera_id=0, pose_id=pose_id, id=len(itf.images),
         )
         itf.images.append(meta)

@@ -44,6 +44,9 @@ def import_mvsnet(root: str) -> mvsio.Interface:
         raise FileNotFoundError(f"no cams/*_cam.txt under {root}")
     img_dir = os.path.join(root, "images")
     itf = mvsio.Interface()
+    # original cam index -> compacted image index: pair.txt refers to the
+    # ORIGINAL ordering, which diverges whenever a cam has no image
+    orig_to_new = {}
     for i, cf in enumerate(cam_files):
         E, K, d_min, d_max = _parse_cam(cf)
         R = E[:3, :3]
@@ -69,6 +72,7 @@ def import_mvsnet(root: str) -> mvsio.Interface:
             name=img_path, platform_id=len(itf.platforms), camera_id=0, pose_id=0,
             id=len(itf.images), min_depth=d_min, max_depth=d_max,
         )
+        orig_to_new[i] = len(itf.images)
         itf.platforms.append(plat)
         itf.images.append(meta)
 
@@ -81,12 +85,14 @@ def import_mvsnet(root: str) -> mvsio.Interface:
             ref = int(lines[1 + 2 * k])
             toks = lines[2 + 2 * k].split()
             cnt = int(toks[0])
-            if ref < len(itf.images):
+            if ref in orig_to_new:
                 vs = []
                 for j in range(cnt):
                     vid = int(toks[1 + 2 * j])
+                    if vid not in orig_to_new:
+                        continue        # neighbor cam had no image
                     score = float(toks[2 + 2 * j])
-                    vs.append(mvsio.ViewScore(id=vid, score=score))
-                itf.images[ref].view_scores = vs
+                    vs.append(mvsio.ViewScore(id=orig_to_new[vid], score=score))
+                itf.images[orig_to_new[ref]].view_scores = vs
     log.info("MVSNet import: %d views", len(itf.images))
     return itf

@@ -290,6 +290,8 @@ def _opencv_dist(poly: str, data: dict):
     if len(d) == 3:                      # k1 k2 k3
         return np.array([d[0], d[1], 0, 0, d[2]])
     if len(d) == 5:                      # k1 k2 k3 t1 t2
-        # OpenMVG t1 scales (r^2+2x^2) in x (OpenCV p2's role); t2 <-> p1
-        return np.array([d[0], d[1], d[4], d[3], d[2]])
+        # openMVG brown_t2 distoFunction: t_x = t2*(r^2+2x^2) + 2*t1*x*y,
+        # t_y = t1*(r^2+2y^2) + 2*t2*x*y — so t1 is OpenCV's p1 and t2 is
+        # p2 (cv layout k1 k2 p1 p2 k3)
+        return np.array([d[0], d[1], d[3], d[4], d[2]])
     return None

@@ -66,6 +66,7 @@ def undistort_interface_images(
 
     n = 0
     os.makedirs(out_dir, exist_ok=True)
+    used_names: Dict[str, int] = {}
     for meta in itf.images:
         dist = dists.get(meta.platform_id)
         if dist is None or not np.any(np.abs(dist) > 1e-12):
@@ -84,7 +85,16 @@ def undistort_interface_images(
             s = max(rig.width, rig.height)
             K = K * np.array([[s, s, s], [s, s, s], [1, 1, 1]])
         und = undistort_image(img, K, dist)
-        dst = os.path.join(out_dir, os.path.basename(src))
+        # same basename from different subfolders (rig layouts) must not
+        # overwrite each other in the flat out_dir
+        base = os.path.basename(src)
+        if base in used_names:
+            used_names[base] += 1
+            stem, ext = os.path.splitext(base)
+            base = f"{stem}_{used_names[base]}{ext}"
+        else:
+            used_names[base] = 0
+        dst = os.path.join(out_dir, base)
         cv2.imwrite(dst, und)
         meta.name = dst
         n += 1

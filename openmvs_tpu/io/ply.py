@@ -174,17 +174,36 @@ def _load_binary(f, elements, out: PlyData, endian: str):
             pname, _, count_t, item_t = props[0]
             cdt = np.dtype(endian + count_t)
             idt = np.dtype(endian + item_t)
+            if count == 0:
+                out.elements[name] = {pname: np.zeros((0, 3), np.int64)}
+                continue
             # fast path: uniform triangle lists
             first = np.frombuffer(f.read(cdt.itemsize), cdt)
+            buf = None
             if len(first) and first[0] == 3:
                 rec = np.dtype([("n", endian + count_t), ("v", endian + item_t, (3,))])
                 rest = np.frombuffer(f.read(rec.itemsize * count - cdt.itemsize), np.uint8)
                 buf = np.concatenate([np.frombuffer(np.array(first).tobytes(), np.uint8), rest])
-                raw = np.frombuffer(buf.tobytes(), dtype=rec, count=count)
-                if (raw["n"] == 3).all():
-                    out.elements[name] = {pname: raw["v"].astype(np.int64)}
-                    continue
-            raise ValueError("non-triangle PLY face lists unsupported")
+                if len(buf) == rec.itemsize * count:
+                    raw = np.frombuffer(buf.tobytes(), dtype=rec, count=count)
+                    if (raw["n"] == 3).all():
+                        out.elements[name] = {pname: raw["v"].astype(np.int64)}
+                        continue
+            # ragged polygon lists: parse sequentially from the bytes read
+            # so far plus the rest of the stream, then restore the stream
+            # position for any subsequent element
+            head = (buf.tobytes() if buf is not None
+                    else np.asarray(first).tobytes())
+            blob = head + f.read()
+            pos = 0
+            lists = []
+            for _ in range(count):
+                n_ = int(np.frombuffer(blob, cdt, 1, pos)[0])
+                pos += cdt.itemsize
+                lists.append(np.frombuffer(blob, idt, n_, pos).astype(np.int64))
+                pos += idt.itemsize * n_
+            f.seek(f.tell() - (len(blob) - pos))
+            out.elements[name] = {pname: lists}
         else:
             # general mixed scalar+list rows: parse row by row
             rows = {pname: [] for pname, _, _, _ in props}
