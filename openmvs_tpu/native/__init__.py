@@ -47,7 +47,10 @@ def build(force: bool = False) -> str:
                 "g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
                 "-fopenmp", "-o", _LIB_PATH + ".tmp", *srcs,
             ]
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"native build failed ({' '.join(cmd)}):\n{proc.stderr}")
             os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
     return _LIB_PATH
 

@@ -98,8 +98,18 @@ int omvs_decimate(const double* verts_in, int64_t nv, const int32_t* faces_in, i
   auto edge_cost = [&](int64_t v0, int64_t v1, double* pos) -> double {
     Sym4 q = Q[v0];
     q.add(Q[v1]);
-    double x, y, z;
+    // midpoint default: stays defined even if every candidate eval is
+    // NaN (degenerate/NaN input vertices propagate into the quadric)
+    double x = (V[3 * v0] + V[3 * v1]) / 2;
+    double y = (V[3 * v0 + 1] + V[3 * v1 + 1]) / 2;
+    double z = (V[3 * v0 + 2] + V[3 * v1 + 2]) / 2;
     if (!q.optimal(x, y, z)) {
+      // optimal() may clobber x/y/z with non-finite values before failing:
+      // reset to the midpoint so the position stays defined even if every
+      // candidate eval below is NaN
+      x = (V[3 * v0] + V[3 * v1]) / 2;
+      y = (V[3 * v0 + 1] + V[3 * v1 + 1]) / 2;
+      z = (V[3 * v0 + 2] + V[3 * v1 + 2]) / 2;
       // try endpoints and midpoint
       double cands[3][3] = {
           {V[3 * v0], V[3 * v0 + 1], V[3 * v0 + 2]},

@@ -36,24 +36,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os as _os2
+import os as _os
 
 # default source-patch row span: covers a full-lattice (8,128) tile's warp;
 # ROW-PAIR-compacted sweeps span 16 image rows per tile and pass
 # patch_rows=32 (patchmatch._PATCH_ROWS_COMPACT) as a static arg instead
-PATCH_ROWS = int(_os2.environ.get("OMVS_PATCH_ROWS", "24"))
+PATCH_ROWS = int(_os.environ.get("OMVS_PATCH_ROWS", "24"))
 # source-patch width: 3 lane-blocks cover an (8,128) tile's warp span at
 # scale <~1.3 (row-pair compaction keeps x-coordinates exact, so the same
 # width serves compacted sweeps; the legacy column packing OMVS_COMPACT=cols
 # doubles the x-span and needs OMVS_PATCH_COLS=640)
-import os as _os
-
 PATCH_COLS = int(_os.environ.get("OMVS_PATCH_COLS", "384"))
 # run the kernels through the Pallas interpreter (plain XLA ops, any
 # backend): separates kernel LOGIC bugs from Mosaic compilation bugs, and
 # lets the parity tests run without TPU hardware
 INTERPRET = bool(_os.environ.get("OMVS_PALLAS_INTERPRET"))
-TILE_H = int(_os2.environ.get("OMVS_TILE_H", "8"))
+TILE_H = int(_os.environ.get("OMVS_TILE_H", "8"))
 TILE_W = 128
 # texels processed per grid step: amortizes the fixed per-step cost (block
 # bookkeeping across 15 operands) over several gather sweeps
@@ -146,8 +144,13 @@ def _texel_score_body(
         py = sy * izs
         ok = zok & (px >= 1) & (px <= w_j - 2) & (py >= 1) & (py <= h_j - 2)
 
-        px_v = jnp.where(zok, px, 1e9)
-        py_v = jnp.where(zok, py, 1e9)
+        # only fully in-image warps vote on the patch window (the same
+        # guard _geom_body carries): clamped zero-depth pixels warp to the
+        # EPIPOLE and out-of-image warps to far coordinates — letting them
+        # into the min drags the window off the tile's real span and
+        # saturates every valid pixel at th_robust along mask/pad borders
+        px_v = jnp.where(ok, px, 1e9)
+        py_v = jnp.where(ok, py, 1e9)
         if nearest:
             # nearest sampling: round x (1 column gather instead of 2);
             # y keeps the two-row blend machinery but selects, not blends
@@ -519,12 +522,6 @@ def _pad_to(x: jnp.ndarray, h: int, w: int, axes: Tuple[int, int]):
     if any(p != (0, 0) for p in pads):
         x = jnp.pad(x, pads)
     return x
-
-
-def _row(x, n):
-    width = max(128, -(-n // 128) * 128)
-    r = jnp.zeros((1, width), jnp.float32)
-    return r.at[0, :n].set(x.reshape(-1).astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("n_texels", "th_robust", "nearest", "patch_rows"))

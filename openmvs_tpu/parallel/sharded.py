@@ -133,6 +133,9 @@ def dryrun(n_devices: int) -> None:
 
     # the sharded step runs on the CPU-virtual mesh; the Pallas scoring
     # kernel is TPU-only, so route scoring through the XLA path here
+    # (restored afterwards — a leaked flag would silently route real
+    # estimation in the same process through the 20x-slower XLA path)
+    prev_flag = os.environ.get("OMVS_NO_PALLAS")
     os.environ["OMVS_NO_PALLAS"] = "1"
     mesh = make_mesh(n_devices)
     n_views_axis, n_tile = mesh.devices.shape
@@ -202,14 +205,20 @@ def dryrun(n_devices: int) -> None:
         )
     )
 
-    core, n_valid = step(data_tiled, seed_d, seed_n, keys)
-    jax.block_until_ready(core)
-    print(
-        f"dryrun_multichip OK: mesh={tuple(mesh.devices.shape)} (views x tile), "
-        f"core state shape={tuple(core.depth.shape)}, valid depths={int(n_valid)}"
-    )
+    try:
+        core, n_valid = step(data_tiled, seed_d, seed_n, keys)
+        jax.block_until_ready(core)
+        print(
+            f"dryrun_multichip OK: mesh={tuple(mesh.devices.shape)} (views x tile), "
+            f"core state shape={tuple(core.depth.shape)}, valid depths={int(n_valid)}"
+        )
 
-    dryrun_refine(mesh.devices.reshape(-1))
+        dryrun_refine(mesh.devices.reshape(-1))
+    finally:
+        if prev_flag is None:
+            os.environ.pop("OMVS_NO_PALLAS", None)
+        else:
+            os.environ["OMVS_NO_PALLAS"] = prev_flag
 
 
 def dryrun_refine(devs) -> None:
@@ -328,11 +337,14 @@ def _pm_specs(n_t_axis: bool = True):
     return patchmatch.PMData(**specs)
 
 
-def make_level_step(mesh: Mesh, opts, n_views: int, schedule, use_geom: bool):
+def make_level_step(mesh: Mesh, opts, n_views: int, schedule, use_geom: bool,
+                    init_mode: str | None = None):
     """Jitted (views, tile)-sharded estimation for one pyramid level.
 
     schedule: tuple of (mode, n_prop) per sweep iteration — identical to the
     serial estimate_depth_map schedule so results match bit for bit.
+    init_mode overrides the incumbent's scoring mode (OMVS_INIT_EXACT
+    parity with the serial first_mode); defaults to schedule[0][0].
     """
     from jax.experimental.shard_map import shard_map
 
@@ -353,7 +365,7 @@ def make_level_step(mesh: Mesh, opts, n_views: int, schedule, use_geom: bool):
             # nn-mode candidates compete against exact-scored seeds
             st = patchmatch.init_state(d_ext, opts, key, sd_e, sn_e,
                                        n_views, use_geom,
-                                       mode=schedule[0][0])
+                                       mode=init_mode or schedule[0][0])
             st = halo_exchange(st, "tile")
             prev_mode = None
             for it, (mode, n_prop) in enumerate(schedule):
@@ -455,6 +467,7 @@ def estimate_views_sharded(scene, opts, mesh: Mesh, prev_results=None,
     results = {}
     state_g = None
     prev_log = None          # previous level's logical (h, w)
+    prev_shapes = None       # previous level's per-view logical shapes
     for level in range(levels, -1, -1):
         s = 1.0 / (2 ** level)
         hosts, seeds_d, seeds_n, keys = [], [], [], []
@@ -468,6 +481,10 @@ def estimate_views_sharded(scene, opts, mesh: Mesh, prev_results=None,
         # pad rows so the tile axis divides them into 8-aligned cores
         h_log, w_log = Hl_, Wl_
         Hl_ = -(-Hl_ // (n_tile * 8)) * (n_tile * 8)
+        # each tile core must hold at least the HALO rows halo_exchange and
+        # _extend_rows slice (small images / deep pyramid levels on a wide
+        # tile axis would otherwise slice negative starts / wrap)
+        Hl_ = max(Hl_, n_tile * HALO)
         Wl_ = -(-Wl_ // 2) * 2
         Hp = Wp = 0
         lvl_nbrs = []
@@ -556,18 +573,41 @@ def estimate_views_sharded(scene, opts, mesh: Mesh, prev_results=None,
             # over the LOGICAL extents (GSPMD inserts the boundary comms;
             # numerics match the serial jax.image.resize exactly), then pad
             ph, pw = prev_log
+            same_sizes = (
+                all(g.shape == lvl_grays[0].shape for g in lvl_grays)
+                and prev_shapes is not None
+                and all(sh == prev_shapes[0] for sh in prev_shapes))
+            if same_sizes:
 
-            @_jax.jit
-            def _upsample(st):
-                dep = _jax.image.resize(st.depth[:, :ph, :pw],
-                                        (Vpad, h_log, w_log), "linear")
-                nrm = _jax.image.resize(st.normal[:, :ph, :pw],
-                                        (Vpad, h_log, w_log, 3), "nearest")
-                dep = jnp.pad(dep, ((0, 0), (0, Hl_ - h_log), (0, Wl_ - w_log)))
-                nrm = jnp.pad(nrm, ((0, 0), (0, Hl_ - h_log), (0, Wl_ - w_log), (0, 0)))
-                return dep, nrm
+                @_jax.jit
+                def _upsample(st):
+                    dep = _jax.image.resize(st.depth[:, :ph, :pw],
+                                            (Vpad, h_log, w_log), "linear")
+                    nrm = _jax.image.resize(st.normal[:, :ph, :pw],
+                                            (Vpad, h_log, w_log, 3), "nearest")
+                    dep = jnp.pad(dep, ((0, 0), (0, Hl_ - h_log), (0, Wl_ - w_log)))
+                    nrm = jnp.pad(nrm, ((0, 0), (0, Hl_ - h_log), (0, Wl_ - w_log), (0, 0)))
+                    return dep, nrm
 
-            sd_g, sn_g = _upsample(state_g)
+                sd_g, sn_g = _upsample(state_g)
+            else:
+                # mixed image sizes: a single global-box resize would blend
+                # zero padding into the smaller views' content borders and
+                # use the wrong per-view scale — resize each view over its
+                # OWN logical box (host roundtrip; level transitions are
+                # rare, mixed-size scenes rarer)
+                dep_np = np.asarray(state_g.depth)
+                nrm_np = np.asarray(state_g.normal)
+                sd_np = np.zeros((Vpad, Hl_, Wl_), np.float32)
+                sn_np = np.zeros((Vpad, Hl_, Wl_, 3), np.float32)
+                for k in range(Vv):
+                    pk = prev_shapes[k] if prev_shapes is not None else (ph, pw)
+                    hk, wk = lvl_grays[k].shape
+                    sd_np[k, :hk, :wk] = np.asarray(_jax.image.resize(
+                        dep_np[k, :pk[0], :pk[1]], (hk, wk), "linear"))
+                    sn_np[k, :hk, :wk] = np.asarray(_jax.image.resize(
+                        nrm_np[k, :pk[0], :pk[1]], (hk, wk, 3), "nearest"))
+                sd_g, sn_g = sd_np, sn_np
             stacked["lowres"] = sd_g
         if "lowres" not in stacked:
             stacked["lowres"] = np.zeros((Vpad, Hl_, Wl_), np.float32)
@@ -602,9 +642,14 @@ def estimate_views_sharded(scene, opts, mesh: Mesh, prev_results=None,
             final_exact = it >= n_iters - n_exact
             mode = "exact" if (final_exact or all_exact) else "nn"
             schedule.append((mode, 8))
-        step = make_level_step(mesh, opts, V, tuple(schedule), is_geometric)
+        init_mode = ("exact"
+                     if __import__("os").environ.get("OMVS_INIT_EXACT")
+                     else None)
+        step = make_level_step(mesh, opts, V, tuple(schedule), is_geometric,
+                               init_mode=init_mode)
         state_g = step(data_g, sd_g, sn_g, keys_a)
         prev_log = (h_log, w_log)
+        prev_shapes = [g.shape for g in lvl_grays]
 
     geometric_follows = (not is_geometric) and opts.estimation_geometric_iters > 0
     vfin = _jax.jit(_jax.vmap(

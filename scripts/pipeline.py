@@ -52,12 +52,25 @@ def _parse_opt_overrides(pairs, cls):
     return out
 
 
+def _done_marker(out_path):
+    d, b = os.path.split(out_path)
+    return os.path.join(d, f".{b}.done")
+
+
 def run_stage(name, out_path, fn, resume=True):
-    if resume and os.path.exists(out_path):
+    # resume requires the artifact AND its completion marker: stage savers
+    # write in place, so a crash mid-write leaves a truncated file that a
+    # bare exists() check would skip forever
+    marker = _done_marker(out_path)
+    if resume and os.path.exists(out_path) and os.path.exists(marker):
         print(f"[{name}] exists, skipping: {out_path}")
         return None
+    if os.path.exists(out_path) and not os.path.exists(marker):
+        print(f"[{name}] found incomplete {out_path} (no marker); redoing")
     t0 = time.time()
     result = fn()
+    with open(marker, "w") as f:
+        f.write("done\n")
     print(f"[{name}] done in {time.time() - t0:.0f}s -> {out_path}")
     return result
 
@@ -270,6 +283,14 @@ def run_photogrammetry(input_dir: str, args) -> str:
         else:
             print(f"[{s}] unknown step, skipping")
     if any(s in (17, 18, 19, 20) for s in steps):
+        if not os.path.exists(scene_mvs):
+            raise SystemExit(
+                f"{scene_mvs} does not exist: the selected steps {steps} "
+                f"include MVS stages but no SfM+export step produced a "
+                f"scene.  For a directory input pick a preset with an SfM "
+                f"frontend (SEQUENTIAL/GLOBAL/COLMAP_MVS) or import a "
+                f"reconstruction first (python -m openmvs_tpu "
+                f"import-colmap/-nvm/... -o {scene_mvs})")
         args.no_refine = args.no_refine or 19 not in steps
         process_scene(scene_mvs, out, args)
     if any(s in (21, 22) for s in steps):
