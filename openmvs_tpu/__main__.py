@@ -259,7 +259,9 @@ def main(argv=None):
             print(f"view neighbors -> {args.output_view_neighbors_file}")
             return
         dmaps = args.dmaps_folder
-        if abs(args.fusion_mode) == 1 and not dmaps:
+        if abs(args.fusion_mode) in (1, 2) and not dmaps:
+            # -2 (fuse FROM existing maps) needs the same default folder the
+            # export modes write to, or it would silently re-estimate all
             dmaps = (args.output or args.scene).replace(".mvs", "_dmaps")
         pc = dense_reconstruction(scene, opts, save_dmaps_to=dmaps,
                                   fusion_mode=args.fusion_mode,

@@ -386,7 +386,6 @@ def estimate_depth_map_sgm(
             rectA, rectB, info = sgm.rectify_pair(camA, camB, img.gray, nb.gray)
         except ValueError:
             continue
-        info["C1"] = camA.C
 
         cache = None
         if dimap_dir:

@@ -98,7 +98,11 @@ def ac_ransac_plane(points, max_threshold: float = 0.0, iters: int = 1024,
 
     ext = P.max(axis=0) - P.min(axis=0)
     D = float(np.linalg.norm(ext))
-    V = float(np.prod(ext.astype(np.float64) + 1e-30)) + 1.0
+    # guard degenerate (near-flat) extents with a FRACTION of the diameter,
+    # not an absolute +1: an absolute term breaks the NFA's scale
+    # invariance for scenes whose bounding box is not >> 1 unit
+    ext = np.maximum(ext.astype(np.float64), 1e-3 * max(D, 1e-30))
+    V = float(np.prod(ext))
     logalpha0 = np.log10(2.0 * D / V * 0.5)
     loge0 = np.log10(1.0 * max(n_eval - s, 1))
     ln10 = np.log(10.0)

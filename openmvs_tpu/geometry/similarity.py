@@ -117,6 +117,10 @@ def estimate_ground_plane(points: np.ndarray, threshold: float = 0.0,
         inl = int((np.abs(P @ n + d) < threshold).sum())
         if inl > best[1]:
             best = ((n, d), inl)
+    if best[0] is None:
+        raise ValueError(
+            "ground-plane RANSAC found no non-degenerate sample "
+            "(all point triples collinear)")
     (n, d), _ = best
     # refine on inliers
     m = np.abs(P @ n + d) < threshold

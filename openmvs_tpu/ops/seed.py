@@ -50,11 +50,11 @@ def seed_depth_normal(
     ok = depth > 0
     Xc, depth = Xc[ok], depth[ok]
     trusted = np.asarray(trusted, bool)[ok]
-    proj = Xc[:, :2] / depth[:, None] * np.array([camera.K[0, 0], camera.K[1, 1]]) + np.array(
-        [camera.K[0, 2], camera.K[1, 2]]
-    )
-    # account for possible skew
-    proj[:, 0] += Xc[:, 1] / depth * camera.K[0, 1]
+    if len(depth) == 0:
+        # every sparse point behind the camera (misregistered pose, chunk
+        # boundary view): no seeds, caller skips the view
+        return depth_map, normal_map, 0.0, 0.0
+    proj = camera.cam_to_image(Xc)
 
     d_min = float(depth.min()) * 0.9
     d_max = float(depth.max()) * 1.1

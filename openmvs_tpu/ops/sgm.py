@@ -266,7 +266,8 @@ def rectify_pair(camA, camB, grayA: np.ndarray, grayB: np.ndarray):
     TB = Kn @ Rn @ camB.R.T @ np.linalg.inv(camB.K)
     rectA = cv2.warpPerspective(grayA, TA.astype(np.float64), (W, H))
     rectB = cv2.warpPerspective(grayB, TB.astype(np.float64), (W, H))
-    info = {"Rn": Rn, "Kn": Kn, "baseline": b, "TA": TA, "TB": TB}
+    info = {"Rn": Rn, "Kn": Kn, "baseline": b, "TA": TA, "TB": TB,
+            "C1": camA.C}
     return rectA, rectB, info
 
 

@@ -89,16 +89,27 @@ def split_scene(
     # points (within the enlarged box)
     views = scene.pointcloud.views
     id_to_idx = {im.meta.id: i for i, im in enumerate(scene.images)}
+    # flat (point, image-index) incidence built ONCE: per-chunk counting is
+    # then a masked bincount instead of a Python loop over every in-box
+    # point's view list repeated per chunk
+    v_counts = np.fromiter((len(v) for v in views), np.int64, len(views))
+    flat_pt = np.repeat(np.arange(len(views), dtype=np.int64), v_counts)
+    flat_vid = (np.concatenate(views).astype(np.int64)
+                if v_counts.sum() else np.zeros(0, np.int64))
+    max_id = int(flat_vid.max()) + 1 if len(flat_vid) else 1
+    vid_to_img = np.full(max_id, -1, np.int64)
+    for b, j in id_to_idx.items():
+        if 0 <= b < max_id:
+            vid_to_img[b] = j
+    flat_img = vid_to_img[flat_vid]
+    known = flat_img >= 0
+    flat_pt, flat_img = flat_pt[known], flat_img[known]
     for ch in chunks:
         ext = (ch.bbox_max - ch.bbox_min) * overlap * 0.5
         lo, hi = ch.bbox_min - ext, ch.bbox_max + ext
         inside = np.all((pts >= lo) & (pts <= hi), axis=1)
-        counts = np.zeros(len(scene.images), np.int64)
-        for i in np.nonzero(inside)[0]:
-            for vid in views[i]:
-                j = id_to_idx.get(int(vid))
-                if j is not None:
-                    counts[j] += 1
+        counts = np.bincount(flat_img[inside[flat_pt]],
+                             minlength=len(scene.images))
         ch.image_idx = np.nonzero(counts >= min_image_points)[0]
         # keep the enlarged box for the export filter
         ch.bbox_min, ch.bbox_max = lo, hi

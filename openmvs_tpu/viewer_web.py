@@ -129,11 +129,16 @@ const camColor = new Float32Array(camLines.length);
 for(let i=0;i<camColor.length;i+=3){camColor[i]=1;camColor[i+1]=0.8;camColor[i+2]=0.1;}
 const camColBuf = buf(camColor);
 
-// center/scale
-let cx=0,cy=0,cz=0;const n=pts.length/3;
-for(let i=0;i<pts.length;i+=3){cx+=pts[i];cy+=pts[i+1];cz+=pts[i+2];}
-cx/=n;cy/=n;cz/=n;
-let rad=0;for(let i=0;i<pts.length;i+=3){const dx=pts[i]-cx,dy=pts[i+1]-cy,dz=pts[i+2]-cz;
+// center/scale over everything visible (points, mesh, cameras) —
+// mesh-only scenes have 0 points and must not divide by zero
+const geoArrs=[pts];
+if(meshV)geoArrs.push(meshV);
+if(camCenters.length)geoArrs.push(camCenters);
+let cx=0,cy=0,cz=0,n=0;
+for(const a of geoArrs)for(let i=0;i<a.length;i+=3){cx+=a[i];cy+=a[i+1];cz+=a[i+2];n++;}
+if(n>0){cx/=n;cy/=n;cz/=n;}
+let rad=0;
+for(const a of geoArrs)for(let i=0;i<a.length;i+=3){const dx=a[i]-cx,dy=a[i+1]-cy,dz=a[i+2]-cz;
  rad=Math.max(rad,Math.sqrt(dx*dx+dy*dy+dz*dz));}
 rad=Math.max(rad,1e-3);
 let theta=0.5, phi=1.0, dist=rad*2.2, tx=cx, ty=cy, tz=cz;

@@ -150,11 +150,15 @@ def run_estimator(scene, gt_depth, gt_mesh, estimator, tmpdir):
             gt = cv2.resize(gt, dd.depth.shape[::-1], interpolation=cv2.INTER_NEAREST)
         s = ev.compare_depth_maps(dd.depth, gt)
         stats.append(s)
+    # nanmean: a single failed view (empty depth/GT overlap -> NaN stats)
+    # must read as a counted failure, not blank every aggregate
+    n_failed = sum(1 for s in stats if not np.isfinite(s.mae))
     depth_metrics = {
-        "mae": float(np.mean([s.mae for s in stats])) if stats else None,
-        "rel_err_median": float(np.mean([s.rel_err_median for s in stats])) if stats else None,
-        "completeness": float(np.mean([s.completeness for s in stats])) if stats else None,
-        "frac_under_1pct": float(np.mean([s.frac_under_1pct for s in stats])) if stats else None,
+        "mae": float(np.nanmean([s.mae for s in stats])) if stats else None,
+        "rel_err_median": float(np.nanmean([s.rel_err_median for s in stats])) if stats else None,
+        "completeness": float(np.nanmean([s.completeness for s in stats])) if stats else None,
+        "frac_under_1pct": float(np.nanmean([s.frac_under_1pct for s in stats])) if stats else None,
+        "failed_views": n_failed,
     }
 
     # cloud F-score vs dense GT surface samples at 1% of scene depth
