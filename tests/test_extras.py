@@ -751,3 +751,44 @@ def test_fusion_invalidates_seen_through_depths():
     # B measured 0.5 IN FRONT of the point -> B's depth survives and fuses
     # as its own point
     assert len(run(0.5)) == 2
+
+
+def test_view_selection_skips_subthreshold_images():
+    """An image whose BEST neighbor scores under view_min_score keeps NO
+    neighbors (SceneDensify.cpp:334-339 leaves images.size()<2 and skips)."""
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu import view_selection as vsel
+
+    scene = _mini_scene()
+    # only 2 shared points between image 0 and 1 -> tiny scores
+    pts = np.array([[0.0, 0.0, 5.0], [0.2, 0.1, 5.0]], np.float32)
+    scene.pointcloud = PointCloud(
+        points=pts, views=[np.array([0, 1], np.uint32)] * 2,
+        weights=[np.ones(2, np.float32)] * 2)
+    opts = DenseOptions(view_min_score=1e9)    # impossible bar
+    vsel.select_views_for_scene(scene, opts)
+    assert all(not im.meta.view_scores for im in scene.images)
+
+
+def test_pipeline_stage_marker_resume(tmp_path):
+    """run_stage redoes a stage whose artifact exists WITHOUT a completion
+    marker (crash mid-save) and skips it once the marker exists."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import pipeline as pl
+
+    out = str(tmp_path / "x.ply")
+    calls = []
+
+    def fn():
+        calls.append(1)
+        open(out, "w").write("data")
+
+    # truncated artifact, no marker -> stage must run
+    open(out, "w").write("trunc")
+    pl.run_stage("s", out, fn)
+    assert calls == [1]
+    # marker now present -> skipped
+    pl.run_stage("s", out, fn)
+    assert calls == [1]

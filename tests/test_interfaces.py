@@ -615,3 +615,87 @@ def test_cli_dump(tmp_path, capsys):
     assert (viz / "depth0000.png").exists()
     assert (viz / "normal0000.png").exists()
     assert (viz / "conf0000.png").exists()
+
+
+def test_colmap_radial_K():
+    """RADIAL params are f cx cy k1 k2 — single focal, not fx/fy
+    (COLMAP src/colmap/sensor/models.h)."""
+    from openmvs_tpu.interfaces.colmap import _K_from_params
+
+    K = _K_from_params("RADIAL", np.array([500.0, 320.0, 240.0, 0.1, 0.01]))
+    assert K[0, 0] == K[1, 1] == 500.0
+    assert (K[0, 2], K[1, 2]) == (320.0, 240.0)
+    K = _K_from_params("FOV", np.array([500.0, 510.0, 320.0, 240.0, 0.9]))
+    assert (K[0, 0], K[1, 1], K[0, 2], K[1, 2]) == (500.0, 510.0, 320.0, 240.0)
+
+
+def test_openmvg_brown_t2_tangential_order(tmp_path):
+    """openMVG disto_t2 [k1 k2 k3 t1 t2] maps to OpenCV [k1 k2 p1 p2 k3]
+    with t1->p1, t2->p2 (distoFunction: t_x = t2*(r2+2x^2) + 2*t1*x*y)."""
+    from openmvs_tpu.interfaces.openmvg import _opencv_dist
+
+    d = _opencv_dist("pinhole_brown_t2",
+                     {"disto_t2": [0.1, 0.02, 0.003, 0.004, 0.005]})
+    np.testing.assert_allclose(d, [0.1, 0.02, 0.004, 0.005, 0.003])
+
+
+def test_mvsnet_pair_indices_survive_missing_image(tmp_path):
+    """pair.txt uses ORIGINAL cam indices; a cam without an image must not
+    shift every later neighbor id (InterfaceMVSNet role)."""
+    from PIL import Image
+
+    from openmvs_tpu.interfaces.mvsnet import import_mvsnet
+
+    root = tmp_path
+    (root / "cams").mkdir()
+    (root / "images").mkdir()
+    cam_txt = ("extrinsic\n"
+               "1 0 0 0\n0 1 0 {ty}\n0 0 1 0\n0 0 0 1\n\n"
+               "intrinsic\n100 0 32\n0 100 24\n0 0 1\n\n"
+               "1.0 0.1 64 7.4\n")
+    for i in range(3):
+        (root / "cams" / f"{i:08d}_cam.txt").write_text(
+            cam_txt.format(ty=0.1 * i))
+        if i != 1:     # cam 1 has NO image
+            Image.new("L", (64, 48)).save(root / "images" / f"{i:08d}.jpg")
+    (root / "pair.txt").write_text(
+        "2\n0\n2 2 10.0 1 5.0\n2\n1 0 8.0\n")
+    itf = import_mvsnet(str(root))
+    assert len(itf.images) == 2            # cams 0 and 2
+    # view 0's neighbors: original ids 2 (kept, remapped to 1) and 1 (gone)
+    vs = itf.images[0].view_scores
+    assert [v.id for v in vs] == [1]
+    assert vs[0].score == 10.0
+    # original ref 2 -> compacted image 1; its neighbor 0 keeps id 0
+    assert [v.id for v in itf.images[1].view_scores] == [0]
+
+
+def test_undistort_collision_unique_names(tmp_path, monkeypatch):
+    """Same basename from different subfolders must not overwrite in the
+    flat undistort output dir."""
+    import cv2
+
+    from openmvs_tpu.interfaces import undistort as und
+    from openmvs_tpu.io import mvs as mvsio
+
+    K = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+    itf = mvsio.Interface()
+    for sub, val in (("a", 10), ("b", 200)):
+        d = tmp_path / sub
+        d.mkdir()
+        img = np.full((48, 64), val, np.uint8)
+        cv2.imwrite(str(d / "img.png"), img)
+        itf.platforms.append(mvsio.Platform(
+            name=sub, cameras=[mvsio.CameraRig(width=64, height=48, K=K)]))
+        itf.images.append(mvsio.ImageMeta(
+            name=str(d / "img.png"), platform_id=len(itf.platforms) - 1,
+            camera_id=0, pose_id=0, id=len(itf.images)))
+    dists = {0: np.array([0.01, 0, 0, 0, 0]), 1: np.array([0.01, 0, 0, 0, 0])}
+    out = tmp_path / "und"
+    n = und.undistort_interface_images(itf, dists, str(out))
+    assert n == 2
+    names = {im.name for im in itf.images}
+    assert len(names) == 2                 # distinct outputs
+    a = cv2.imread(itf.images[0].name, 0)
+    b = cv2.imread(itf.images[1].name, 0)
+    assert abs(int(a[24, 32]) - 10) < 3 and abs(int(b[24, 32]) - 200) < 6

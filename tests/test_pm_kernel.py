@@ -299,3 +299,80 @@ def test_slab_row_selection_interpret(monkeypatch):
     worst = s_slab >= s_row  # invalidation can only worsen the score
     assert np.all(agree | worst)
     assert agree.mean() > 0.97, agree.mean()
+
+
+def test_window_vote_ignores_invalid_pixels(monkeypatch):
+    """Zero-depth (invalid) pixels warp to the EPIPOLE; they must not vote
+    on the scoring kernel's patch-window anchor or every valid pixel in the
+    tile saturates at th_robust (interpret mode, any backend).
+
+    The neighbor camera moves FORWARD (z) so the epipole is finite and
+    inside the image — the failure mode needs an in-plane epipole vote."""
+    import numpy as _np
+    from openmvs_tpu.config import DenseOptions
+    from openmvs_tpu.geometry.camera import Camera
+    from openmvs_tpu.densify import _build_pm_data
+    from openmvs_tpu.ops import patchmatch as _pm
+    from openmvs_tpu.ops import pm_kernel
+    from openmvs_tpu.ops.pm_kernel import score_view_pallas
+
+    monkeypatch.setattr(pm_kernel, "INTERPRET", True)
+    # wide image: the failure needs the real warp span and the epipole to
+    # sit further apart than PATCH_COLS, or the window still covers both
+    h, w = 64, 640
+    rng = _np.random.default_rng(0)
+    f = 0.9 * w
+    K = _np.array([[f, 0, w / 2 - 0.5], [0, f, h / 2 - 0.5], [0, 0, 1.0]])
+    ref_cam = Camera(K, _np.eye(3), _np.zeros(3))
+    # neighbor BEHIND the reference with a sideways offset chosen so the
+    # epipole (where zero-depth pixels warp) lands near column 0 while
+    # right-side pixels warp near their own x ~ 500+
+    cx = K[0, 2]
+    dz = 0.4
+    dx = -cx * dz / f
+    nbr_cams = [Camera(K, _np.eye(3), _np.array([-dx, 0.0, -dz]))]
+    ref = rng.uniform(0, 1, (h, w)).astype(_np.float32)
+    nbrs = [rng.uniform(0, 1, (h, w)).astype(_np.float32)]
+    opts = DenseOptions(sub_resolution_levels=0, estimation_iters=1)
+    data = _build_pm_data(ref, ref_cam, nbrs, nbr_cams, opts, 2.0, 10.0,
+                          None, None)
+    key = jnp.zeros(2, jnp.uint32)
+    seed_d = jnp.full((h, w), 5.0, jnp.float32)
+    seed_n = jnp.tile(jnp.asarray([0, 0, -1.0], jnp.float32), (h, w, 1))
+    state = _pm.init_state(data, opts, key, seed_d, seed_n, 1, False)
+    cd = jnp.tile(state.depth[None], (3, 1, 1)) * jnp.asarray(
+        [0.95, 1.0, 1.05])[:, None, None]
+    cn = jnp.tile(state.normal[None], (3, 1, 1, 1))
+    den = jnp.einsum("chwk,hwk->chw", cn, data.X0) * cd
+    safe = jnp.abs(den) > 1e-12
+    inv_nd = jnp.where(safe, 1.0 / jnp.where(safe, den, 1.0), 0.0)
+    j = 0
+
+    # reference scores with all candidates valid
+    full = np.asarray(score_view_pallas(
+        data.views.image[j], data.views.size[j], data.views.Hl[j],
+        data.views.Hm[j], cd, cn, inv_nd, data.X0, data.goff,
+        data.w, data.wtm, data.sum_w, data.norm_sq0,
+        n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust)))
+
+    # zero out SOME pixels (invalid: depth 0) in the right-side tile rows:
+    # their epipole warp (px ~ 0) must not drag the tile's window anchor
+    # away from the valid pixels' px ~ 500+
+    cd0 = np.asarray(cd).copy()
+    cd0[:, :8, 512:544] = 0.0
+    out = np.asarray(score_view_pallas(
+        data.views.image[j], data.views.size[j], data.views.Hl[j],
+        data.views.Hm[j], jnp.asarray(cd0), cn, inv_nd, data.X0, data.goff,
+        data.w, data.wtm, data.sum_w, data.norm_sq0,
+        n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust)))
+
+    # the VALID pixels sharing tiles with the zeroed block keep their scores
+    valid_cols = slice(544, 640)
+    d = np.abs(out[:, :8, valid_cols] - full[:, :8, valid_cols])
+    assert (d < 1e-4).mean() > 0.99, (
+        "valid pixels' scores changed when invalid pixels joined the tile")
+    # and those scores must be REAL (uncorrelated random images score ~1.0),
+    # not the th_robust saturation a dragged window anchor produces
+    th = float(opts.th_robust)
+    assert (np.abs(out[:, :8, valid_cols] - th) > 1e-6).mean() > 0.3, (
+        "tile saturated at th_robust: the window anchor was dragged")
