@@ -78,6 +78,11 @@ class ViewProvider:
         v = self._loader(vid)
         if v is None:
             return None
+        # invalidate() writes through reshape(-1), which is only a VIEW for
+        # contiguous arrays — a cropped/transposed loader result would
+        # silently swallow the zeroing
+        if not v.depth.flags.c_contiguous:
+            v.depth = np.ascontiguousarray(v.depth)
         inv = self._invalid.get(vid)
         if inv is not None and len(inv):
             v.depth.reshape(-1)[inv] = 0
@@ -201,6 +206,7 @@ def fuse_depth_maps(
         member_weights: List[np.ndarray] = [wgt.astype(np.float32)]
         # remember claimed pixels per neighbor so losers can be released
         claims: List[tuple] = []  # (view_id, candidate_rows, lin_pixels)
+        conflicts: List[tuple] = []  # (view_id, candidate_rows, lin_pixels)
 
         for nb_id in ref.neighbor_ids:
             nb = provider.get(nb_id)
@@ -254,22 +260,33 @@ def fuse_depth_maps(
                 member_view_ids.append(np.full(len(winners), nb.image_id, np.uint32))
                 member_weights.append(wb_.astype(np.float32))
                 claims.append((nb.image_id, winners, lin_a[first_pos]))
-                # invalidate neighbor depths the fused point sits in FRONT
-                # of: B measured a surface BEHIND the point, i.e. claims
-                # free space where the point is (SceneDensify.cpp:1572
+                # neighbor depths the fused point sits in FRONT of: B
+                # measured a surface BEHIND the point, i.e. claims free
+                # space where the point is (SceneDensify.cpp:1572
                 # `if (pt.z < depthB) invalidDepths += &depthB`; similar
                 # depths whose normals disagree fall through to the same
-                # test there, so the conflict set is ~agree, not ~similar)
+                # test there, so the conflict set is ~agree, not ~similar).
+                # DEFERRED: the reference zeroes invalidDepths only for
+                # points that are actually STORED, so invalidation waits
+                # for the keep decision below
                 conflict = has_depth & ~agree & (zb < db)
                 conflict &= ~np.isin(lin, uniq)  # pixels merged this round
                 if conflict.any():
-                    provider.invalidate(nb.image_id, np.unique(lin[conflict]))
+                    rows_c = np.nonzero(conflict)[0]
+                    conflicts.append((nb.image_id, rows_c, lin[rows_c]))
             else:
                 conflict = has_depth & ~agree & (zb < db)
                 if conflict.any():
-                    provider.invalidate(nb.image_id, np.unique(lin[conflict]))
+                    rows_c = np.nonzero(conflict)[0]
+                    conflicts.append((nb.image_id, rows_c, lin[rows_c]))
 
         keep = n_views_pt >= n_min_fuse
+        # invalidate conflicts of KEPT points only (reference applies
+        # invalidDepths after `views.size() < nMinViewsFuse` pruning)
+        for cvid, rows_c, lins_c in conflicts:
+            k = keep[rows_c]
+            if k.any():
+                provider.invalidate(cvid, np.unique(lins_c[k]))
         # mark ownership for kept points; release claims of dropped points
         kept_map = np.full(n_cand, -1, np.int64)
         kept_map[keep] = next_point_idx + np.arange(int(keep.sum()))
@@ -335,6 +352,8 @@ def merge_depth_maps(
     point seen by its own view only.  Much faster than fusion; used when the
     caller dedups/filters downstream (e.g. before Delaunay meshing)."""
     pts, cols, nrms, view_ids, weights = [], [], [], [], []
+    any_color = any(v.color is not None for v in views)
+    any_normal = any(v.normal is not None for v in views)
     for v in views:
         ys, xs = np.nonzero(v.depth > 0)
         if len(ys) == 0:
@@ -342,11 +361,17 @@ def merge_depth_maps(
         d = v.depth[ys, xs].astype(np.float64)
         P = v.camera.unproject(np.stack([xs, ys], axis=1).astype(np.float64), d)
         pts.append(P.astype(np.float32))
-        if estimate_color and v.color is not None:
-            cols.append(v.color[ys, xs])
-        if estimate_normal and v.normal is not None:
-            n_cam = v.normal[ys, xs]
-            nrms.append((n_cam @ v.camera.R).astype(np.float32))
+        # under MIXED availability, attribute-less views contribute zero
+        # rows so colors/normals stay aligned with points (all-absent
+        # still yields empty arrays)
+        if estimate_color and any_color:
+            cols.append(v.color[ys, xs] if v.color is not None
+                        else np.zeros((len(ys), 3), np.uint8))
+        if estimate_normal and any_normal:
+            if v.normal is not None:
+                nrms.append((v.normal[ys, xs] @ v.camera.R).astype(np.float32))
+            else:
+                nrms.append(np.zeros((len(ys), 3), np.float32))
         c = v.conf[ys, xs] if v.conf is not None else np.ones(len(ys), np.float32)
         w = 1.0 / (np.maximum(1.0 - c, 0.03) * d * d)
         view_ids.extend([np.array([v.image_id], np.uint32)] * len(ys))

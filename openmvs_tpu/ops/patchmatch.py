@@ -909,8 +909,11 @@ def sweep(
     if use_geom and split and (split == "xla" or _use_pallas()):
         return _sweep_geom_split(state, data, opts, key, n_views, n_perturb,
                                  mode, rescore_state, n_prop, fold)
-    return _sweep_fused(state, data, opts, key, n_views, use_geom, n_perturb,
-                        mode, rescore_state, n_prop, fold)
+    # fold is traced (has_fold static): identical RNG to an eager
+    # fold_in, ONE compile for all iterations sharing (mode, n_prop)
+    return _sweep_fused_jit(state, data, opts, key, n_views, use_geom,
+                            n_perturb, mode, rescore_state, n_prop,
+                            jnp.uint32(fold), has_fold=bool(fold))
 
 
 def _geom_all_views(data: PMData, n_views: int, depth_c: jnp.ndarray) -> jnp.ndarray:
@@ -979,15 +982,24 @@ def _stack_cands(cand):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "opts", "n_perturb", "mode", "parity", "n_prop", "fold"))
-def _build_candidates(state, data, opts, key, parity, n_perturb, mode, n_prop,
-                      fold=0):
-    """(cd, cn, cok) for one parity half-step (the head of _sweep_parity)."""
-    if fold:
+    "opts", "n_perturb", "mode", "parity", "n_prop", "has_fold"))
+def _build_candidates_jit(state, data, opts, key, parity, n_perturb, mode,
+                          n_prop, fold, has_fold):
+    if has_fold:
         key = jax.random.fold_in(key, fold)
     return _stack_cands(
         _prop_cand_list(data, state, opts, n_prop)
         + _perturb_cand_list(data, state, opts, key, parity, n_perturb, mode))
+
+
+def _build_candidates(state, data, opts, key, parity, n_perturb, mode, n_prop,
+                      fold=0):
+    """(cd, cn, cok) for one parity half-step (the head of _sweep_parity).
+
+    fold rides as a TRACED scalar (has_fold static): a static fold value
+    would recompile the candidate/sweep graphs once per iteration index."""
+    return _build_candidates_jit(state, data, opts, key, parity, n_perturb,
+                                 mode, n_prop, jnp.uint32(fold), bool(fold))
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "n_views", "mode", "parity"))
@@ -1034,8 +1046,8 @@ def _sweep_geom_split(state, data, opts, key, n_views, n_perturb, mode,
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop", "fold"))
-def _sweep_fused(
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop", "has_fold"))
+def _sweep_fused_jit(
     state: PMState,
     data: PMData,
     opts: DenseOptions,
@@ -1046,9 +1058,10 @@ def _sweep_fused(
     mode: str = "nn",
     rescore_state: bool = False,
     n_prop: int = len(PROP_OFFSETS),
-    fold: int = 0,
+    fold=0,
+    has_fold: bool = False,
 ) -> PMState:
-    if fold:
+    if has_fold:
         key = jax.random.fold_in(key, fold)
     if rescore_state:
         # scores from a different scoring mode are not comparable: rescore
