@@ -29,6 +29,18 @@ def import_polycam(root: str) -> mvsio.Interface:
         if os.path.isdir(os.path.join(kf, c)):
             cam_dir = os.path.join(kf, c)
             img_dir = os.path.join(kf, i)
+            if not os.path.isdir(img_dir):
+                # exports sometimes carry corrected_cameras without
+                # corrected_images: fall back to the raw images folder
+                # instead of silently importing zero keyframes
+                for alt in ("corrected_images", "images"):
+                    p = os.path.join(kf, alt)
+                    if os.path.isdir(p):
+                        img_dir = p
+                        break
+                else:
+                    raise FileNotFoundError(
+                        f"no keyframes images folder under {kf}")
             break
     if cam_dir is None:
         raise FileNotFoundError(f"no keyframes/cameras under {root}")

@@ -51,6 +51,9 @@ def import_nvm(path: str, images_folder: str = "",
         if os.path.exists(img_path):
             with PILImage.open(img_path) as im:
                 w, h = im.size
+        else:
+            log.warning("NVM image missing: %s (camera keeps w=h=0; fix "
+                        "the images folder before densifying)", img_path)
         K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1.0]])
         R = qvec_to_R(q)
         plat = mvsio.Platform(
@@ -130,12 +133,19 @@ def import_bundler(out_path: str, list_path: str = "",
     _dists = {}
     from PIL import Image as PILImage
 
+    orig_to_new = {}
+    n_missing = 0
     for i in range(n_cams):
         focal = float(next(it))
         k1 = float(next(it))
         k2 = float(next(it))
         R_gl = np.array([[float(next(it)) for _ in range(3)] for _ in range(3)])
         t_gl = np.array([float(next(it)) for _ in range(3)])
+        if focal <= 0:
+            # unregistered camera (Bundler writes '0 0 0' and zero
+            # matrices for images that failed to register): skip — a
+            # singular K would blow up every downstream inverse
+            continue
         R = S @ R_gl
         t = S @ t_gl
         C = -R.T @ t
@@ -145,7 +155,11 @@ def import_bundler(out_path: str, list_path: str = "",
         if os.path.exists(img_path):
             with PILImage.open(img_path) as im:
                 w, h = im.size
+        else:
+            n_missing += 1
         K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1.0]])
+        j = len(itf.images)
+        orig_to_new[i] = j
         plat = mvsio.Platform(
             name=f"cam{i}",
             cameras=[mvsio.CameraRig(name=name, width=w, height=h, K=K)],
@@ -153,10 +167,14 @@ def import_bundler(out_path: str, list_path: str = "",
         )
         itf.platforms.append(plat)
         itf.images.append(mvsio.ImageMeta(
-            name=img_path, platform_id=i, camera_id=0, pose_id=0, id=i))
+            name=img_path, platform_id=j, camera_id=0, pose_id=0, id=j))
         if abs(k1) > 1e-12 or abs(k2) > 1e-12:
             # bundler distorts in normalized coords: p' = p (1 + k1 r^2 + k2 r^4)
-            _dists[i] = np.array([k1, k2, 0, 0, 0])
+            _dists[j] = np.array([k1, k2, 0, 0, 0])
+    if n_missing:
+        log.warning("%d/%d images not found under %s: widths/principal "
+                    "points default to 0 — pass the correct images folder",
+                    n_missing, len(itf.images), folder)
 
     if _dists:
         from openmvs_tpu.interfaces import undistort as und
@@ -174,7 +192,7 @@ def import_bundler(out_path: str, list_path: str = "",
             img_idx = int(next(it))
             next(it); next(it); next(it)
             vs.add(img_idx)
-        vs = sorted(v for v in vs if v < n_cams)
+        vs = sorted(orig_to_new[v] for v in vs if v in orig_to_new)
         if len(vs) < 2:
             continue
         pts.append(X)

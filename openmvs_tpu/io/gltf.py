@@ -21,14 +21,25 @@ def save_mesh_glb(
     faces: np.ndarray,
     face_tex_coords: Optional[np.ndarray] = None,   # (nf, 3, 2)
     texture: Optional[np.ndarray] = None,           # (th, tw, 3) uint8
+    textures: Optional[list] = None,                # multi-page atlases
+    face_page: Optional[np.ndarray] = None,         # (nf,) page per face
 ):
-    has_tex = face_tex_coords is not None and texture is not None
+    if len(vertices) == 0 or len(faces) == 0:
+        raise ValueError("cannot write an empty mesh to glb")
+    pages = (list(textures) if textures is not None
+             else ([texture] if texture is not None else []))
+    has_tex = face_tex_coords is not None and len(pages) > 0
+    fp = (np.asarray(face_page, np.int64) if face_page is not None
+          else np.zeros(len(faces), np.int64))
     if has_tex:
-        # per-corner texcoords need per-corner vertices
-        v = vertices[faces.reshape(-1)].astype(np.float32)
-        uv = face_tex_coords.reshape(-1, 2).astype(np.float32)
+        # per-corner texcoords need per-corner vertices; faces grouped by
+        # page so each page becomes its own primitive+material
+        order = np.argsort(fp, kind="stable")
+        v = vertices[faces[order].reshape(-1)].astype(np.float32)
+        uv = face_tex_coords[order].reshape(-1, 2).astype(np.float32)
         uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=-1)  # glTF v: top-down
         idx = np.arange(len(v), dtype=np.uint32)
+        fp_sorted = fp[order]
     else:
         v = vertices.astype(np.float32)
         uv = None
@@ -62,34 +73,54 @@ def save_mesh_glb(
         accessors.append({"bufferView": uv_view, "componentType": 5126,
                           "count": len(uv), "type": "VEC2"})
         attrs["TEXCOORD_0"] = len(accessors) - 1
-    idx_view = add(idx.tobytes(), 34963)
-    accessors.append({"bufferView": idx_view, "componentType": 5125,
-                      "count": len(idx), "type": "SCALAR"})
-    idx_acc = len(accessors) - 1
+    # one index accessor (and primitive) per atlas page
+    prims = []
+    if has_tex and len(pages) > 1:
+        page_of_face = fp_sorted
+        bounds = np.searchsorted(page_of_face,
+                                 np.arange(len(pages) + 1))
+        ranges = [(int(bounds[p]) * 3, int(bounds[p + 1]) * 3, p)
+                  for p in range(len(pages)) if bounds[p + 1] > bounds[p]]
+    else:
+        ranges = [(0, len(idx), 0)]
+    for lo_i, hi_i, page in ranges:
+        idx_view = add(idx[lo_i:hi_i].tobytes(), 34963)
+        accessors.append({"bufferView": idx_view, "componentType": 5125,
+                          "count": hi_i - lo_i, "type": "SCALAR"})
+        prims.append({"attributes": attrs, "indices": len(accessors) - 1,
+                      "mode": 4, "_page": page})
 
     doc = {
         "asset": {"version": "2.0", "generator": "openmvs_tpu"},
         "scene": 0,
         "scenes": [{"nodes": [0]}],
         "nodes": [{"mesh": 0}],
-        "meshes": [{"primitives": [{"attributes": attrs, "indices": idx_acc,
-                                    "mode": 4}]}],
+        "meshes": [{"primitives": prims}],
         "bufferViews": views,
         "accessors": accessors,
     }
     if has_tex:
         from PIL import Image
 
-        buf = io.BytesIO()
-        Image.fromarray(texture).save(buf, format="PNG")
-        img_view = add(buf.getvalue(), None)
-        doc["images"] = [{"bufferView": img_view, "mimeType": "image/png"}]
+        doc["images"] = []
         doc["samplers"] = [{"magFilter": 9729, "minFilter": 9729}]
-        doc["textures"] = [{"source": 0, "sampler": 0}]
-        doc["materials"] = [{"pbrMetallicRoughness": {
-            "baseColorTexture": {"index": 0},
-            "metallicFactor": 0.0, "roughnessFactor": 1.0}}]
-        doc["meshes"][0]["primitives"][0]["material"] = 0
+        doc["textures"] = []
+        doc["materials"] = []
+        for pg, img_arr in enumerate(pages):
+            buf = io.BytesIO()
+            Image.fromarray(img_arr).save(buf, format="PNG")
+            img_view = add(buf.getvalue(), None)
+            doc["images"].append({"bufferView": img_view,
+                                  "mimeType": "image/png"})
+            doc["textures"].append({"source": pg, "sampler": 0})
+            doc["materials"].append({"pbrMetallicRoughness": {
+                "baseColorTexture": {"index": pg},
+                "metallicFactor": 0.0, "roughnessFactor": 1.0}})
+        for prim in prims:
+            prim["material"] = prim.pop("_page")
+    else:
+        for prim in prims:
+            prim.pop("_page", None)
 
     bin_chunk = b"".join(buffers)
     bin_chunk += b"\x00" * ((-len(bin_chunk)) % 4)

@@ -62,7 +62,7 @@ def compute_tower_cylinder(
 
     min_cam_z = float(C[:, 2].min())
     center = mean[:2].copy()
-    z_min = min(float(C[:, 2].max()), min_cam_z) - 5.0
+    z_min = min_cam_z - 5.0
     z_max = float(C[:, 2].max())
     if len(scene.pointcloud) > 0:
         pz = np.asarray(scene.pointcloud.points)[:, 2]
@@ -202,10 +202,25 @@ def init_tower_scene(scene: Scene, tower_mode: int, opts=None) -> bool:
     mode = abs(tower_mode)
 
     def append(dst: PointCloud, src: PointCloud) -> PointCloud:
+        def opt(a, b, nd, dtype):
+            # keep normals/colors when EITHER side carries them (pad the
+            # other with zeros); drop only when both sides lack them
+            ha = len(a.normals if nd == "n" else a.colors) == len(a.points)
+            hb = len(b.normals if nd == "n" else b.colors) == len(b.points)
+            if not (ha or hb):
+                return np.zeros((0, 3), dtype)
+            xa = (np.asarray(a.normals if nd == "n" else a.colors)
+                  if ha else np.zeros((len(a.points), 3), dtype))
+            xb = (np.asarray(b.normals if nd == "n" else b.colors)
+                  if hb else np.zeros((len(b.points), 3), dtype))
+            return np.concatenate([xa, xb]).astype(dtype)
+
         return PointCloud(
             points=np.concatenate([np.asarray(dst.points), np.asarray(src.points)]),
             views=list(dst.views) + list(src.views),
             weights=list(dst.weights) + list(src.weights),
+            normals=opt(dst, src, "n", np.float32),
+            colors=opt(dst, src, "c", np.uint8),
         )
 
     if mode == 1:

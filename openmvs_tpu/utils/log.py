@@ -19,7 +19,10 @@ _configured = False
 def get_logger(name: str) -> logging.Logger:
     global _configured
     if not _configured:
-        level = logging.DEBUG if os.environ.get("OPENMVS_TPU_VERBOSE") else logging.INFO
+        level = (logging.DEBUG
+                 if (os.environ.get("OPENMVS_TPU_VERBOSE")
+                     or os.environ.get("OMVS_VERBOSE", "2") not in ("", "0", "1", "2"))
+                 else logging.INFO)
         logging.basicConfig(level=level, format=_FORMAT, datefmt="%H:%M:%S")
         _configured = True
     return logging.getLogger(f"omvs.{name}")
@@ -34,16 +37,19 @@ def timed(log: logging.Logger, label: str):
         log.info("%s (%.2fs)", label, time.perf_counter() - t0)
 
 
-import os as _os
-
 # verbosity level gating extra artifact dumps (the reference's
 # g_nVerbosityLevel, Common.h:17-41; levels >2 dump per-view depth/normal/
-# confidence images, >4 per-view point clouds, SceneDensify.cpp:2099-2110)
+# confidence images, >4 per-view point clouds, SceneDensify.cpp:2099-2110).
+# OMVS_VERBOSE and OPENMVS_TPU_VERBOSE are aliases (the larger wins) so one
+# knob controls both log level and artifact dumps.
 def verbosity() -> int:
-    try:
-        return int(_os.environ.get("OMVS_VERBOSE", "2"))
-    except ValueError:
-        return 2
+    vals = [2]
+    for var in ("OMVS_VERBOSE", "OPENMVS_TPU_VERBOSE"):
+        try:
+            vals.append(int(os.environ.get(var, "0")))
+        except ValueError:
+            pass
+    return max(vals)
 
 
 def dump_depth_artifacts(folder: str, view_id: int, depth, normal=None,
@@ -57,22 +63,22 @@ def dump_depth_artifacts(folder: str, view_id: int, depth, normal=None,
         import cv2
     except Exception:
         return
-    _os.makedirs(folder, exist_ok=True)
+    os.makedirs(folder, exist_ok=True)
     d = np.asarray(depth)
     valid = d > 0
     if valid.any():
         lo, hi = np.percentile(d[valid], 2), np.percentile(d[valid], 98)
         vis = np.where(valid, np.clip((d - lo) / max(hi - lo, 1e-9), 0, 1), 0)
-        cv2.imwrite(_os.path.join(folder, f"depth{view_id:04d}.png"),
+        cv2.imwrite(os.path.join(folder, f"depth{view_id:04d}.png"),
                     cv2.applyColorMap((vis * 255).astype(np.uint8),
                                       cv2.COLORMAP_JET))
     if normal is not None:
         n = np.asarray(normal)
-        cv2.imwrite(_os.path.join(folder, f"normal{view_id:04d}.png"),
+        cv2.imwrite(os.path.join(folder, f"normal{view_id:04d}.png"),
                     ((n * 0.5 + 0.5) * 255).astype(np.uint8)[..., ::-1])
     if conf is not None:
         c = np.clip(np.asarray(conf), 0, 1)
-        cv2.imwrite(_os.path.join(folder, f"conf{view_id:04d}.png"),
+        cv2.imwrite(os.path.join(folder, f"conf{view_id:04d}.png"),
                     (c * 255).astype(np.uint8))
 
 
@@ -82,7 +88,7 @@ class profile_trace:
     analogue of the reference's TD_TIMER VERBOSE lines)."""
 
     def __init__(self, tag: str):
-        self.dir = _os.environ.get("OMVS_PROFILE_DIR", "")
+        self.dir = os.environ.get("OMVS_PROFILE_DIR", "")
         self.tag = tag
         self._cm = None
 
@@ -91,7 +97,7 @@ class profile_trace:
             import jax
 
             self._cm = jax.profiler.trace(
-                _os.path.join(self.dir, self.tag), create_perfetto_link=False)
+                os.path.join(self.dir, self.tag), create_perfetto_link=False)
             self._cm.__enter__()
         return self
 

@@ -83,6 +83,8 @@ class Octree:
         `depth` — the linear sweep equivalent of TOctree traversal."""
         shift = 3 * (_MAX_DEPTH - depth)
         keys = self.codes >> shift
+        if len(keys) == 0:
+            return
         cut = np.flatnonzero(np.diff(keys)) + 1
         starts = np.concatenate([[0], cut])
         ends = np.concatenate([cut, [len(keys)]])
@@ -100,10 +102,44 @@ class Octree:
     # ---------------------------------------------------------- queries
 
     def collect_box(self, lo, hi) -> np.ndarray:
-        """Indices of points inside the axis-aligned box (TOctree::Collect)."""
-        P = self.points
-        m = np.all((P >= np.asarray(lo)) & (P <= np.asarray(hi)), axis=1)
-        return np.flatnonzero(m)
+        """Indices of points inside the axis-aligned box (TOctree::Collect):
+        Morton cell ranges prefilter the candidates (the pointer octree's
+        pruning, linearized), exact test only on candidate cells."""
+        lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
+        if len(self.points) == 0:
+            return np.zeros(0, np.int64)
+        ext = float(max(hi.max() - lo.min(), 1e-12))
+        depth = max(1, min(_MAX_DEPTH,
+                           int(np.log2(max(self.size / ext, 1))) + 1))
+        edge = self.size / (1 << depth)
+        n_cells = 1 << depth
+        lo_cell = np.clip(np.floor((lo - self.origin) / edge).astype(np.int64),
+                          0, n_cells - 1)
+        hi_cell = np.clip(np.floor((hi - self.origin) / edge).astype(np.int64),
+                          0, n_cells - 1)
+        # cap the cell sweep: a box spanning most of the tree degenerates
+        # to the full scan anyway
+        n_sweep = (int(hi_cell[0] - lo_cell[0] + 1)
+                   * int(hi_cell[1] - lo_cell[1] + 1)
+                   * int(hi_cell[2] - lo_cell[2] + 1))
+        if n_sweep > 4096:
+            P = self.points
+            m = np.all((P >= lo) & (P <= hi), axis=1)
+            return np.flatnonzero(m)
+        out = []
+        for cx in range(lo_cell[0], hi_cell[0] + 1):
+            for cy in range(lo_cell[1], hi_cell[1] + 1):
+                for cz in range(lo_cell[2], hi_cell[2] + 1):
+                    s, e = self.cell_range(depth, (cx, cy, cz))
+                    if e > s:
+                        out.append(self.order[s:e])
+        if not out:
+            return np.zeros(0, np.int64)
+        idx = np.concatenate(out)
+        P = self.points[idx]
+        m = np.all((P >= lo) & (P <= hi), axis=1)
+        return idx[m]
 
     def collect_sphere(self, center, radius: float) -> np.ndarray:
         """Indices of points within `radius` of `center`; the box prefilter
