@@ -24,6 +24,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# BENCH_ENV.json (written by scripts/tpu_validation.sh after its A/B gate
+# checks pass on real hardware) holds battery-validated env config — e.g.
+# {"OMVS_GEOM_SPLIT": "1"}.  Explicit env always wins.
+_env_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_ENV.json")
+if os.path.exists(_env_file):
+    try:
+        for _k, _v in json.load(open(_env_file)).items():
+            if not _k.startswith("_"):
+                os.environ.setdefault(_k, str(_v))
+    except (ValueError, OSError):
+        pass
+
 BASELINE_DEPTH_MAPS_PER_S = 0.17
 
 

@@ -67,4 +67,48 @@ log "5. bench.py (default path)"
 timeout 2400 python bench.py > "$OUT/5_bench.log" 2>&1
 log "   rc=$? ($(tail -1 "$OUT/5_bench.log"))"
 
+log "5b. bench.py with OMVS_GEOM_SPLIT=1 (candidate default)"
+OMVS_GEOM_SPLIT=1 timeout 2400 python bench.py > "$OUT/5b_bench_split.log" 2>&1
+log "   rc=$? ($(tail -1 "$OUT/5b_bench_split.log"))"
+
+log "6. decide BENCH_ENV.json from the A/B results"
+python - "$OUT" <<'PYEOF' 2>&1 | tee -a "$OUT/summary.log"
+import json, os, re, sys
+out = sys.argv[1]
+
+def bench_value(path):
+    try:
+        for line in open(path):
+            if line.startswith("{") and "vs_baseline" in line:
+                return json.loads(line)["value"]
+    except OSError:
+        pass
+    return None
+
+def gate(path):
+    try:
+        txt = open(path).read()
+    except OSError:
+        return None
+    m = re.search(r"RESULT \w+: points=(\d+) raw=(\d+) clean=(\d+)", txt)
+    if not m:
+        return None
+    pts, raw, clean = map(int, m.groups())
+    # the pipeline test's thresholds (tests/test_pipeline_full.py)
+    return pts >= 200_000 and raw >= 75_000 and 35_000 <= clean <= 45_000
+
+v0 = bench_value(os.path.join(out, "5_bench.log"))
+v1 = bench_value(os.path.join(out, "5b_bench_split.log"))
+ok = gate(os.path.join(out, "4_split_kernel.log"))
+print(f"bench default={v0} split={v1} split-kernel gates ok={ok}")
+if v0 and v1 and ok and v1 > v0 * 1.05:
+    with open("/root/repo/BENCH_ENV.json", "w") as f:
+        json.dump({"OMVS_GEOM_SPLIT": "1",
+                   "_basis": f"battery: {v1:.3f} vs {v0:.3f} dm/s, gates ok"},
+                  f, indent=1)
+    print("wrote BENCH_ENV.json: OMVS_GEOM_SPLIT=1")
+else:
+    print("keeping default bench config")
+PYEOF
+
 log "DONE"
