@@ -373,7 +373,8 @@ def main(argv=None):
             save_mesh_obj(
                 f"{base}_textured.obj", out_mesh.vertices, out_mesh.faces,
                 face_tex_coords=out_mesh.face_tex_coords,
-                texture=out_mesh.texture)
+                texture=out_mesh.texture, textures=out_mesh.textures,
+                face_page=out_mesh.face_page)
             print(f"texture transferred -> {base}_textured.obj")
             return
         if args.align_file:

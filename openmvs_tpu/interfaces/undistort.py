@@ -86,15 +86,17 @@ def undistort_interface_images(
             K = K * np.array([[s, s, s], [s, s, s], [1, 1, 1]])
         und = undistort_image(img, K, dist)
         # same basename from different subfolders (rig layouts) must not
-        # overwrite each other in the flat out_dir
+        # overwrite each other in the flat out_dir; the renamed candidate
+        # must ALSO avoid genuine inputs like stem_1.ext
         base = os.path.basename(src)
-        if base in used_names:
-            used_names[base] += 1
-            stem, ext = os.path.splitext(base)
-            base = f"{stem}_{used_names[base]}{ext}"
-        else:
-            used_names[base] = 0
-        dst = os.path.join(out_dir, base)
+        stem, ext = os.path.splitext(base)
+        k = 0
+        cand = base
+        while cand in used_names:
+            k += 1
+            cand = f"{stem}_{k}{ext}"
+        used_names[cand] = 1
+        dst = os.path.join(out_dir, cand)
         cv2.imwrite(dst, und)
         meta.name = dst
         n += 1

@@ -215,11 +215,14 @@ def load(path: str) -> Interface:
         marks = np.zeros(pos + 1, np.int8)
         marks[starts] += 1          # unique indices: fancy assignment beats
         marks[starts + 20] -= 1     # ufunc.at by ~40x at this size
-        hdr_mask = np.cumsum(marks[:-1], dtype=np.int8).astype(bool)
-        hdr = np.frombuffer(u8[hdr_mask].tobytes(),
-                            np.dtype([("xyz", "<f4", (3,)), ("cnt", "<u8")]))
+        np.cumsum(marks[:-1], dtype=np.int8, out=marks[:-1])  # in place
+        hdr_mask = marks[:-1].view(bool)
+        # masked gathers are fresh contiguous arrays: reinterpret with
+        # .view() instead of a tobytes() copy (halves transient memory)
+        hdr = u8[hdr_mask].view(
+            np.dtype([("xyz", "<f4", (3,)), ("cnt", "<u8")]))
         pts = hdr["xyz"].astype(np.float32).reshape(-1, 3)
-        recs = np.frombuffer(u8[~hdr_mask].tobytes(), np.dtype("<u4, <f4"))
+        recs = u8[~hdr_mask].view(np.dtype("<u4, <f4"))
         allv = np.ascontiguousarray(recs["f0"], np.uint32)
         allc = np.ascontiguousarray(recs["f1"], np.float32)
         split = np.cumsum(counts)[:-1]
@@ -323,9 +326,10 @@ def save(itf: Interface, path: str):
             marks = np.zeros(len(out) + 1, np.int8)
             marks[starts] += 1
             marks[starts + 20] -= 1
-            hdr_mask = np.cumsum(marks[:-1], dtype=np.int8).astype(bool)
-            out[hdr_mask] = np.frombuffer(hdr.tobytes(), np.uint8)
-            out[~hdr_mask] = np.frombuffer(rec.tobytes(), np.uint8)
+            np.cumsum(marks[:-1], dtype=np.int8, out=marks[:-1])
+            hdr_mask = marks[:-1].view(bool)
+            out[hdr_mask] = hdr.view(np.uint8)
+            out[~hdr_mask] = rec.view(np.uint8)
         f.write(out.tobytes())
 
         _wr(f, "Q", len(itf.normals))

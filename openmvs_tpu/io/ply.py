@@ -163,6 +163,20 @@ def load(path: str) -> PlyData:
         return out
 
 
+def _fan_triangulate(lists) -> np.ndarray:
+    """Ragged per-face index lists -> (n, 3) triangles (quads and larger
+    polygons fan around their first vertex).  Keeping the loader's output
+    uniformly triangular means every consumer (Scene, viewer, CLI mesh
+    flags) handles polygon PLYs without special cases."""
+    tris = []
+    for f in lists:
+        f = np.asarray(f, np.int64)
+        for k in range(1, len(f) - 1):
+            tris.append((f[0], f[k], f[k + 1]))
+    return (np.asarray(tris, np.int64) if tris
+            else np.zeros((0, 3), np.int64))
+
+
 def _load_binary(f, elements, out: PlyData, endian: str):
     for name, count, props in elements:
         is_fixed = all(kind == "scalar" for _, kind, _, _ in props)
@@ -203,7 +217,7 @@ def _load_binary(f, elements, out: PlyData, endian: str):
                 lists.append(np.frombuffer(blob, idt, n_, pos).astype(np.int64))
                 pos += idt.itemsize * n_
             f.seek(f.tell() - (len(blob) - pos))
-            out.elements[name] = {pname: lists}
+            out.elements[name] = {pname: _fan_triangulate(lists)}
         else:
             # general mixed scalar+list rows: parse row by row
             rows = {pname: [] for pname, _, _, _ in props}
@@ -231,7 +245,20 @@ def _load_ascii(f, elements, out: PlyData):
                     k = int(vals[i])
                     rows[pname].append(np.array(vals[i + 1 : i + 1 + k], dtype=item_t))
                     i += 1 + k
-        out.elements[name] = {
-            k: (np.asarray(v) if not len(v) or not isinstance(v[0], np.ndarray) else np.stack(v))
-            for k, v in rows.items()
-        }
+        kinds = {pname: kind for pname, kind, _, _ in props}
+
+        def _pack(k, v):
+            if not len(v) or not isinstance(v[0], np.ndarray):
+                return np.asarray(v)
+            uniform = all(len(x) == len(v[0]) for x in v)
+            # index lists that are not triangles (ragged, or uniform quads+)
+            # fan-triangulate; non-integer lists (e.g. texcoords) stack as-is
+            if (kinds.get(k) == "list"
+                    and np.issubdtype(np.asarray(v[0]).dtype, np.integer)
+                    and (not uniform or len(v[0]) != 3)):
+                return _fan_triangulate(v)
+            if uniform:
+                return np.stack(v)
+            return _fan_triangulate(v)
+
+        out.elements[name] = {k: _pack(k, v) for k, v in rows.items()}

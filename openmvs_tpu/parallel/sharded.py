@@ -432,7 +432,12 @@ def estimate_views_sharded(scene, opts, mesh: Mesh, prev_results=None,
                              img.meta.id not in prev_results):
             continue
         num = opts.num_views if opts.num_views > 0 else len(neighbors)
-        nbr_ids = [vs.id for vs in neighbors[:num] if vs.id in id_to_idx]
+        # filter-then-slice, matching the serial estimate_depth_map: absent
+        # scored neighbors backfill with later valid ones, and a view with
+        # ZERO present neighbors is skipped (not estimated against padding)
+        nbr_ids = [vs.id for vs in neighbors if vs.id in id_to_idx][:num]
+        if not nbr_ids:
+            continue
         nbr_imgs = [scene.images[id_to_idx[i]] for i in nbr_ids]
         pts_sel, trusted = [], []
         for i, v in enumerate(scene.pointcloud.views):
