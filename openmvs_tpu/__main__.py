@@ -48,6 +48,65 @@ def _build_opts(cls, args) -> object:
     return cls(**kw)
 
 
+
+
+def _project_image_points(scene, points_file: str):
+    """ReconstructMesh --image-points-file (ReconstructMesh.cpp:275-330):
+    cast each listed pixel of the named image onto the scene mesh and write
+    the 3D intersections to `<points_file>_3D`.  The ray cast is realized
+    by rendering the mesh depth for that view (native z-buffer) and
+    unprojecting the sampled depth — identical up to rasterization
+    resolution."""
+    from openmvs_tpu import native
+    from openmvs_tpu.texture import _project
+
+    if not len(scene.mesh.faces):
+        raise SystemExit("--image-points-file requires a scene with a mesh")
+    img_name = None
+    pts = []
+    for line in open(points_file):
+        t = line.split()
+        if not t or t[0].startswith("#"):
+            continue
+        if img_name is None:
+            img_name = t[0]
+            continue
+        if len(t) >= 2:
+            pts.append((float(t[0]), float(t[1])))
+    if img_name is None or not pts:
+        raise SystemExit(f"no image name / points in {points_file}")
+    img = None
+    for im in scene.images:
+        if os.path.basename(im.meta.name) == os.path.basename(img_name):
+            img = im
+            break
+    if img is None:
+        raise SystemExit(f"image named {img_name} not in the scene")
+    cam = img.camera
+    H, W = img.height, img.width
+    if not (H and W):
+        raise SystemExit(f"image {img_name} has no resolution metadata")
+    proj = _project(cam, scene.mesh.vertices.astype(np.float64))
+    fid, depth, _ = native.rasterize(proj, scene.mesh.faces, H, W,
+                                     want_bary=False)
+    depth = np.where(fid >= 0, depth, 0.0)
+    base, ext = os.path.splitext(points_file)
+    out_path = f"{base}_3D{ext}"
+    n_out = 0
+    with open(out_path, "w") as f:
+        f.write(f"{img_name} {len(pts)}\n")
+        for x, y in pts:
+            xi, yi = int(round(x)), int(round(y))
+            if 0 <= xi < W and 0 <= yi < H and depth[yi, xi] > 0:
+                X = cam.unproject(np.array([[x, y]], np.float64),
+                                  np.array([depth[yi, xi]], np.float64))[0]
+                f.write(f"{X[0]:.7f} {X[1]:.7f} {X[2]:.7f}\n")
+                n_out += 1
+            else:
+                f.write("-\n")
+    return n_out, out_path
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = argparse.ArgumentParser(prog="openmvs_tpu")
@@ -71,6 +130,12 @@ def main(argv=None):
     p.add_argument("--crop-to-roi", action="store_true",
                    help="crop the fused cloud to the scene ROI "
                         "(DensifyPointCloud.cpp:273-432 behavior)")
+    p.add_argument("--split-max-points", type=int, default=0,
+                   help="split the scene into sub-scene chunk .mvs files "
+                        "of at most this many points each and exit "
+                        "(DensifyPointCloud --sub-scene-area analogue: the "
+                        "reference bounds per-chunk sampling AREA, here "
+                        "per-chunk point count bounds the same memory)")
     p.add_argument("--filter-point-cloud", type=int, default=0,
                    help="<0: filter the dense cloud by ray visibility with "
                         "this threshold (Scene::PointCloudFilter)")
@@ -104,6 +169,12 @@ def main(argv=None):
     p.add_argument("--split-max-faces", type=int, default=0,
                    help="if >0, also save the mesh as spatial chunks of at "
                         "most this many faces (ReconstructMesh mesh-split)")
+    p.add_argument("--image-points-file", default="",
+                   help="text file: first non-comment line an image name, "
+                        "then 'x y' pixel coords; projects each onto the "
+                        "scene mesh and writes the 3D hits next to the "
+                        "input as *_3D (ReconstructMesh "
+                        "--image-points-file)")
     p.add_argument("--chunk-max-points", type=int, default=0,
                    help="if >0, reconstruct in spatial chunks of at most "
                         "this many points each (overlap band + automatic "
@@ -246,6 +317,19 @@ def main(argv=None):
             print(f"mesh rendered into {n} depth maps "
                   f"-> {args.export_depth_maps_name}")
             return
+        if args.split_max_points > 0:
+            from openmvs_tpu.split import export_chunks, split_scene
+
+            chunks = split_scene(scene, max_points=args.split_max_points)
+            folder = os.path.dirname(os.path.abspath(
+                args.output or args.scene)) or "."
+            stem = os.path.splitext(os.path.basename(
+                args.output or args.scene))[0]
+            paths = export_chunks(scene, chunks, folder, prefix=stem)
+            for cp in paths:
+                print(f"  chunk -> {cp}")
+            print(f"scene split into {len(paths)} sub-scenes")
+            return
         if args.view_neighbors_file:
             scene.load_view_neighbors(args.view_neighbors_file)
         if args.output_view_neighbors_file:
@@ -288,6 +372,11 @@ def main(argv=None):
 
         scene = Scene.load(args.scene)
         opts = _build_opts(MeshOptions, args)
+        if args.image_points_file:
+            n_out, out_path = _project_image_points(
+                scene, args.image_points_file)
+            print(f"{n_out} image points projected on the mesh -> {out_path}")
+            return
         if args.chunk_max_points > 0:
             from openmvs_tpu.reconstruct import reconstruct_mesh_chunked
 
