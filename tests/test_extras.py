@@ -792,3 +792,25 @@ def test_pipeline_stage_marker_resume(tmp_path):
     # marker now present -> skipped
     pl.run_stage("s", out, fn)
     assert calls == [1]
+
+
+def test_octree_collect_box_matches_bruteforce():
+    from openmvs_tpu.utils.octree import Octree
+
+    rng = np.random.default_rng(0)
+    P = rng.uniform(-5, 5, (5000, 3))
+    t = Octree.build(P)
+    lo, hi = np.array([-1.0, -1, -1]), np.array([0.5, 2, 0.3])
+    got = np.sort(t.collect_box(lo, hi))
+    want = np.sort(np.flatnonzero(np.all((P >= lo) & (P <= hi), axis=1)))
+    np.testing.assert_array_equal(got, want)
+    assert list(Octree.build(np.zeros((0, 3))).cells(3)) == []
+
+
+def test_mvs_empty_cloud_roundtrip(tmp_path):
+    from openmvs_tpu.io import mvs as mvsio2
+
+    p = str(tmp_path / "e.mvs")
+    mvsio2.save(mvsio2.Interface(), p)
+    back = mvsio2.load(p)
+    assert len(back.points) == 0 and back.point_views == []

@@ -227,3 +227,66 @@ def test_scene_load_dmap(tmp_path):
     # unprojected depths reproject to z=4 in the camera
     Xc = (sc.pointcloud.points - np.array([1.0, 0, 0])) @ np.eye(3).T
     np.testing.assert_allclose(Xc[:, 2], 4.0, atol=1e-5)
+
+
+def test_glb_multipage_roundtrip(tmp_path):
+    """Multi-page atlases export one primitive+material per page; the
+    single-page path and empty-mesh error stay intact."""
+    import json
+    import struct
+
+    from openmvs_tpu.io.gltf import load_mesh_glb, save_mesh_glb
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    ftc = np.tile(np.array([[0, 0], [1, 0], [0, 1]], np.float32), (2, 1, 1))
+    pages = [np.full((8, 8, 3), 60, np.uint8), np.full((8, 8, 3), 200, np.uint8)]
+    p = str(tmp_path / "m.glb")
+    save_mesh_glb(p, v, f, face_tex_coords=ftc, textures=pages,
+                  face_page=np.array([0, 1], np.int32))
+    with open(p, "rb") as fh:
+        fh.read(12)
+        jlen, _ = struct.unpack("<II", fh.read(8))
+        doc = json.loads(fh.read(jlen))
+    prims = doc["meshes"][0]["primitives"]
+    assert len(prims) == 2 and len(doc["images"]) == 2
+    assert [pr["material"] for pr in prims] == [0, 1]
+    p2 = str(tmp_path / "s.glb")
+    save_mesh_glb(p2, v, f, face_tex_coords=ftc, texture=pages[0])
+    _, f2 = load_mesh_glb(p2)[:2]
+    assert len(f2) == 2
+    with pytest.raises(ValueError):
+        save_mesh_glb(str(tmp_path / "e.glb"), np.zeros((0, 3)),
+                      np.zeros((0, 3), np.int32))
+
+
+def test_ply_polygon_faces_triangulate(tmp_path):
+    """Polygon PLY faces (ascii and binary, uniform quads and ragged) load
+    as fan-triangulated (n, 3) arrays for every consumer."""
+    import struct
+
+    from openmvs_tpu.io import ply as plyio
+
+    p = str(tmp_path / "q.ply")
+    open(p, "w").write(
+        "ply\nformat ascii 1.0\nelement vertex 4\nproperty float x\n"
+        "property float y\nproperty float z\nelement face 1\n"
+        "property list uchar int vertex_indices\nend_header\n"
+        "0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n")
+    assert plyio.load(p).faces.shape == (2, 3)
+    p2 = str(tmp_path / "qb.ply")
+    with open(p2, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\nelement vertex 4\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"element face 2\n"
+                b"property list uchar int vertex_indices\nend_header\n")
+        for vv in [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]:
+            f.write(struct.pack("<fff", *vv))
+        f.write(struct.pack("<Biiii", 4, 0, 1, 2, 3))
+        f.write(struct.pack("<Biii", 3, 0, 1, 2))
+    assert plyio.load(p2).faces.shape == (3, 3)
+    # empty face element round-trips
+    p3 = str(tmp_path / "e.ply")
+    plyio.save_mesh(p3, np.zeros((3, 3), np.float32),
+                    np.zeros((0, 3), np.int32))
+    assert len(plyio.load(p3).faces) == 0
