@@ -71,6 +71,10 @@ log "5b. bench.py with OMVS_GEOM_SPLIT=1 (candidate default)"
 OMVS_GEOM_SPLIT=1 timeout 2400 python bench.py > "$OUT/5b_bench_split.log" 2>&1
 log "   rc=$? ($(tail -1 "$OUT/5b_bench_split.log"))"
 
+log "5c. bench.py with OMVS_GEOM_FUSED=1 (candidate default)"
+OMVS_GEOM_FUSED=1 timeout 2400 python bench.py > "$OUT/5c_bench_fused.log" 2>&1
+log "   rc=$? ($(tail -1 "$OUT/5c_bench_fused.log"))"
+
 log "6. decide BENCH_ENV.json from the A/B results"
 python - "$OUT" <<'PYEOF' 2>&1 | tee -a "$OUT/summary.log"
 import json, os, re, sys
@@ -98,15 +102,23 @@ def gate(path):
     return pts >= 200_000 and raw >= 75_000 and 35_000 <= clean <= 45_000
 
 v0 = bench_value(os.path.join(out, "5_bench.log"))
-v1 = bench_value(os.path.join(out, "5b_bench_split.log"))
-ok = gate(os.path.join(out, "4_split_kernel.log"))
-print(f"bench default={v0} split={v1} split-kernel gates ok={ok}")
-if v0 and v1 and ok and v1 > v0 * 1.05:
+cands = [
+    ("5b_bench_split.log", "4_split_kernel.log", {"OMVS_GEOM_SPLIT": "1"}),
+    ("5c_bench_fused.log", "4b_geom_fused.log", {"OMVS_GEOM_FUSED": "1"}),
+]
+best_v, best_env = v0, None
+for blog, glog, env in cands:
+    v = bench_value(os.path.join(out, blog))
+    ok = gate(os.path.join(out, glog))
+    print(f"{env}: bench={v} gates ok={ok}")
+    if v and ok and best_v and v > best_v * 1.05:
+        best_v, best_env = v, env
+print(f"bench default={v0} best={best_v}")
+if best_env:
+    best_env["_basis"] = f"battery: {best_v:.3f} vs default {v0:.3f} dm/s, gates ok"
     with open("/root/repo/BENCH_ENV.json", "w") as f:
-        json.dump({"OMVS_GEOM_SPLIT": "1",
-                   "_basis": f"battery: {v1:.3f} vs {v0:.3f} dm/s, gates ok"},
-                  f, indent=1)
-    print("wrote BENCH_ENV.json: OMVS_GEOM_SPLIT=1")
+        json.dump(best_env, f, indent=1)
+    print(f"wrote BENCH_ENV.json: {best_env}")
 else:
     print("keeping default bench config")
 PYEOF
