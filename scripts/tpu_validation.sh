@@ -55,6 +55,17 @@ OMVS_SLAB=1 timeout 2400 python scripts/dev_gate_counts.py slab \
   > "$OUT/4f_slab.log" 2>&1
 log "   rc=$? ($(grep RESULT "$OUT/4f_slab.log" | tail -1))"
 
+log "4g. parity compaction A/B (OMVS_COMPACT=1; check counts + time)"
+OMVS_COMPACT=1 timeout 2400 python scripts/dev_gate_counts.py compact \
+  > "$OUT/4g_compact.log" 2>&1
+log "   rc=$? ($(grep RESULT "$OUT/4g_compact.log" | tail -1))"
+
+log "4h. compaction + split-kernel combo (check counts + time)"
+OMVS_COMPACT=1 OMVS_GEOM_SPLIT=1 timeout 2400 \
+  python scripts/dev_gate_counts.py compactsplit \
+  > "$OUT/4h_compact_split.log" 2>&1
+log "   rc=$? ($(grep RESULT "$OUT/4h_compact_split.log" | tail -1))"
+
 log "4c. staged prop-then-perturb sweep A/B (OMVS_STAGED=1)"
 OMVS_STAGED=1 timeout 2400 python scripts/dev_profile_densify.py \
   > "$OUT/4c_staged.log" 2>&1
@@ -74,6 +85,15 @@ log "   rc=$? ($(tail -1 "$OUT/5b_bench_split.log"))"
 log "5c. bench.py with OMVS_GEOM_FUSED=1 (candidate default)"
 OMVS_GEOM_FUSED=1 timeout 2400 python bench.py > "$OUT/5c_bench_fused.log" 2>&1
 log "   rc=$? ($(tail -1 "$OUT/5c_bench_fused.log"))"
+
+log "5d. bench.py with OMVS_COMPACT=1"
+OMVS_COMPACT=1 timeout 2400 python bench.py > "$OUT/5d_bench_compact.log" 2>&1
+log "   rc=$? ($(tail -1 "$OUT/5d_bench_compact.log"))"
+
+log "5e. bench.py with OMVS_COMPACT=1 OMVS_GEOM_SPLIT=1"
+OMVS_COMPACT=1 OMVS_GEOM_SPLIT=1 timeout 2400 python bench.py \
+  > "$OUT/5e_bench_compact_split.log" 2>&1
+log "   rc=$? ($(tail -1 "$OUT/5e_bench_compact_split.log"))"
 
 log "6. decide BENCH_ENV.json from the A/B results"
 python - "$OUT" <<'PYEOF' 2>&1 | tee -a "$OUT/summary.log"
@@ -105,6 +125,9 @@ v0 = bench_value(os.path.join(out, "5_bench.log"))
 cands = [
     ("5b_bench_split.log", "4_split_kernel.log", {"OMVS_GEOM_SPLIT": "1"}),
     ("5c_bench_fused.log", "4b_geom_fused.log", {"OMVS_GEOM_FUSED": "1"}),
+    ("5d_bench_compact.log", "4g_compact.log", {"OMVS_COMPACT": "1"}),
+    ("5e_bench_compact_split.log", "4h_compact_split.log",
+     {"OMVS_COMPACT": "1", "OMVS_GEOM_SPLIT": "1"}),
 ]
 best_v, best_env = v0, None
 for blog, glog, env in cands:
