@@ -17,6 +17,11 @@ OMVS_RUN_PIPELINE_TEST=1 timeout 1800 python -m pytest \
 log "   rc=$? ($(tail -1 "$OUT/1_pipeline_default.log"))"
 
 log "5. bench.py (default path)"
+# a stale BENCH_ENV.json (written by a previous battery run's decision step)
+# would confound every A/B below: bench.py applies it via setdefault, so the
+# "default" run would silently run the previous winner and candidates would
+# inherit extra vars.  Start clean (ADVICE r2, medium).
+rm -f /root/repo/BENCH_ENV.json
 timeout 1800 python bench.py > "$OUT/5_bench.log" 2>&1
 log "   rc=$? ($(tail -1 "$OUT/5_bench.log"))"
 
@@ -70,53 +75,6 @@ OMVS_RUN_PIPELINE_TEST=1 timeout 2400 python -m pytest \
 log "   rc=$? ($(tail -1 "$OUT/2b_refine_tpu.log"))"
 
 log "6. decide BENCH_ENV.json from the A/B results"
-python - "$OUT" <<'PYEOF' 2>&1 | tee -a "$OUT/summary.log"
-import json, os, re, sys
-out = sys.argv[1]
-
-def bench_value(path):
-    try:
-        for line in open(path):
-            if line.startswith("{") and "vs_baseline" in line:
-                return json.loads(line)["value"]
-    except OSError:
-        pass
-    return None
-
-def gate(path):
-    try:
-        txt = open(path).read()
-    except OSError:
-        return None
-    m = re.search(r"RESULT \w+: points=(\d+) raw=(\d+) clean=(\d+)", txt)
-    if not m:
-        return None
-    pts, raw, clean = map(int, m.groups())
-    return pts >= 200_000 and raw >= 75_000 and 35_000 <= clean <= 45_000
-
-v0 = bench_value(os.path.join(out, "5_bench.log"))
-cands = [
-    ("5b_bench_split.log", "4_split_kernel.log", {"OMVS_GEOM_SPLIT": "1"}),
-    ("5c_bench_fused.log", "4b_geom_fused.log", {"OMVS_GEOM_FUSED": "1"}),
-    ("5d_bench_compact.log", "4g_compact.log", {"OMVS_COMPACT": "1"}),
-    ("5e_bench_compact_split.log", "4h_compact_split.log",
-     {"OMVS_COMPACT": "1", "OMVS_GEOM_SPLIT": "1"}),
-]
-best_v, best_env = v0, None
-for blog, glog, env in cands:
-    v = bench_value(os.path.join(out, blog))
-    ok = gate(os.path.join(out, glog))
-    print(f"{env}: bench={v} gates ok={ok}")
-    if v and ok and best_v and v > best_v * 1.05:
-        best_v, best_env = v, env
-print(f"bench default={v0} best={best_v}")
-if best_env:
-    best_env["_basis"] = f"battery: {best_v:.3f} vs default {v0:.3f} dm/s, gates ok"
-    with open("/root/repo/BENCH_ENV.json", "w") as f:
-        json.dump(best_env, f, indent=1)
-    print(f"wrote BENCH_ENV.json: {best_env}")
-else:
-    print("keeping default bench config")
-PYEOF
+python scripts/decide_bench_env.py "$OUT" 2>&1 | tee -a "$OUT/summary.log"
 
 log "DONE"
