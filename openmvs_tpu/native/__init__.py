@@ -21,7 +21,8 @@ import numpy as np
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "_omvs_native.so")
-_SOURCES = ("maxflow.cpp", "delaunay_cut.cpp", "decimate.cpp", "rasterize.cpp")
+_SOURCES = ("maxflow.cpp", "delaunay_cut.cpp", "decimate.cpp", "rasterize.cpp",
+            "project_emitter.cpp")
 
 _lock = threading.Lock()
 _lib = None
@@ -99,8 +100,20 @@ def _load() -> ctypes.CDLL:
         np.ctypeslib.ndpointer(np.int64, shape=(1,)),
         np.ctypeslib.ndpointer(np.int64, shape=(1,)),
     ]
+
+    lib.omvs_emit_test_project.restype = ctypes.c_int
+    lib.omvs_emit_test_project.argtypes = [ctypes.c_char_p]
     _lib = lib
     return lib
+
+
+def emit_test_project(path: str) -> None:
+    """Write the tiny golden 'MVS project' archive used to cross-validate
+    io/boost_archive.py against an independent C++ emitter of the wire
+    format (native/src/project_emitter.cpp)."""
+    rc = _load().omvs_emit_test_project(path.encode())
+    if rc != 0:
+        raise RuntimeError(f"omvs_emit_test_project failed (rc={rc})")
 
 
 def delaunay_graph_cut(
