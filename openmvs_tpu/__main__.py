@@ -268,6 +268,22 @@ def main(argv=None):
     p.add_argument("-o", "--output", required=True)
 
     p = sub.add_parser(
+        "eval", help="evaluate a reconstruction against dataset ground truth "
+        "(ETH3D F1 / DTU acc-comp protocols, openmvs_tpu/datasets.py)")
+    p.add_argument("--dataset", choices=("eth3d", "dtu"), required=True)
+    p.add_argument("--scene", required=True,
+                   help="ETH3D scene folder, or the DTU 'MVS Data' root")
+    p.add_argument("--est", default="", help="reconstruction PLY to score")
+    p.add_argument("--run", action="store_true",
+                   help="densify first and score the fused cloud")
+    p.add_argument("--scan", type=int, default=0, help="DTU scan number")
+    p.add_argument("--lighting", default="max", help="DTU lighting tag")
+    p.add_argument("--sparse-dir", default="",
+                   help="COLMAP model supplying DTU seed points")
+    p.add_argument("--max-points", type=int, default=500_000)
+    p.add_argument("-o", "--output", default="", help="write results JSON")
+
+    p = sub.add_parser(
         "dump", help="inspect .mvs / .dmap / .dimap files "
         "(scripts/python/MvsReadMVS.py + MvsReadDMAP.py roles)")
     p.add_argument("inputs", nargs="+",
@@ -560,6 +576,17 @@ def main(argv=None):
         mvsio.save(itf, args.output)
         print(f"imported {len(itf.images)} views -> {args.output}")
 
+    elif args.cmd == "eval":
+        import json as _json
+
+        from openmvs_tpu import datasets
+
+        res = datasets.run_eval(
+            args.dataset, args.scene, est_ply=args.est, scan=args.scan,
+            lighting=args.lighting, sparse_dir=args.sparse_dir,
+            run_pipeline=args.run, out_json=args.output,
+            max_points=args.max_points)
+        print(_json.dumps(res, indent=1))
     elif args.cmd == "dump":
         _dump_files(args.inputs, args.output)
 
