@@ -48,3 +48,13 @@ def _enable_compilation_cache() -> None:
 
 
 _enable_compilation_cache()
+
+
+def _install_safety_hooks() -> None:
+    """Env-gated NaN/checkify debug hooks (SURVEY §5.2; utils/safety.py)."""
+    from openmvs_tpu.utils import safety
+
+    safety.install()
+
+
+_install_safety_hooks()

@@ -169,6 +169,9 @@ class DeferredResult:
 
     def resolve(self) -> DepthMapResult:
         packed = np.asarray(self._packed)
+        from openmvs_tpu.utils import safety
+
+        safety.check_finite("estimate_depth_map", packed)
         r = self._template
         r.depth = np.array(packed[..., 0], np.float32, copy=True, order="C")
         r.normal = np.array(packed[..., 1:4], np.float32, copy=True, order="C")
