@@ -220,40 +220,223 @@ def _label_faces_lbp_device(data, adj, lam_k, rev, valid_edge, iters):
                         jnp.asarray(valid_edge), iters))
 
 
+def _trws_order(adj: np.ndarray, valid_edge: np.ndarray) -> np.ndarray:
+    """Node processing order for sequential TRW-S: reverse Cuthill-McKee on
+    the face-dual graph.  Any total order is valid; RCM keeps adjacent nodes
+    close in the order, which keeps the wavefront-level count (and thus the
+    vectorized schedule's Python overhead) low on large meshes."""
+    nf = len(adj)
+    src = np.repeat(np.arange(nf), 3)
+    dst = adj.reshape(-1)
+    ok = valid_edge.reshape(-1)
+    src, dst = src[ok], dst[ok]
+    try:
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        g = csr_matrix((np.ones(len(src), np.int8), (src, dst)), shape=(nf, nf))
+        return np.asarray(reverse_cuthill_mckee(g, symmetric_mode=True),
+                          np.int64)
+    except Exception:
+        return np.arange(nf, dtype=np.int64)
+
+
+def _order_levels(adj: np.ndarray, valid_edge: np.ndarray) -> np.ndarray:
+    """Wavefront levels for sequential TRW-S: level[i] = 1 + max level of
+    lower-index neighbors.  Nodes within a level are mutually non-adjacent,
+    so processing a level at once is exactly equivalent to processing its
+    nodes one by one in index order — the sequential schedule, vectorized."""
+    nf = len(adj)
+    level = np.zeros(nf, np.int64)
+    adj_l = adj.tolist()
+    valid_l = valid_edge.tolist()
+    lev = level.tolist()
+    for i in range(nf):
+        m = 0
+        ai, vi = adj_l[i], valid_l[i]
+        for k in range(3):
+            j = ai[k]
+            if vi[k] and j < i and lev[j] >= m:
+                m = lev[j] + 1
+        lev[i] = m
+    return np.asarray(lev, np.int64)
+
+
+def _monotonic_chains(adj: np.ndarray, valid_edge: np.ndarray):
+    """Monotonic-chain decomposition of the face-dual graph (TRW-S's tree
+    set, Kolmogorov 2006): every edge in exactly one strictly-increasing
+    chain; node i appears in max(#earlier, #later neighbors) chains (or one
+    singleton chain if isolated), matching gamma_i = 1/max(.,.)."""
+    nf = len(adj)
+    fwd = [[] for _ in range(nf)]
+    n_app = np.zeros(nf, np.int64)
+    for k in range(3):
+        sel = valid_edge[:, k] & (adj[:, k] > np.arange(nf))
+        for i in np.where(sel)[0]:
+            fwd[i].append(int(adj[i, k]))
+    chains: list = []
+    open_at: dict = {}
+    for i in range(nf):
+        ends = open_at.pop(i, [])
+        n_app[i] += len(ends)
+        outs = fwd[i]
+        for j in outs:
+            if ends:
+                c = ends.pop()
+            else:
+                c = len(chains)
+                chains.append([i])
+                n_app[i] += 1
+            chains[c].append(j)
+            open_at.setdefault(j, []).append(c)
+        # leftover incoming chains simply terminate at i
+    for i in range(nf):
+        if n_app[i] == 0:
+            chains.append([i])
+    return [np.asarray(c, np.int64) for c in chains]
+
+
+def trws_lower_bound(data: np.ndarray, msg: np.ndarray, adj: np.ndarray,
+                     lam_k: np.ndarray, rev: np.ndarray, gamma: np.ndarray,
+                     chains, edge_slot: dict) -> float:
+    """The TRW-S dual value: sum over monotonic chains of the chain's
+    min-energy under the current reparameterization (gamma-weighted unary
+    theta-hat per node visit, Potts pairwise minus the two edge messages).
+    Monotonically non-decreasing under the sequential schedule
+    (Kolmogorov 2006, Thm 3.4); always a lower bound on the Potts energy."""
+    theta = data + msg.sum(axis=1)              # (nf, V) reparam unaries
+    g = gamma.reshape(-1)
+    lb = 0.0
+    for c in chains:
+        alpha = g[c[0]] * theta[c[0]]
+        for t in range(len(c) - 1):
+            i, j = int(c[t]), int(c[t + 1])
+            k = edge_slot[(i, j)]               # slot of j in adj[i]
+            a = msg[i, k, :]                    # M_{j->i}
+            b = msg[j, rev[i, k], :]            # M_{i->j}
+            h = alpha - a
+            alpha = (np.minimum(h, h.min() + lam_k[i, k]) - b
+                     + g[j] * theta[j])
+        lb += float(alpha.min())
+    return lb
+
+
 def label_faces_trws(
     quality: np.ndarray, adj: np.ndarray, smoothness: float, iters: int = 60,
-    lam_edge: Optional[np.ndarray] = None, rho: float = 0.55,
-) -> np.ndarray:
-    """Face -> view labels by tree-reweighted message passing (the
-    reference's TRWS inference alternative, libs/Math/TRWS/MRFEnergy.h).
+    lam_edge: Optional[np.ndarray] = None, return_bound: bool = False,
+    rho: float = 0.0,  # unused; kept for call compatibility
+):
+    """Face -> view labels by SEQUENTIAL tree-reweighted message passing
+    (Kolmogorov's TRW-S — the reference's higher-quality inference
+    alternative, libs/Math/TRWS/MRFEnergy.h).
 
-    Same Potts model as label_faces_lbp; messages are computed from the
-    rho-weighted node reparameterization (edge appearance probability rho on
-    the 3-regular face-dual graph), which damps the over-counting loopy BP
-    suffers on dense loops.  Parallel (Jacobi) schedule, vectorized."""
+    Same Potts model as label_faces_lbp.  Nodes are processed in index
+    order forward then backward each iteration; the per-node coefficient
+    gamma_i = 1/max(#earlier-, #later-neighbors) makes the LP lower bound
+    monotonically non-decreasing (tested).  Each wavefront level (nodes
+    whose lower-index neighbors are all in earlier levels) is vectorized —
+    levels contain mutually non-adjacent nodes, so the result is exactly
+    the sequential schedule.
+
+    Returns labels; with return_bound=True, (labels, bounds) where bounds
+    is the per-iteration LP-dual lower bound on the labeling energy.
+    """
+    del rho
     nf, V = quality.shape
     qmax = quality.max(axis=1, keepdims=True)
-    data = np.where(quality > 0, 1.0 - quality / np.maximum(qmax, 1e-12), 4.0).astype(np.float32)
+    data = np.where(quality > 0, 1.0 - quality / np.maximum(qmax, 1e-12),
+                    4.0).astype(np.float32)
     lam_k = (lam_edge.astype(np.float32) if lam_edge is not None
              else np.full((nf, 3), np.float32(smoothness), np.float32))
-    msg = np.zeros((nf, 3, V), np.float32)
+
+    # reorder nodes (RCM) so the sequential schedule has few wavefront
+    # levels; results are mapped back to the original face order at the end
+    perm = _trws_order(adj, _rev_slots(adj)[2])       # perm[new] = old
+    inv = np.empty(nf, np.int64)
+    inv[perm] = np.arange(nf)
+    adj = np.where(adj[perm] >= 0, inv[np.where(adj[perm] >= 0, adj[perm], 0)],
+                   -1)
+    data = data[perm]
+    lam_k = lam_k[perm]
+
     adj_safe, rev, valid_edge = _rev_slots(adj)
-    rho = np.float32(rho)
-    for _ in range(iters):
-        theta = data + msg.sum(axis=1)                  # (nf, V) reparam
-        new_msg = np.zeros_like(msg)
+    idx = np.arange(nf)
+    fwd_edge = valid_edge & (adj > idx[:, None])   # (nf,3) edges to later
+    bwd_edge = valid_edge & (adj < idx[:, None])
+    n_fwd = fwd_edge.sum(axis=1)
+    n_bwd = bwd_edge.sum(axis=1)
+    gamma = (1.0 / np.maximum(np.maximum(n_fwd, n_bwd), 1)).astype(
+        np.float32)[:, None]
+
+    level = _order_levels(adj, valid_edge)
+    n_levels = int(level.max()) + 1 if nf else 0
+    by_level = [np.where(level == l)[0] for l in range(n_levels)]
+
+    if return_bound:
+        chains = _monotonic_chains(adj, valid_edge)
+        edge_slot = {}
         for k in range(3):
-            a = rho * theta - msg[:, k, :]              # exclude reverse msg
-            amin = a.min(axis=1, keepdims=True)
-            out = np.minimum(a, amin + lam_k[:, k : k + 1])
-            out -= out.min(axis=1, keepdims=True)
-            tgt = adj_safe[valid_edge[:, k], k]
-            new_msg[tgt, rev[valid_edge[:, k], k], :] = out[valid_edge[:, k]]
-        msg = 0.5 * (msg + new_msg)                     # damped for stability
-    belief = data + msg.sum(axis=1)
-    labels = belief.argmin(axis=1)
-    labels[quality.max(axis=1) <= 0] = -1
-    return labels
+            sel = valid_edge[:, k] & (adj[:, k] > idx)
+            for i in np.where(sel)[0]:
+                edge_slot[(int(i), int(adj[i, k]))] = k
+
+    msg = np.zeros((nf, 3, V), np.float32)   # msg[i,k] = M_{adj[i,k] -> i}
+
+    def half_pass(levels_iter, edge_sel):
+        for S in levels_iter:
+            if len(S) == 0:
+                continue
+            # messages INTO S are fixed while S is processed (level nodes
+            # are mutually non-adjacent; writes only target neighbors)
+            theta = data[S] + msg[S].sum(axis=1)          # (s, V)
+            for k in range(3):
+                e = edge_sel[S, k]
+                if not e.any():
+                    continue
+                Sk = S[e]
+                a = gamma[Sk] * theta[e] - msg[Sk, k, :]
+                amin = a.min(axis=1, keepdims=True)
+                out = np.minimum(a, amin + lam_k[Sk, k : k + 1])
+                out -= out.min(axis=1, keepdims=True)
+                msg[adj_safe[Sk, k], rev[Sk, k], :] = out
+
+    bounds = []
+    for _ in range(iters):
+        half_pass(by_level, fwd_edge)
+        half_pass(reversed(by_level), bwd_edge)
+        if return_bound:
+            bounds.append(trws_lower_bound(data, msg, adj, lam_k, rev,
+                                           gamma, chains, edge_slot))
+
+    # TRW-S rounding: assign labels in node order, conditioning on the
+    # already-assigned earlier neighbors (MRFEnergy::Minimize_TRW_S role)
+    labels = np.zeros(nf, np.int64)
+    assigned = np.zeros(nf, bool)
+    for S in by_level:
+        if len(S) == 0:
+            continue
+        b = data[S] + msg[S].sum(axis=1)
+        for k in range(3):
+            e = bwd_edge[S, k]
+            if not e.any():
+                continue
+            Sk = S[e]
+            nbr = adj_safe[Sk, k]
+            # earlier neighbors are always in earlier levels, hence assigned:
+            # swap their message for the actual Potts cost of their label
+            assert assigned[nbr].all()
+            cost = np.broadcast_to(lam_k[Sk, k : k + 1],
+                                   (len(Sk), V)).copy()
+            cost[np.arange(len(Sk)), labels[nbr]] = 0.0
+            b[e] = b[e] - msg[Sk, k, :] + cost
+        labels[S] = b.argmin(axis=1)
+        assigned[S] = True
+    out_labels = np.empty(nf, np.int64)
+    out_labels[perm] = labels                       # back to face order
+    out_labels[quality.max(axis=1) <= 0] = -1
+    if return_bound:
+        return out_labels, np.asarray(bounds)
+    return out_labels
 
 
 def virtual_face_lambda(

@@ -312,3 +312,38 @@ def test_viewer_textured_mesh_export(plane_scene, tmp_path):
     assert np.all(uv >= -1e-5) and np.all(uv <= 1 + 1e-5)
     pos = np.frombuffer(base64.b64decode(data["tex_v"]), np.float32)
     assert len(pos) == 3 * 3 * len(tex.faces)
+
+
+def test_trws_sequential_bound_monotone_and_valid():
+    """Sequential TRW-S (Kolmogorov schedule): the LP-dual lower bound must
+    be monotonically non-decreasing across iterations and must lower-bound
+    the energy of the returned labeling (libs/Math/TRWS/MRFEnergy.h role)."""
+    from openmvs_tpu.texture import label_faces_trws
+
+    rng = np.random.default_rng(11)
+    nf, V = 300, 6
+    adj = np.full((nf, 3), -1, np.int64)
+    for i in range(nf):
+        adj[i, 0] = (i + 1) % nf
+        adj[i, 1] = (i - 1) % nf
+        adj[i, 2] = (i + nf // 2) % nf
+
+    for trial in range(3):
+        quality = rng.uniform(0.05, 1.0, (nf, V)).astype(np.float32)
+        lam = float(rng.uniform(0.1, 0.6))
+        labels, bounds = label_faces_trws(quality, adj, lam, iters=40,
+                                          return_bound=True)
+        assert len(bounds) == 40
+        assert np.all(np.diff(bounds) >= -1e-4), \
+            f"bound decreased: {np.diff(bounds).min()}"
+        # energy of the returned labeling (each undirected edge once)
+        qmax = quality.max(axis=1, keepdims=True)
+        data = (1.0 - quality / qmax).astype(np.float32)
+        e = data[np.arange(nf), labels].sum()
+        for k in range(3):
+            nb = adj[:, k]
+            ok = nb >= 0
+            e += 0.5 * (lam * (labels[nb[ok]] != labels[ok])).sum()
+        assert bounds[-1] <= e + 1e-3, (bounds[-1], e)
+        # bound should be reasonably tight on these easy problems
+        assert bounds[-1] > 0.5 * e
