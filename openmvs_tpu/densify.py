@@ -711,7 +711,15 @@ def dense_reconstruction(
             optimize_depth_map(r, opts)
 
     # pass 3: cross-view filtering (adjust mode)
-    if opts.optimize & 4:
+    if opts.optimize & 4 and use_sharded and opts.filter_adjust:
+        # device-sharded filter over the mesh (splat + adjust on-chip;
+        # one all_gather over views, pmin/pmax over tile)
+        from openmvs_tpu.parallel.sharded_filter import filter_views_sharded
+
+        with timed(log, "cross-view filter sharded"):
+            results = filter_views_sharded(results, opts, mesh,
+                                           skip_ids=resumed)
+    elif opts.optimize & 4:
         filtered: Dict[int, DepthMapResult] = {}
         for rid, r in results.items():
             if rid in resumed:

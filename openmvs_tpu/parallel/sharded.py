@@ -175,7 +175,7 @@ def dryrun(n_devices: int) -> None:
     )
     keys = jax.random.split(jax.random.PRNGKey(0), total_views)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_shard(data_l, sd, sn, ks):
         n_local = sd.shape[0]
@@ -201,7 +201,7 @@ def dryrun(n_devices: int) -> None:
             mesh=mesh,
             in_specs=(data_specs, P("views", "tile"), P("views", "tile"), P("views")),
             out_specs=(P("views", "tile"), P()),
-            check_rep=False,
+            check_vma=False,
         )
     )
 
@@ -346,7 +346,7 @@ def make_level_step(mesh: Mesh, opts, n_views: int, schedule, use_geom: bool,
     init_mode overrides the incumbent's scoring mode (OMVS_INIT_EXACT
     parity with the serial first_mode); defaults to schedule[0][0].
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     data_specs = _pm_specs()
     state_spec = P("views", "tile")
@@ -392,7 +392,7 @@ def make_level_step(mesh: Mesh, opts, n_views: int, schedule, use_geom: bool,
         in_specs=(data_specs, state_spec, state_spec, P("views")),
         out_specs=patchmatch.PMState(depth=state_spec, normal=state_spec,
                                      conf=state_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)
 

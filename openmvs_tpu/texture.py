@@ -220,6 +220,82 @@ def _label_faces_lbp_device(data, adj, lam_k, rev, valid_edge, iters):
                         jnp.asarray(valid_edge), iters))
 
 
+def label_faces_lbp_sharded(quality: np.ndarray, adj: np.ndarray,
+                            smoothness: float, devices, iters: int = 30,
+                            lam_edge: Optional[np.ndarray] = None) -> np.ndarray:
+    """label_faces_lbp over a device mesh, sharded on the LABEL (view) axis.
+
+    The min-sum update is label-local except for the two per-face minima
+    (hmin and the normalization), which become ``pmin`` all-reduces of
+    (nf, 1) floats — 2 tiny collectives per slot per iteration.  Message
+    storage (nf, 3, L), the dominant memory at scale, is split L-ways, and
+    the schedule is IDENTICAL to the serial one (pmin returns the exact
+    full-label minimum), so labels match label_faces_lbp bitwise up to
+    float reduction order.  Uneven view counts pad L with 1e6-cost labels
+    that never influence a minimum.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    nf, V = quality.shape
+    n_dev = len(devices)
+    L = -(-V // n_dev) * n_dev
+    qmax = quality.max(axis=1, keepdims=True)
+    data = np.full((nf, L), 1e6, np.float32)
+    data[:, :V] = np.where(
+        quality > 0, 1.0 - quality / np.maximum(qmax, 1e-12), 4.0)
+    lam = np.float32(smoothness)
+    lam_k = (lam_edge.astype(np.float32) if lam_edge is not None
+             else np.full((nf, 3), lam, np.float32))
+    adj_safe, rev, valid_edge = _rev_slots(adj)
+
+    mesh = Mesh(np.asarray(devices).reshape(n_dev), ("label",))
+
+    def run(data_l, adjj, lamk, revv, valid):
+        msg = jnp.zeros((nf + 1, 3, data_l.shape[1]), jnp.float32)
+
+        def body(_, msg):
+            b = data_l + msg[:nf].sum(axis=1)
+            for k in range(3):
+                h = b - msg[:nf, k, :]
+                hmin = jax.lax.pmin(h.min(axis=1, keepdims=True), "label")
+                out = jnp.minimum(h, hmin + lamk[:, k : k + 1])
+                out = out - jax.lax.pmin(
+                    out.min(axis=1, keepdims=True), "label")
+                tgt = jnp.where(valid[:, k], adjj[:, k], nf)
+                msg = msg.at[tgt, revv[:, k], :].set(out)
+            return msg
+
+        msg = jax.lax.fori_loop(0, iters, body, msg)
+        belief = data_l + msg[:nf].sum(axis=1)
+        loc_min = belief.min(axis=1, keepdims=True)
+        loc_arg = belief.argmin(axis=1).astype(jnp.int32)
+        li = jax.lax.axis_index("label")
+        loc_arg = loc_arg + li * belief.shape[1]
+        glob_min = jax.lax.pmin(loc_min, "label")
+        # global argmin = lowest label index achieving the global min
+        cand = jnp.where(loc_min[:, 0] == glob_min[:, 0], loc_arg, nf * 0 + L)
+        return jax.lax.pmin(cand[:, None], "label")
+
+    run_sh = jax.jit(jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P(None, "label"), P(None, None), P(None, None),
+                  P(None, None), P(None, None)),
+        out_specs=P(None, "label"),
+        check_vma=False,
+    ))
+    # out_specs shards the (nf, 1) result; every shard holds the same value
+    # after the final pmin, so spec P(None, None) would complain — gather it
+    labels = np.asarray(run_sh(
+        jnp.asarray(data), jnp.asarray(adj.astype(np.int32)),
+        jnp.asarray(lam_k), jnp.asarray(rev.astype(np.int32)),
+        jnp.asarray(valid_edge)))
+    labels = labels.reshape(nf, n_dev)[:, 0].astype(np.int64)
+    labels[quality.max(axis=1) <= 0] = -1
+    return labels
+
+
 def _trws_order(adj: np.ndarray, valid_edge: np.ndarray) -> np.ndarray:
     """Node processing order for sequential TRW-S: reverse Cuthill-McKee on
     the face-dual graph.  Any total order is valid; RCM keeps adjacent nodes
