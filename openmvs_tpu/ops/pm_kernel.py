@@ -64,6 +64,16 @@ TEXEL_CHUNK = 5
 # slab patch[k:k+8] at k = ly - o.  Lanes whose warp leaves the covered
 # diagonal band invalidate exactly like an out-of-patch sample.
 SLAB = bool(int(_os.environ.get("OMVS_SLAB", "0")))
+# OMVS_DYNSLAB=1: DYNAMIC diagonal-slab selection — one dynamic slice pulls
+# a (DYNSLAB_BAND, PATCH_COLS) band anchored at the tile's own minimum slab
+# offset k0 = min(ly - o), then only BAND-7 slab equality-selects run
+# (vs 17 static slabs / 24 row broadcasts).  The plane-induced warp keeps
+# ly - o nearly constant within an (8, 128) tile (y-slope ~ 1), so a small
+# band covers every pixel; the right bilinear sample rides a lane-rolled
+# copy of the slab (same gather indices as the left sample, no blk1/loc1
+# select chain).  Out-of-band pixels invalidate like out-of-patch samples.
+DYNSLAB = bool(int(_os.environ.get("OMVS_DYNSLAB", "0")))
+DYNSLAB_BAND = int(_os.environ.get("OMVS_DYNSLAB_BAND", "16"))
 
 
 def _texel_kernel(
@@ -178,7 +188,39 @@ def _texel_score_body(
 
         v_top = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         v_bot = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        if SLAB and TILE_H == 8:
+        if DYNSLAB and TILE_H == 8:
+            band_rows = min(DYNSLAB_BAND, patch_rows)
+            o_sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+            d_top = ly - o_sub
+            d_v = jnp.where(ok, d_top, jnp.int32(1 << 20))
+            k0 = jnp.clip(jnp.min(d_v), 0, patch_rows - band_rows)
+            band = jax.lax.dynamic_slice(
+                patch, (k0, 0), (band_rows, PATCH_COLS))
+            rel = d_top - k0
+            n_slab = band_rows - TILE_H + 1
+            # rows rel and rel+1 must both sit on the covered band
+            ok = ok & (rel >= 0) & (rel + 1 <= n_slab - 1)
+            for k in range(n_slab):
+                slab = band[k : k + TILE_H, :]               # (8, PATCH_COLS)
+                # lane-rolled copy: gathered at the SAME (blk, loc) it
+                # yields the x+1 sample, block crossings included
+                slab_r = jnp.concatenate(
+                    [slab[:, 1:], slab[:, :1]], axis=1)
+                g_l = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                for b in range(n_blk):
+                    t = slab[:, 128 * b : 128 * (b + 1)]
+                    g_l = jnp.where(blk == b,
+                                    jnp.take_along_axis(t, loc, axis=1), g_l)
+                    if not nearest:
+                        tr = slab_r[:, 128 * b : 128 * (b + 1)]
+                        g_r = jnp.where(blk == b,
+                                        jnp.take_along_axis(tr, loc, axis=1),
+                                        g_r)
+                g = g_l if nearest else g_l * (1.0 - fx) + g_r * fx
+                v_top = jnp.where(rel == k, g, v_top)
+                v_bot = jnp.where(rel == k - 1, g, v_bot)
+        elif SLAB and TILE_H == 8:
             o_sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
             d_top = ly - o_sub
             n_slab = patch_rows - TILE_H + 1

@@ -654,6 +654,43 @@ def _pack_maxrects(
     return pos, used_w, used_h
 
 
+def _pack_skyline_pages(
+    sizes: List[Tuple[int, int]], max_w: int, max_h: int
+) -> Tuple[List[Tuple[int, int]], np.ndarray, int, int]:
+    """Shelf packing straight into multiple atlas pages: O(n log n), the
+    packer for VERY large patch counts (MaxRects' free-rect set is
+    super-linear; at ~1M rects it dominates the whole texture stage).
+    Returns (pos, page, used_w, used_h); shelves that no longer fit the
+    current page start the next one."""
+    order = sorted(range(len(sizes)), key=lambda i: -sizes[i][1])
+    pos: List[Tuple[int, int]] = [(0, 0)] * len(sizes)
+    page = np.zeros(len(sizes), np.int64)
+    pg = 0
+    shelf_y = 0
+    shelf_h = 0
+    x = 0
+    used_w = 0
+    used_h = 0
+    for i in order:
+        w, h = sizes[i]
+        if x + w > max_w and x > 0:
+            shelf_y += shelf_h
+            x = 0
+            shelf_h = 0
+        if shelf_y + h > max_h and shelf_y > 0:
+            pg += 1
+            shelf_y = 0
+            shelf_h = 0
+            x = 0
+        pos[i] = (x, shelf_y)
+        page[i] = pg
+        x += w
+        shelf_h = max(shelf_h, h)
+        used_w = max(used_w, x)
+        used_h = max(used_h, shelf_y + shelf_h)
+    return pos, page, used_w, used_h
+
+
 def _pack_skyline(sizes: List[Tuple[int, int]], max_w: int) -> Tuple[List[Tuple[int, int]], int, int]:
     """Simple shelf packing (RectsBinPack role, RectsBinPack.h:57-420):
     sorted by height, placed left-to-right in shelves."""
@@ -711,6 +748,8 @@ def generate_texture(
         projs[int(view)] = _project(
             scene.images[int(view)].working_camera(),
             mesh.vertices.astype(np.float64))
+    _t_patch = timed(log, f"build {ncomp} patches")
+    _t_patch.__enter__()
     comp_min_u = np.full(ncomp, np.inf)
     comp_min_v = np.full(ncomp, np.inf)
     comp_max_u = np.full(ncomp, -np.inf)
@@ -729,24 +768,33 @@ def generate_texture(
         np.minimum.at(comp_min_v, ci, fuv[..., 1].min(axis=1))
         np.maximum.at(comp_max_u, ci, fuv[..., 0].max(axis=1))
         np.maximum.at(comp_max_v, ci, fuv[..., 1].max(axis=1))
-    # faces grouped per component via one argsort
+    # faces grouped per component via one argsort; bbox clipping vectorized
+    # over ALL components at once (a per-component numpy-scalar loop cost
+    # ~40 s at 840k patches), the cheap python loop only builds the objects
     order = np.argsort(comp, kind="stable")
     comp_sorted = comp[order]
     starts = np.searchsorted(comp_sorted, np.arange(ncomp))
     ends = np.searchsorted(comp_sorted, np.arange(ncomp) + 1)
-    for ci in range(ncomp):
-        view = int(comp_view[ci])
-        if view < 0 or not np.isfinite(comp_min_u[ci]):
-            continue
-        fsel = order[starts[ci]:ends[ci]]
-        img = scene.images[view]
-        H, W = img.gray.shape
-        x0 = int(np.clip(np.floor(comp_min_u[ci]) - pad, 0, W - 1))
-        y0 = int(np.clip(np.floor(comp_min_v[ci]) - pad, 0, H - 1))
-        x1 = int(np.clip(np.ceil(comp_max_u[ci]) + pad, x0 + 1, W))
-        y1 = int(np.clip(np.ceil(comp_max_v[ci]) + pad, y0 + 1, H))
-        patches.append(_Patch(view=view, faces=fsel, x0=x0, y0=y0,
-                              w=x1 - x0, h=y1 - y0))
+    img_h = np.array([im.gray.shape[0] for im in scene.images], np.int64)
+    img_w = np.array([im.gray.shape[1] for im in scene.images], np.int64)
+    cv_safe = np.maximum(comp_view, 0)
+    Wv = img_w[cv_safe]
+    Hv = img_h[cv_safe]
+    cx0 = np.clip(np.floor(comp_min_u) - pad, 0,
+                  np.maximum(Wv - 1, 0)).astype(np.int64)
+    cy0 = np.clip(np.floor(comp_min_v) - pad, 0,
+                  np.maximum(Hv - 1, 0)).astype(np.int64)
+    cx1 = np.clip(np.ceil(comp_max_u) + pad, cx0 + 1, Wv).astype(np.int64)
+    cy1 = np.clip(np.ceil(comp_max_v) + pad, cy0 + 1, Hv).astype(np.int64)
+    ok_c = (comp_view >= 0) & np.isfinite(comp_min_u)
+    cvl = comp_view.tolist()
+    x0l, y0l = cx0.tolist(), cy0.tolist()
+    wl = (cx1 - cx0).tolist()
+    hl = (cy1 - cy0).tolist()
+    sl, el = starts.tolist(), ends.tolist()
+    for ci in np.nonzero(ok_c)[0].tolist():
+        patches.append(_Patch(view=cvl[ci], faces=order[sl[ci]:el[ci]],
+                              x0=x0l[ci], y0=y0l[ci], w=wl[ci], h=hl[ci]))
 
     if not patches:
         raise ValueError("no textured patches (no face has a visible view)")
@@ -784,7 +832,10 @@ def generate_texture(
             queue.append(_Patch(view=p.view, faces=fs, x0=x0, y0=y0,
                                 w=x1 - x0, h=y1 - y0))
 
+    _t_patch.__exit__(None, None, None)
     # pack
+    _t_pack = timed(log, f"pack {len(patches)} rects")
+    _t_pack.__enter__()
     max_w = opts.max_texture_size
     sizes = [(p.w, p.h) for p in patches]
     # target a square-ish power-of-2 atlas: bound the packing width by the
@@ -793,7 +844,17 @@ def generate_texture(
     wfit = max(max((w for w, _ in sizes), default=1),
                int(np.ceil(np.sqrt(area) * 1.1)))
     max_w = min(max_w, 1 << int(np.ceil(np.log2(max(wfit, 1)))))
-    if opts.rect_packing_heuristic >= 0:
+    shelf_min = int(os.environ.get("OMVS_PACK_SHELF_MIN", "20000"))
+    shelf_pages = None
+    if len(sizes) >= shelf_min:
+        # very large patch counts: MaxRects is super-linear — pack shelves
+        # straight into pages instead
+        pos, shelf_pages, used_w, used_h = _pack_skyline_pages(
+            sizes, max_w, opts.max_texture_size)
+        if shelf_pages.max() > 0:
+            log.info("texture atlas split into %d pages (shelf packer)",
+                     int(shelf_pages.max()) + 1)
+    elif opts.rect_packing_heuristic >= 0:
         pos, used_w, used_h = _pack_maxrects(
             sizes, max_w, opts.rect_packing_heuristic,
             max_h=opts.max_texture_size,
@@ -803,7 +864,8 @@ def generate_texture(
         if used_h > opts.max_texture_size:
             pos = [None] * len(sizes)  # force multi-page via MaxRects
             used_w = used_h = 0
-    patch_page = np.zeros(len(patches), np.int64)
+    patch_page = (shelf_pages if shelf_pages is not None
+                  else np.zeros(len(patches), np.int64))
     if any(q is None for q in pos):
         # multi-page atlas (SceneTexture multi-texture support,
         # SceneTexture.cpp:2270-2327): pack remaining patches page by page.
@@ -856,12 +918,27 @@ def generate_texture(
         pages.append(a)
     atlas = pages[0]
 
+    _t_pack.__exit__(None, None, None)
+    _t_copy = timed(log, "patch copies + texcoords")
+    _t_copy.__enter__()
+    # per-patch rect copies: plain numpy slice assignment is already memory-
+    # bandwidth bound and beats flat gather/scatter index construction
+    # (measured at 840k patches: ~9 s loop vs ~100 s / +5 GB flat indices)
+    page_l = patch_page.tolist()
     for pi_, (p, q) in enumerate(zip(patches, pos)):
         ax, ay = q
         p.atlas_x, p.atlas_y = ax, ay
         img = scene.images[p.view]
         tile = img.color[p.y0 : p.y0 + p.h, p.x0 : p.x0 + p.w]
-        pages[patch_page[pi_]][ay : ay + p.h, ax : ax + p.w] = tile
+        pages[page_l[pi_]][ay : ay + p.h, ax : ax + p.w] = tile
+    np_ = len(patches)
+    p_w = np.fromiter((p.w for p in patches), np.int64, np_)
+    p_h = np.fromiter((p.h for p in patches), np.int64, np_)
+    p_x0 = np.fromiter((p.x0 for p in patches), np.int64, np_)
+    p_y0 = np.fromiter((p.y0 for p in patches), np.int64, np_)
+    p_ax = np.fromiter((p.atlas_x for p in patches), np.int64, np_)
+    p_ay = np.fromiter((p.atlas_y for p in patches), np.int64, np_)
+    p_view = np.fromiter((p.view for p in patches), np.int64, np_)
 
     # texcoords per face (vectorized over all faces at once)
     ftc = np.zeros((nf, 3, 2), np.float32)
@@ -873,15 +950,18 @@ def generate_texture(
     face_y0 = np.zeros(nf)
     face_x1 = np.ones(nf)
     face_y1 = np.ones(nf)
-    for pi_, p in enumerate(patches):
-        face_dx[p.faces] = p.atlas_x - p.x0
-        face_dy[p.faces] = p.atlas_y - p.y0
-        face_view[p.faces] = p.view
-        face_page[p.faces] = patch_page[pi_]
-        face_x0[p.faces] = p.x0
-        face_y0[p.faces] = p.y0
-        face_x1[p.faces] = p.x0 + p.w - 1
-        face_y1[p.faces] = p.y0 + p.h - 1
+    counts = np.fromiter((len(p.faces) for p in patches), np.int64, np_)
+    all_f = (np.concatenate([p.faces for p in patches])
+             if np_ else np.zeros(0, np.int64))
+    fpid = np.repeat(np.arange(np_), counts)
+    face_dx[all_f] = (p_ax - p_x0)[fpid]
+    face_dy[all_f] = (p_ay - p_y0)[fpid]
+    face_view[all_f] = p_view[fpid]
+    face_page[all_f] = patch_page[fpid]
+    face_x0[all_f] = p_x0[fpid]
+    face_y0[all_f] = p_y0[fpid]
+    face_x1[all_f] = (p_x0 + p_w - 1)[fpid]
+    face_y1[all_f] = (p_y0 + p_h - 1)[fpid]
     views_used = sorted({p.view for p in patches})
     proj_stack = np.zeros((max(views_used) + 1, len(mesh.vertices), 2))
     for vv in views_used:
@@ -897,6 +977,7 @@ def generate_texture(
     ftc[..., 0] = np.where(mapped[:, None], (uv_f[..., 0] + face_dx[:, None]) / tw, 0)
     ftc[..., 1] = np.where(mapped[:, None], 1.0 - (uv_f[..., 1] + face_dy[:, None]) / th, 0)
     ftc = np.clip(ftc, 0.0, 1.0).astype(np.float32)
+    _t_copy.__exit__(None, None, None)
 
     if opts.global_seam_leveling:
         with timed(log, "global seam leveling"):
@@ -947,10 +1028,11 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas_pages, tw, th,
     nv = len(mesh.vertices)
     npatch = len(patches)
     fpatch = np.full(nf, -1, np.int64)
-    view_of_patch = np.empty(npatch, np.int64)
-    for pi, p in enumerate(patches):
-        fpatch[p.faces] = pi
-        view_of_patch[pi] = p.view
+    view_of_patch = np.fromiter((p.view for p in patches), np.int64, npatch)
+    if npatch:
+        _cnt = np.fromiter((len(p.faces) for p in patches), np.int64, npatch)
+        fpatch[np.concatenate([p.faces for p in patches])] = np.repeat(
+            np.arange(npatch), _cnt)
     valid_f = fpatch >= 0
     fv = mesh.faces[valid_f].astype(np.int64)          # (m, 3)
     fp = fpatch[valid_f]
@@ -1034,8 +1116,10 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas_pages, tw, th,
         page_of_valid = np.zeros(m, np.int64)
     else:
         page_of_face = np.full(nf, -1, np.int64)
-        for pi, p in enumerate(patches):
-            page_of_face[p.faces] = patch_page[pi]
+        _cnt = np.fromiter((len(p.faces) for p in patches), np.int64,
+                           len(patches))
+        page_of_face[np.concatenate([p.faces for p in patches])] = np.repeat(
+            np.asarray(patch_page), _cnt)
         page_of_valid = page_of_face[valid_f]
     exp_off = exp_off.astype(np.float32)
     for pg, atlas in enumerate(atlas_pages):
@@ -1066,8 +1150,11 @@ def _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc,
 
     nf = len(mesh.faces)
     fpatch = np.full(nf, -1, np.int64)
-    for pi, p in enumerate(patches):
-        fpatch[p.faces] = pi
+    if patches:
+        counts = np.fromiter((len(p.faces) for p in patches), np.int64,
+                             len(patches))
+        fpatch[np.concatenate([p.faces for p in patches])] = np.repeat(
+            np.arange(len(patches)), counts)
     f = np.asarray(mesh.faces)
     idx = np.arange(nf)
     fi_all, fj_all = [], []
@@ -1118,7 +1205,40 @@ def _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc,
     np.add.at(corr, (yb, xb), target - atl[yb, xb])
     np.add.at(wgt, (yb, xb), 1.0)
 
+    # small patches take the SATURATED limit of the normalized diffusion:
+    # after `iters` 5x5 blurs the kernel support spans the whole rect, and
+    # cc/ww converges to sum(corr)/sum(wgt) — apply that mean directly in
+    # one vectorized pass over every small rect (a per-patch blur loop cost
+    # minutes at ~1M tiny patches); large patches keep the exact diffusion.
+    sat_dim = 2 * iters + 1
+    small = [p for p in patches
+             if 3 <= min(p.h, p.w) and max(p.h, p.w) <= sat_dim]
+    if small:
+        ns = len(small)
+        s_w = np.fromiter((p.w for p in small), np.int64, ns)
+        s_h = np.fromiter((p.h for p in small), np.int64, ns)
+        s_x = np.fromiter((p.atlas_x for p in small), np.int64, ns)
+        s_y = np.fromiter((p.atlas_y for p in small), np.int64, ns)
+        ar = s_w * s_h
+        tot = int(ar.sum())
+        off = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(ar) - ar, ar)
+        wrep = np.repeat(s_w, ar)
+        ry = off // wrep
+        rx = off - ry * wrep
+        yy = np.repeat(s_y, ar) + ry
+        xx = np.repeat(s_x, ar) + rx
+        pid = np.repeat(np.arange(ns), ar)
+        wsum = np.bincount(pid, weights=wgt[yy, xx], minlength=ns)
+        mean = np.zeros((ns, 3), np.float32)
+        for ch in range(3):
+            csum = np.bincount(pid, weights=corr[yy, xx, ch], minlength=ns)
+            mean[:, ch] = np.where(wsum > 0, csum / np.maximum(wsum, 1e-6), 0)
+        upd = atlas[yy, xx].astype(np.float32) + strength * mean[pid]
+        atlas[yy, xx] = np.clip(upd, 0, 255).astype(np.uint8)
+
     for p in patches:
+        if 3 <= min(p.h, p.w) and max(p.h, p.w) <= sat_dim:
+            continue          # handled by the saturated-mean pass above
         cy, cx = p.atlas_y, p.atlas_x
         ww = wgt[cy : cy + p.h, cx : cx + p.w]
         if ww.size == 0 or ww.max() <= 0:

@@ -301,6 +301,37 @@ def test_slab_row_selection_interpret(monkeypatch):
     assert agree.mean() > 0.97, agree.mean()
 
 
+def test_dynslab_row_selection_interpret(monkeypatch):
+    """OMVS_DYNSLAB dynamic-band slab selection must reproduce the row-scan
+    kernel's scores wherever the band covers the warp (ly - o is ~constant
+    within a tile for real plane warps, so coverage should be near-total);
+    uncovered pixels must surface as invalidated, never silently wrong."""
+    from openmvs_tpu.ops import pm_kernel
+
+    data, opts, cd, cn, inv_nd = _example()
+    j = 0
+    v = data.views
+    kw = dict(n_texels=int(data.goff.shape[0]),
+              th_robust=float(opts.th_robust), nearest=False)
+    args = (v.image[j], v.size[j], v.Hl[j], v.Hm[j], cd, cn, inv_nd,
+            data.X0, data.goff, data.w, data.wtm, data.sum_w, data.norm_sq0)
+
+    monkeypatch.setattr(pm_kernel, "INTERPRET", True)
+    pm_kernel.score_view_pallas._clear_cache()
+    try:
+        s_row = np.asarray(pm_kernel.score_view_pallas(*args, **kw))
+        monkeypatch.setattr(pm_kernel, "DYNSLAB", True)
+        pm_kernel.score_view_pallas._clear_cache()
+        s_dyn = np.asarray(pm_kernel.score_view_pallas(*args, **kw))
+    finally:
+        pm_kernel.score_view_pallas._clear_cache()
+
+    agree = np.isclose(s_dyn, s_row, rtol=1e-5, atol=1e-6)
+    worst = s_dyn >= s_row  # invalidation can only worsen the score
+    assert np.all(agree | worst)
+    assert agree.mean() > 0.97, agree.mean()
+
+
 def test_window_vote_ignores_invalid_pixels(monkeypatch):
     """Zero-depth (invalid) pixels warp to the EPIPOLE; they must not vote
     on the scoring kernel's patch-window anchor or every valid pixel in the
