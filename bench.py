@@ -116,25 +116,71 @@ def main():
         stage_t[f"geometric_{gi}"] = time.time() - tg
     dt = time.time() - t0
 
-    # per-stage breakdown for cross-round perf tracking (the driver only
-    # parses the single JSON line below; this side file is for humans)
+    value = n_maps / dt
+
+    # refine leg (regression-visible throughput for the OTHER major device
+    # workload): photometric mesh refinement of a z-perturbed GT surface on
+    # the synthetic harness scene — fixed shapes, no fusion/meshing needed.
+    # OMVS_BENCH_REFINE=0 skips it (the battery A/Bs only compare the
+    # depth-map metric and should stay short).
+    refine = {}
+    if os.environ.get("OMVS_BENCH_REFINE", "1") != "0":
+        try:
+            refine = _bench_refine()
+            stage_t["refine_s"] = refine.get("refine_wall_s", 0.0)
+        except Exception as e:  # never let the leg break the headline metric
+            refine = {"refine_error": repr(e)[:200]}
+
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_STAGES.json"), "w") as f:
             json.dump({"total_s": round(dt, 2), "n_maps": n_maps,
                        "stages_s": {k: round(v, 2) for k, v in stage_t.items()},
+                       "refine": refine,
                        "geom_split": os.environ.get("OMVS_GEOM_SPLIT", "")},
                       f, indent=1)
     except OSError:
         pass
 
-    value = n_maps / dt
-    print(json.dumps({
+    out = {
         "metric": "patchmatch_depth_maps_per_s",
         "value": round(value, 4),
         "unit": "depth-maps/s/chip (640x480, 5+2 iters, pyramid)",
         "vs_baseline": round(value / BASELINE_DEPTH_MAPS_PER_S, 3),
-    }))
+    }
+    out.update({k: v for k, v in refine.items() if k.startswith("refine")})
+    print(json.dumps(out))
+
+
+def _bench_refine():
+    """Fixed refine workload: 18k-face GT height-field mesh, z-noise 0.05,
+    RefineOptions(scales=2, iters=24) over 5 synthetic 320x240 views.
+    Matches the quality harness's noise-recovery leg so the number is
+    comparable to QUALITY_r0N wall splits."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from quality_harness import build_gt_scene
+    from openmvs_tpu.config import RefineOptions
+    from openmvs_tpu.refine import refine_mesh
+    from openmvs_tpu.scene import Mesh
+
+    scene, gt_mesh, _ = build_gt_scene(shape="smooth")
+    rng = np.random.default_rng(11)
+    nz = gt_mesh.vertices.copy()
+    nz[:, 2] += rng.normal(0, 0.05, len(nz)).astype(np.float32)
+    mesh = Mesh(vertices=nz, faces=gt_mesh.faces.copy())
+    t0 = time.time()
+    rm = refine_mesh(scene, mesh, RefineOptions(scales=2, iters=24))
+    wall = time.time() - t0
+    moved = float(np.abs(np.asarray(rm.vertices)[:, 2]
+                         - gt_mesh.vertices[:, 2]).mean())
+    return {
+        "refine_wall_s": round(wall, 2),
+        "refine_faces_per_s": round(len(mesh.faces) * 1 / wall, 1),
+        "refine_mean_z_err": round(moved, 5),
+    }
 
 
 if __name__ == "__main__":

@@ -23,6 +23,8 @@ upsampled coarse disparity — same memory effect, static shapes.
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -648,12 +650,19 @@ def match_pair_tsgm(
     import cv2
 
     H, W = rectA.shape
-    # pyramid scales: halve until min(min_resolution, full)
-    scales = [1.0]
-    while min(H, W) * scales[-1] * 0.5 >= min_resolution and scales[-1] * 0.5 >= 1 / 16:
-        scales.append(scales[-1] * 0.5)
-    scales = scales[::-1]          # coarse -> fine
+    # pyramid scales: the coarsest level sits at 1/max(2, 2^l) with l from
+    # computeMaxResolution(max_dim, 8, min_resolution) — i.e. tSGM ALWAYS
+    # runs at least one half-resolution level (SemiGlobalMatcher.cpp:585-591:
+    # scale = 1/MAXF(2, POWI(2, resolutionLevel))), which is what activates
+    # the per-pixel range maps; a plain "halve while >= min_resolution" rule
+    # silently degraded small images to single-level full-range SGM
+    lvl = 0
+    while (max(H, W) >> (lvl + 1)) >= min_resolution and lvl < 8:
+        lvl += 1
+    lvl = max(lvl, 1 if min(H, W) >= 32 else 0)
+    scales = [1.0 / (1 << (lvl - i)) for i in range(lvl)] + [1.0]
     tsgm = len(scales) > 1
+    debug = os.environ.get("OMVS_SGM_DEBUG") == "1"
 
     disp = None
     cost_map = None
@@ -671,14 +680,26 @@ def match_pair_tsgm(
         else:
             mnd, mnd_i = (11, 33) if first_up else (5, 7)
             first_up = False
+            # fallback window for pixels with <3 neighborhood samples: a
+            # min_num_disp_invalid-wide band at the GLOBAL MIDPOINT — the
+            # role of the reference's +-minNumDispInvalid around 0
+            # (SemiGlobalMatcher.cpp:1387-1390; its rectification centers
+            # disparity near 0, ours does not), NOT the whole global range:
+            # feeding (glo, ghi) into the fallback forced every level's
+            # volume to the full global span and quadrupled num_d on
+            # occlusion-heavy scenes (compile churn + wasted DP)
+            mid = (glo + ghi) // 2
+            fb = (max(glo, mid - mnd_i), min(ghi, mid + mnd_i))
             lo, hi = disparity_range_map(disp, (hs, ws), mnd, mnd_i,
-                                         global_range=(glo, ghi))
+                                         global_range=fb)
             dR = _flip_disparity(disp)
             loR, hiR = disparity_range_map(dR, (hs, ws), mnd, mnd_i,
-                                           global_range=(-ghi, -glo))
-        # level-global bounds from the per-pixel windows
-        l_min = int(min(lo.min(), glo))
-        l_max = int(max(hi.max(), ghi))
+                                           global_range=(-fb[1], -fb[0]))
+        # level-global bounds HUG the per-pixel windows (level 0 covers the
+        # global sparse-seed range by construction; finer levels only need
+        # the union of per-pixel ranges — the tSGM compression effect)
+        l_min = int(lo.min())
+        l_max = int(hi.max())
         span = l_max - l_min
         if span > max_num_d:
             # the volume cannot cover the whole span: place the coverage
@@ -699,11 +720,19 @@ def match_pair_tsgm(
         num_d = min(l_max - l_min, max_num_d)
         if num_d <= 1:
             num_d = 2
-        # bucket the volume depth to multiples of 16: bounds the number of
-        # distinct jit shapes (each unique num_d would recompile the cost +
-        # aggregation graphs); the extra disparities only widen the window
-        num_d = min(-(-num_d // 16) * 16, max_num_d)
+        # bucket the volume depth to a SHORT ladder: every distinct num_d
+        # recompiles the cost + 8-direction DP graphs (~30 s each on the
+        # chip), and occlusion-heavy scenes hit 4+ multiple-of-16 buckets
+        # (measured: the steps-scene "4x wall cliff" was compile churn).
+        # The <=2x volume waste of a coarse ladder is cheaper than one
+        # extra compile at every size it avoids.
+        ladder = [int(x) for x in os.environ.get(
+            "OMVS_SGM_ND_LADDER", "16,32,64,128,192,256").split(",")]
+        num_d = min(next((b for b in ladder if b >= num_d), ladder[-1]),
+                    max_num_d)
 
+        if debug:
+            t_lv = time.time()
         volL = mask_volume(
             wzncc_cost_volume(A, B, l_min, num_d),
             jnp.asarray(lo), jnp.asarray(hi), l_min)
@@ -731,6 +760,12 @@ def match_pair_tsgm(
         if li == 0 and tsgm:
             disp = _speckle_filter(disp)
         cost_map = costL
+        if debug:
+            print(f"SGM_DEBUG level={li} hw=({hs},{ws}) num_d={num_d} "
+                  f"lmin={l_min} lmax={l_max} span={span} "
+                  f"glob=({glo},{ghi}) "
+                  f"valid={np.isfinite(disp).mean():.3f} "
+                  f"wall={time.time()-t_lv:.2f}s", flush=True)
     return disp, cost_map
 
 

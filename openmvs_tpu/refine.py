@@ -802,7 +802,13 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
         # pruning runs periodically from 40% when planar_vertex_ratio > 0
         iter_stop = iters * 7 // 10
         iter_start = iters * 4 // 10 if opts.planar_vertex_ratio > 0 else 1 << 30
-        for it in range(0, iters, 4):
+        # host re-rasterization cadence: every RR device iterations.  The
+        # per-iteration trust-region cap (fraction of med_edge) is what
+        # keeps a fixed rasterization valid between refreshes; RR=4 is the
+        # conservative default, RR=8 halves the host raster+upload cost
+        # (A/B'd on the quality harness before changing the default)
+        rr = max(1, int(_os.environ.get("OMVS_REFINE_RERASTER", "4")))
+        for it in range(0, iters, rr):
             v_prev = np.asarray(v_d)[:nvr]
             pds = put(build_pds_stacked(v_prev))
             ratio_it = (opts.rigidity_elasticity_ratio
