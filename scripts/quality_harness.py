@@ -130,10 +130,11 @@ def run_estimator(scene, gt_depth, gt_mesh, estimator, tmpdir):
     from openmvs_tpu.io import dmap as dmapio
     from openmvs_tpu import eval as ev
 
-    opts = DenseOptions(estimator=estimator, max_resolution=320,
-                        min_resolution=160, resolution_level=0)
+    W = max(im.width for im in scene.images)
+    opts = DenseOptions(estimator=estimator, max_resolution=W,
+                        min_resolution=W // 2, resolution_level=0)
     t0 = time.time()
-    pc = dense_reconstruction(scene, opts, max_dim=320, save_dmaps_to=tmpdir)
+    pc = dense_reconstruction(scene, opts, max_dim=W, save_dmaps_to=tmpdir)
     wall = time.time() - t0
 
     # depth-map stats vs GT
@@ -193,16 +194,35 @@ def run_mesh_refine(scene, gt_mesh, pc):
     gz = gt_mesh.vertices[:, 2].reshape(g, g)
     interp = RegularGridInterpolator((gy, gx), gz, bounds_error=False,
                                      fill_value=np.nan)
+    # occlusion band = steep-slope region of the GT field (plateau walls on
+    # the steps scene; ~empty on smooth), dilated by 2 grid cells — the
+    # region where occlusion handling, not plain convergence, decides error
+    gyv, gxv = np.gradient(gz, gy, gx)
+    from scipy import ndimage as _ndi
+    # threshold 2.5: the smooth field's bump slopes stay < 2 everywhere,
+    # the steps plateaus' sigmoid walls exceed 2.5 (band ~11% of the grid)
+    band = _ndi.binary_dilation(np.hypot(gxv, gyv) > 2.5, iterations=2)
+    band_interp = RegularGridInterpolator((gy, gx), band.astype(np.float32),
+                                          bounds_error=False, fill_value=0.0)
 
     def dist_stats(m):
         v = np.asarray(m.vertices)
         zgt = interp(v[:, [1, 0]])
         inside = np.isfinite(zgt)
         d = np.abs(v[inside, 2] - zgt[inside])
-        return {"mean": round(float(d.mean()), 5),
-                "rms": round(float(np.sqrt((d ** 2).mean())), 5),
-                "p90": round(float(np.percentile(d, 90)), 5),
-                "outside_frac": round(float(1 - inside.mean()), 4)}
+        out = {"mean": round(float(d.mean()), 5),
+               "rms": round(float(np.sqrt((d ** 2).mean())), 5),
+               "p90": round(float(np.percentile(d, 90)), 5),
+               "outside_frac": round(float(1 - inside.mean()), 4)}
+        occl = band_interp(v[inside][:, [1, 0]]) > 0.5
+        if occl.any():
+            do = d[occl]
+            out["occl_band"] = {
+                "frac": round(float(occl.mean()), 4),
+                "mean": round(float(do.mean()), 5),
+                "rms": round(float(np.sqrt((do ** 2).mean())), 5),
+                "p90": round(float(np.percentile(do, 90)), 5)}
+        return out
 
     sc = scene
     sc.pointcloud = pc
@@ -240,11 +260,15 @@ def run_mesh_refine(scene, gt_mesh, pc):
 def main():
     import tempfile
 
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r02.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r03.json"
     shape = sys.argv[2] if len(sys.argv) > 2 else "smooth"
-    scene, gt_mesh, gt_depth = build_gt_scene(shape=shape)
+    W = int(sys.argv[3]) if len(sys.argv) > 3 else 320
+    H = int(sys.argv[4]) if len(sys.argv) > 4 else (W * 3 // 4)
+    grid = int(sys.argv[5]) if len(sys.argv) > 5 else max(96, 96 * W // 320)
+    scene, gt_mesh, gt_depth = build_gt_scene(shape=shape, W=W, H=H,
+                                              grid=grid)
     results = {"harness": f"synthetic textured height-field ({shape}), "
-                          "5 views, 320x240",
+                          f"5 views, {W}x{H}, grid {grid}",
                "threshold_note": "F-score threshold 0.06 = ~1% of the 6.0 scene depth"}
     for est in ("patchmatch", "sgm"):
         with tempfile.TemporaryDirectory() as td:
