@@ -418,17 +418,20 @@ def _geometric_term(
     patch_rows: int = 0,
     force_xla: bool = False,
 ) -> jnp.ndarray:
-    """Forward-backward reprojection consistency (DepthMap.cpp:535-551)."""
+    """Forward-backward reprojection consistency (DepthMap.cpp:535-551).
+
+    ACCURACY NOTE (root-caused round 3, scripts/dev_geom_diverge.py): on
+    the axon TPU backend THIS XLA body computes values that diverge from
+    the float32 ground truth on ~60% of real candidate inputs (mean |d|
+    ~1.0) — the 3x3 einsum warps lower onto the MXU at reduced precision,
+    shifting x1/y1 enough to flip the 0.03 similarity test and move the
+    reprojection distance by ~1 px.  The Pallas geom kernel
+    (geom_term_pallas) matches the CPU float32 values EXACTLY on the same
+    inputs.  The kernel is not yet the default because the round-2
+    pipeline contract (reference face-count window) was verified against
+    this term's TPU behavior; recalibrating the downstream against the
+    correct term is tracked in ROADMAP.md."""
     if not force_xla and _use_pallas() and _os.environ.get("OMVS_GEOM_KERNEL"):
-        # lane-gather kernel for the dm sample (XLA lowers it to serial
-        # scalar gathers).  OPT-IN ONLY on this backend: standalone the
-        # kernel matches the CPU scorer (tests/test_pm_kernel.py
-        # test_geom_term_pallas_matches_cpu, 98.9%+ at full res), but
-        # embedding a SECOND pallas_call into the big fused sweep jit
-        # nearly doubles raw mesh faces on the bundled scene in every
-        # configuration tried (measured via scripts/dev_gate_counts.py:
-        # 81k -> 148k raw) — consistent with this stack's known
-        # large-fused-graph miscompiles.  Re-evaluate on toolchain updates.
         from openmvs_tpu.ops.pm_kernel import geom_term_pallas
 
         kw = {"patch_rows": patch_rows} if patch_rows else {}
@@ -905,8 +908,16 @@ def sweep(
     per call).  OMVS_GEOM_SPLIT=xla runs the SAME split structure but with
     the standalone-jitted XLA geometric term instead of the kernel (any
     backend): isolates split-structure effects from kernel effects."""
+    # Structure A/B (battery r3, chip): fused-jit default 0.746 dm/s,
+    # OMVS_GEOM_SPLIT=xla 0.670 steady-state (its 1.85x densify win on
+    # fresh runs is COMPILE time — much smaller graphs — not throughput),
+    # OMVS_GEOM_SPLIT=1 (geom kernel) 0.808, OMVS_GEOM_FUSED=1 (merged
+    # kernel) 0.877.  The kernel term is the float32-correct one (see
+    # _geometric_term); it becomes the default once the downstream is
+    # recalibrated to the reference face-count window under correct math.
     split = _os.environ.get("OMVS_GEOM_SPLIT")
-    if use_geom and split and (split == "xla" or _use_pallas()):
+    if use_geom and split and split != "0" and (
+            split == "xla" or _use_pallas()):
         return _sweep_geom_split(state, data, opts, key, n_views, n_perturb,
                                  mode, rescore_state, n_prop, fold)
     # fold is traced (has_fold static): identical RNG to an eager
@@ -917,12 +928,13 @@ def sweep(
 
 
 def _geom_all_views(data: PMData, n_views: int, depth_c: jnp.ndarray) -> jnp.ndarray:
-    """(V, C, H, W) consistency via the standalone-jitted geom kernel (or the
-    standalone XLA term under OMVS_GEOM_SPLIT=xla)."""
+    """(V, C, H, W) consistency via the lane-gather geom kernel
+    (OMVS_GEOM_SPLIT=1; the float32-correct term) or the standalone-jitted
+    XLA term (OMVS_GEOM_SPLIT=xla; bit-exact vs the fused-jit path)."""
     from openmvs_tpu.ops.pm_kernel import geom_term_pallas
 
     v = data.views
-    if _os.environ.get("OMVS_GEOM_SPLIT") == "xla":
+    if _os.environ.get("OMVS_GEOM_SPLIT", "xla") != "1":
         return jnp.stack([
             _geom_xla_jit(data, depth_c, v.depth[j], v.size[j], v.Tl[j],
                           v.Tm[j], v.Tr[j], v.Tn[j])
