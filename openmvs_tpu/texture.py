@@ -109,16 +109,21 @@ def remove_outlier_views(quality: np.ndarray, face_colors: List[np.ndarray],
                          threshold: float) -> np.ndarray:
     """Reject views whose face color deviates from the robust mean
     (simplified form of the reference's multivariate-Gaussian color
-    consistency test, SceneTexture.cpp:917-1027)."""
+    consistency test, SceneTexture.cpp:917-1027).  Streams over views —
+    an (nf, V, 3) stack peaks at ~1.2 GB on a 10M-face mesh."""
     nf, V = quality.shape
-    cols = np.stack(face_colors, axis=1)  # (nf, V, 3)
     seen = quality > 0
-    cnt = seen.sum(axis=1, keepdims=True)
-    mean = (cols * seen[..., None]).sum(axis=1, keepdims=True) / np.maximum(cnt[..., None], 1)
-    dev = np.linalg.norm(cols - mean, axis=-1) / 255.0
-    bad = seen & (dev > np.sqrt(threshold) * 6) & (cnt >= 3)
+    cnt = seen.sum(axis=1)
+    mean = np.zeros((nf, 3), np.float32)
+    for vi in range(V):
+        mean += np.where(seen[:, vi, None], face_colors[vi], 0.0)
+    mean /= np.maximum(cnt[:, None], 1)
     q = quality.copy()
-    q[bad] = 0
+    th = np.sqrt(threshold) * 6
+    may = cnt >= 3
+    for vi in range(V):
+        dev = np.linalg.norm(face_colors[vi] - mean, axis=-1) / 255.0
+        q[seen[:, vi] & may & (dev > th), vi] = 0
     return q
 
 
@@ -1307,6 +1312,7 @@ def texture_mesh(
         quality, face_colors = compute_face_qualities(scene, mesh, max_dim)
     if opts.outlier_threshold > 0:
         quality = remove_outlier_views(quality, face_colors, opts.outlier_threshold)
+    del face_colors          # ~600 MB at 10M faces; not needed further
     adj = _face_adjacency(mesh.faces)
     lam = opts.ratio_data_smoothness * 10
     lam_edge = (
