@@ -1006,6 +1006,8 @@ def generate_texture(
                 _local_seam_leveling(mesh, psel, adj, pages[pg], tw, th, ftc)
     if opts.sharpness_weight > 0:
         # unsharp-mask sharpening (TextureMesh nSharpen, SceneTexture.cpp:2270)
+        _t_sh = timed(log, "sharpen")
+        _t_sh.__enter__()
         import cv2
 
         for pg in pages:
@@ -1013,6 +1015,7 @@ def generate_texture(
             blur = cv2.GaussianBlur(a, (0, 0), 1.5)
             pg[:] = np.clip(a + opts.sharpness_weight * (a - blur), 0, 255).astype(np.uint8)
 
+        _t_sh.__exit__(None, None, None)
     out = Mesh(vertices=mesh.vertices, faces=mesh.faces,
                face_tex_coords=ftc, texture=pages[0],
                textures=pages if n_pages > 1 else None,
@@ -1311,9 +1314,12 @@ def texture_mesh(
     with timed(log, "face qualities"):
         quality, face_colors = compute_face_qualities(scene, mesh, max_dim)
     if opts.outlier_threshold > 0:
-        quality = remove_outlier_views(quality, face_colors, opts.outlier_threshold)
+        with timed(log, "outlier views"):
+            quality = remove_outlier_views(quality, face_colors,
+                                           opts.outlier_threshold)
     del face_colors          # ~600 MB at 10M faces; not needed further
-    adj = _face_adjacency(mesh.faces)
+    with timed(log, "face adjacency"):
+        adj = _face_adjacency(mesh.faces)
     lam = opts.ratio_data_smoothness * 10
     lam_edge = (
         virtual_face_lambda(mesh, adj, lam, opts.virtual_face_threshold)
