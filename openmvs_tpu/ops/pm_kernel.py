@@ -55,7 +55,7 @@ TILE_H = int(_os.environ.get("OMVS_TILE_H", "8"))
 TILE_W = 128
 # texels processed per grid step: amortizes the fixed per-step cost (block
 # bookkeeping across 15 operands) over several gather sweeps
-TEXEL_CHUNK = 5
+TEXEL_CHUNK = int(_os.environ.get("OMVS_TEXEL_CHUNK", "5"))
 # OMVS_SLAB=1: diagonal-slab row selection — replaces the per-row
 # broadcast/blend scan (patch_rows iterations) with one equality-select per
 # static (8, PATCH_COLS) slab (patch_rows-7 iterations, no broadcasts):
@@ -74,6 +74,19 @@ SLAB = bool(int(_os.environ.get("OMVS_SLAB", "0")))
 # select chain).  Out-of-band pixels invalidate like out-of-patch samples.
 DYNSLAB = bool(int(_os.environ.get("OMVS_DYNSLAB", "0")))
 DYNSLAB_BAND = int(_os.environ.get("OMVS_DYNSLAB_BAND", "16"))
+# OMVS_HOIST=1: slice ONE source band per (candidate, tile) grid step —
+# anchored at the tile's zero-texel-offset warp — and gather every texel
+# of the chunk from it, instead of a fresh patch slice per texel.  The
+# per-texel dynamic slice is the measured kernel bottleneck (time scales
+# linearly with patch AREA: 57.4 ms at 24x384, 19.0 ms at 8x128, while
+# row-scan length and TEXEL_CHUNK change NOTHING — dev_rowsel_ab /
+# patch-size sweep, round 3).  Texel offsets only move samples a few
+# pixels, so a (HOIST_ROWS, HOIST_COLS) band with margin covers every
+# texel of the chunk; out-of-band samples invalidate (same monotone
+# contract as the slab variants).  Best paired with OMVS_TEXEL_CHUNK=25.
+HOIST = bool(int(_os.environ.get("OMVS_HOIST", "0")))
+HOIST_ROWS = int(_os.environ.get("OMVS_HOIST_ROWS", "32"))
+HOIST_COLS = int(_os.environ.get("OMVS_HOIST_COLS", "512"))
 
 
 def _texel_kernel(
@@ -95,12 +108,15 @@ def _texel_kernel(
     *,
     nearest: bool = False,
     patch_rows: int = PATCH_ROWS,
+    row_mode: str = "scan",
+    hoist: bool = False,
 ):
     _texel_score_body(
         hl_ref, hm_ref, goff_ref, size_ref, img_ref, depth_ref[0],
         nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
         w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
-        nearest=nearest, patch_rows=patch_rows,
+        nearest=nearest, patch_rows=patch_rows, row_mode=row_mode,
+        hoist=hoist,
     )
 
 
@@ -112,7 +128,13 @@ def _texel_score_body(
     *,
     nearest: bool = False,
     patch_rows: int = PATCH_ROWS,
+    row_mode: str = "scan",
+    hoist: bool = False,
 ):
+    # NOTE: variant selection rides EXPLICIT kwargs, not module globals:
+    # pallas caches traced kernels by the partial's hash, so a global flag
+    # flip after the first trace silently reuses the stale kernel (this
+    # bit every in-process variant A/B in round 3 until root-caused)
     Hp, Wp = img_ref.shape
     t_step = pl.program_id(3)
     first = t_step == 0
@@ -134,7 +156,33 @@ def _texel_score_body(
     ssum_acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     ssq_acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     ok_acc = jnp.ones((TILE_H, TILE_W), jnp.bool_)
-    n_blk = PATCH_COLS // 128
+    p_rows = patch_rows
+    p_cols = PATCH_COLS
+
+    band = None
+    if hoist:
+        # anchor from the ZERO-texel-offset warp (g = 0: sga = 0,
+        # scale = 1/d), slice the band once; every texel of this chunk
+        # gathers from it.  Extra margins (-24 cols / -8 rows vs the
+        # per-texel -8 / -4) absorb the few-pixel texel-offset shifts.
+        p_rows = min(HOIST_ROWS, ((Hp + 7) // 8) * 8)
+        p_cols = min(HOIST_COLS, Wp)
+        sxc = sx0 + hm[0] * inv_d
+        syc = sy0 + hm[1] * inv_d
+        szc = sz0 + hm[2] * inv_d
+        zokc = szc > 1e-8
+        izc = jnp.where(zokc, 1.0 / jnp.where(zokc, szc, 1.0), 0.0)
+        pxc = sxc * izc
+        pyc = syc * izc
+        okc = zokc & (pxc >= 1) & (pxc <= w_j - 2) & (pyc >= 1) & (pyc <= h_j - 2)
+        px_vc = jnp.where(okc, pxc, 1e9)
+        py_vc = jnp.where(okc, pyc, 1e9)
+        hc0 = jnp.clip(jnp.min(px_vc).astype(jnp.int32) - 24, 0, Wp - p_cols)
+        hc0 = pl.multiple_of(hc0 & ~127, 128)
+        hr0 = jnp.clip(jnp.min(py_vc).astype(jnp.int32) - 8, 0, Hp - p_rows)
+        hr0 = pl.multiple_of(hr0 & ~7, 8)
+        band = img_ref[pl.ds(hr0, p_rows), pl.ds(hc0, p_cols)]
+    n_blk = p_cols // 128
 
     for kk in range(TEXEL_CHUNK):
         ga = goff_ref[0, 3 * (t_step * TEXEL_CHUNK + kk)]
@@ -165,11 +213,15 @@ def _texel_score_body(
             # nearest sampling: round x (1 column gather instead of 2);
             # y keeps the two-row blend machinery but selects, not blends
             px = jnp.round(px)
-        c0 = jnp.clip(jnp.min(px_v).astype(jnp.int32) - 8, 0, Wp - PATCH_COLS)
-        c0 = pl.multiple_of(c0 & ~127, 128)
-        r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 4, 0, Hp - patch_rows)
-        r0 = pl.multiple_of(r0 & ~7, 8)
-        patch = img_ref[pl.ds(r0, patch_rows), pl.ds(c0, PATCH_COLS)]
+        if hoist:
+            c0, r0 = hc0, hr0
+            patch = band
+        else:
+            c0 = jnp.clip(jnp.min(px_v).astype(jnp.int32) - 8, 0, Wp - p_cols)
+            c0 = pl.multiple_of(c0 & ~127, 128)
+            r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 4, 0, Hp - p_rows)
+            r0 = pl.multiple_of(r0 & ~7, 8)
+            patch = img_ref[pl.ds(r0, p_rows), pl.ds(c0, p_cols)]
 
         lxf = px - c0.astype(jnp.float32)
         lyf = py - r0.astype(jnp.float32)
@@ -177,9 +229,9 @@ def _texel_score_body(
         ly = jnp.floor(lyf).astype(jnp.int32)
         fx = lxf - lx.astype(jnp.float32)
         fy = lyf - ly.astype(jnp.float32)
-        ok = ok & (lx >= 0) & (lx < PATCH_COLS - 1) & (ly >= 0) & (ly < patch_rows - 1)
-        lx = jnp.clip(lx, 0, PATCH_COLS - 2)
-        ly = jnp.clip(ly, 0, patch_rows - 2)
+        ok = ok & (lx >= 0) & (lx < p_cols - 1) & (ly >= 0) & (ly < p_rows - 1)
+        lx = jnp.clip(lx, 0, p_cols - 2)
+        ly = jnp.clip(ly, 0, p_rows - 2)
         lx1 = lx + 1
         blk = jnp.clip(lx >> 7, 0, n_blk - 1)
         blk1 = jnp.clip(lx1 >> 7, 0, n_blk - 1)
@@ -188,20 +240,21 @@ def _texel_score_body(
 
         v_top = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         v_bot = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        if DYNSLAB and TILE_H == 8:
-            band_rows = min(DYNSLAB_BAND, patch_rows)
+        if row_mode == "dynslab" and TILE_H == 8:
+            band_rows = min(DYNSLAB_BAND, p_rows)
             o_sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
             d_top = ly - o_sub
             d_v = jnp.where(ok, d_top, jnp.int32(1 << 20))
-            k0 = jnp.clip(jnp.min(d_v), 0, patch_rows - band_rows)
-            band = jax.lax.dynamic_slice(
-                patch, (k0, 0), (band_rows, PATCH_COLS))
+            k0 = jnp.clip(jnp.min(d_v), 0, p_rows - band_rows)
+            # re-slice the REF at the dynamic row base (Mosaic has no
+            # dynamic_slice on values): dband[k] == patch[k0 + k]
+            dband = img_ref[pl.ds(r0 + k0, band_rows), pl.ds(c0, p_cols)]
             rel = d_top - k0
             n_slab = band_rows - TILE_H + 1
             # rows rel and rel+1 must both sit on the covered band
             ok = ok & (rel >= 0) & (rel + 1 <= n_slab - 1)
             for k in range(n_slab):
-                slab = band[k : k + TILE_H, :]               # (8, PATCH_COLS)
+                slab = dband[k : k + TILE_H, :]              # (8, p_cols)
                 # lane-rolled copy: gathered at the SAME (blk, loc) it
                 # yields the x+1 sample, block crossings included
                 slab_r = jnp.concatenate(
@@ -220,10 +273,10 @@ def _texel_score_body(
                 g = g_l if nearest else g_l * (1.0 - fx) + g_r * fx
                 v_top = jnp.where(rel == k, g, v_top)
                 v_bot = jnp.where(rel == k - 1, g, v_bot)
-        elif SLAB and TILE_H == 8:
+        elif row_mode == "slab" and TILE_H == 8:
             o_sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
             d_top = ly - o_sub
-            n_slab = patch_rows - TILE_H + 1
+            n_slab = p_rows - TILE_H + 1
             # both rows (ly, ly+1) must sit on the covered diagonal band
             ok = ok & (d_top >= 0) & (d_top + 1 <= n_slab - 1)
             for k in range(n_slab):
@@ -242,7 +295,7 @@ def _texel_score_body(
                 v_top = jnp.where(d_top == k, g, v_top)
                 v_bot = jnp.where(d_top == k - 1, g, v_bot)
         else:
-            for r in range(patch_rows):
+            for r in range(p_rows):
                 row = patch[r : r + 1, :]
                 g_l = jnp.zeros((TILE_H, TILE_W), jnp.float32)
                 g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
@@ -405,6 +458,8 @@ def _texel_geom_kernel(
     patch_rows: int = PATCH_ROWS,
     geom_rows: int = PATCH_ROWS,
     geom_cols: int = PATCH_COLS,
+    row_mode: str = "scan",
+    hoist: bool = False,
 ):
     """Scoring kernel + the geometric-consistency term in ONE pallas_call:
     a second pallas_call in the same sweep jit miscompiles on this backend
@@ -422,7 +477,8 @@ def _texel_geom_kernel(
         hl_ref, hm_ref, goff_ref, size_ref, img_ref, depth_s,
         nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
         w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
-        nearest=nearest, patch_rows=patch_rows,
+        nearest=nearest, patch_rows=patch_rows, row_mode=row_mode,
+        hoist=hoist,
     )
 
     @pl.when(first)
@@ -566,8 +622,23 @@ def _pad_to(x: jnp.ndarray, h: int, w: int, axes: Tuple[int, int]):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("n_texels", "th_robust", "nearest", "patch_rows"))
-def score_view_pallas(
+def score_view_pallas(*args, row_mode=None, hoist=None, **kw):
+    """Public scorer: resolves the row-selection / band-hoist variant from
+    the env-initialized module globals UNLESS given explicitly, then calls
+    the jitted kernel with them as STATIC args.  Variants must ride the jit
+    cache key: in-process flag flips with `_clear_cache()` silently reused
+    the stale pallas kernel trace (round-3 root cause — it invalidated every
+    in-process variant A/B and made the interpret-mode slab parity tests
+    compare identical outputs)."""
+    if row_mode is None:
+        row_mode = "dynslab" if DYNSLAB else ("slab" if SLAB else "scan")
+    if hoist is None:
+        hoist = HOIST
+    return _score_view_pallas(*args, row_mode=row_mode, hoist=hoist, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("n_texels", "th_robust", "nearest", "patch_rows", "row_mode", "hoist"))
+def _score_view_pallas(
     img: jnp.ndarray,        # (Hp, Wp) neighbor image
     size: jnp.ndarray,       # (2,) valid h, w
     Hl: jnp.ndarray,         # (3, 3)
@@ -585,6 +656,8 @@ def score_view_pallas(
     th_robust: float,
     nearest: bool = False,
     patch_rows: int = PATCH_ROWS,
+    row_mode: str = "scan",
+    hoist: bool = False,
 ) -> jnp.ndarray:
     """Weighted-ZNCC scores (C, H, W) of candidate maps in one view.
 
@@ -641,7 +714,9 @@ def score_view_pallas(
 
     out_shapes = [jax.ShapeDtypeStruct((C, Hpad, Wpad), jnp.float32)] * 4
     num, ssum, ssq, inbf = pl.pallas_call(
-        functools.partial(_texel_kernel, nearest=nearest, patch_rows=patch_rows),
+        functools.partial(_texel_kernel, nearest=nearest,
+                          patch_rows=patch_rows, row_mode=row_mode,
+                          hoist=hoist),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[
@@ -682,8 +757,22 @@ def score_view_pallas(
     return jnp.where((nrm_sq <= 1e-16) | ~inb, th_robust, score)
 
 
-@functools.partial(jax.jit, static_argnames=("n_texels", "th_robust", "nearest", "patch_rows"))
-def score_view_geom_pallas(
+score_view_pallas._clear_cache = lambda: _score_view_pallas._clear_cache()
+
+
+def score_view_geom_pallas(*args, row_mode=None, hoist=None, **kw):
+    """Public merged scorer+geom kernel (see score_view_pallas for the
+    variant-resolution contract)."""
+    if row_mode is None:
+        row_mode = "dynslab" if DYNSLAB else ("slab" if SLAB else "scan")
+    if hoist is None:
+        hoist = HOIST
+    return _score_view_geom_pallas(*args, row_mode=row_mode, hoist=hoist,
+                                   **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("n_texels", "th_robust", "nearest", "patch_rows", "row_mode", "hoist"))
+def _score_view_geom_pallas(
     img: jnp.ndarray,        # (Hp, Wp) neighbor image
     size: jnp.ndarray,       # (2,) valid h, w
     Hl: jnp.ndarray,         # (3, 3) (== Tl)
@@ -705,6 +794,8 @@ def score_view_geom_pallas(
     th_robust: float,
     nearest: bool = False,
     patch_rows: int = PATCH_ROWS,
+    row_mode: str = "scan",
+    hoist: bool = False,
 ):
     """(score, cons): weighted-ZNCC scores AND the geometric-consistency
     penalty of candidate maps in one view, from ONE pallas_call (see
@@ -769,7 +860,8 @@ def score_view_geom_pallas(
     num, ssum, ssq, inbf, cons = pl.pallas_call(
         functools.partial(_texel_geom_kernel, nearest=nearest,
                           patch_rows=patch_rows,
-                          geom_rows=g_rows, geom_cols=g_cols),
+                          geom_rows=g_rows, geom_cols=g_cols,
+                          row_mode=row_mode, hoist=hoist),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[
@@ -813,3 +905,7 @@ def score_view_geom_pallas(
     ncc = jnp.clip(num * jax.lax.rsqrt(jnp.maximum(nrm_sq, 1e-30)), -1.0, 1.0)
     score = 1.0 - ncc
     return jnp.where((nrm_sq <= 1e-16) | ~inb, th_robust, score), cons
+
+
+score_view_geom_pallas._clear_cache = (
+    lambda: _score_view_geom_pallas._clear_cache())
