@@ -161,6 +161,10 @@ def main(argv=None):
                    help="render the scene mesh into every view and save "
                         "depth maps to this base name (.dmap/.pfm/image), "
                         "then exit (Scene::ExportMeshToDepthMaps)")
+    p.add_argument("--dense-config-file", default="",
+                   help="reference-format OPTDENSE workspace file (SML text, "
+                        "DensifyPointCloud --dense-config-file); explicit "
+                        "CLI options override its values")
     _add_dataclass_args(p, DenseOptions)
 
     p = sub.add_parser("mesh", help="graph-cut mesh reconstruction")
@@ -302,6 +306,16 @@ def main(argv=None):
 
         scene = Scene.load(args.scene)
         opts = _build_opts(DenseOptions, args)
+        if args.dense_config_file:
+            from openmvs_tpu.io.sml import dense_options_from_sml
+
+            # SML first, explicit CLI flags on top (reference order:
+            # oConfig.Load then program_options update, app:238-255)
+            base = dense_options_from_sml(args.dense_config_file)
+            cli_kw = {f.name: getattr(args, f.name)
+                      for f in dataclasses.fields(DenseOptions)
+                      if getattr(args, f.name, None) is not None}
+            opts = base.replace(**cli_kw)
         if args.tower_mode != 0:
             from openmvs_tpu.tower import init_tower_scene
 

@@ -618,10 +618,19 @@ def _flip_disparity(disp: np.ndarray) -> np.ndarray:
 
 def _speckle_filter(disp: np.ndarray, max_size: int = 100,
                     max_diff: float = 5.0) -> np.ndarray:
-    """cv2.filterSpeckles on a float disparity with NaN invalid."""
+    """cv2.filterSpeckles on a float disparity with NaN invalid.
+
+    cv2 rejects non-C-contiguous output arrays ("layout incompatible") —
+    np.asarray of a jax result can be a zero-copy F-ordered view whose
+    order survives astype(order='K'), so force C order; degenerate 0-row/
+    0-col levels (possible for extreme rectifications) are passed through
+    unfiltered for the same reason."""
     import cv2
 
-    d16 = np.where(np.isfinite(disp), disp * 16.0, -32768).astype(np.int16)
+    if disp.shape[0] == 0 or disp.shape[1] == 0:
+        return disp.astype(np.float32)
+    d16 = np.ascontiguousarray(
+        np.where(np.isfinite(disp), disp * 16.0, -32768).astype(np.int16))
     cv2.filterSpeckles(d16, -32768, max_size, int(max_diff * 16))
     out = d16.astype(np.float32) / 16.0
     out[d16 == -32768] = np.nan
@@ -650,6 +659,11 @@ def match_pair_tsgm(
     import cv2
 
     H, W = rectA.shape
+    if H == 0 or W == 0:
+        # degenerate rectified pair (extreme geometry can collapse a level):
+        # nothing to match — the caller's cluster fusion drops empty maps
+        return (np.full((H, W), np.nan, np.float32),
+                np.zeros((H, W), np.float32))
     # pyramid scales: the coarsest level sits at 1/max(2, 2^l) with l from
     # computeMaxResolution(max_dim, 8, min_resolution) — i.e. tSGM ALWAYS
     # runs at least one half-resolution level (SemiGlobalMatcher.cpp:585-591:

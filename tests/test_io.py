@@ -290,3 +290,69 @@ def test_ply_polygon_faces_triangulate(tmp_path):
     plyio.save_mesh(p3, np.zeros((3, 3), np.float32),
                     np.zeros((0, 3), np.int32))
     assert len(plyio.load(p3).faces) == 0
+
+
+def test_sml_config_roundtrip(tmp_path):
+    """SML text-config codec (libs/Common/SML.cpp format): parse the
+    reference's save layout (values + nested bracket sections), map OPTDENSE
+    titles onto DenseOptions, and round-trip our writer through our reader."""
+    from openmvs_tpu.io import sml
+    from openmvs_tpu.config import DenseOptions
+
+    text = (
+        "NCC Threshold Keep = 0.8\n"
+        "Min Views Fuse = 3\n"
+        "Filter Adjust = 0\n"
+        "Optim Angle = 10\n"
+        "Pairwise Mul = 0.3\n"          # role-less: accepted, ignored
+        "\n"
+        "[Child]\n"
+        "{\n"
+        "\tInner = 42\n"
+        "}\n"
+    )
+    node = sml.parse_sml(text)
+    assert node["NCC Threshold Keep"] == "0.8"
+    assert node.children["Child"]["Inner"] == "42"
+    # writer -> parser round trip preserves everything
+    node2 = sml.parse_sml(sml.dump_sml(node))
+    assert node2.values == node.values
+    assert node2.children["Child"].values == {"Inner": "42"}
+
+    p = tmp_path / "Densify.ini"
+    p.write_text(text)
+    opts = sml.dense_options_from_sml(str(p))
+    assert opts.ncc_threshold_keep == 0.8
+    assert opts.min_views_fuse == 3
+    assert opts.filter_adjust is False
+    assert opts.optim_angle == 10.0
+    # unset titles keep defaults
+    assert opts.max_views == DenseOptions().max_views
+
+    # our writer produces a file our reader (and format-wise, the
+    # reference's SML::Load) accepts with identical values
+    out = tmp_path / "out.ini"
+    sml.dense_options_to_sml(opts, str(out))
+    opts2 = sml.dense_options_from_sml(str(out))
+    assert opts2 == opts
+
+
+def test_tga_and_sci_image_decode(tmp_path):
+    """TGA (ImageTGA.cpp role, via the PIL fallback) and SCI (ImageSCI.cpp
+    raw codec) images load as RGB through the standard loader."""
+    from openmvs_tpu.io import images as imio
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+
+    from PIL import Image as PImage
+    tga = tmp_path / "img.tga"
+    PImage.fromarray(rgb).save(str(tga))
+    got = imio.load_color(str(tga))
+    assert got.shape == (20, 30, 3)
+    assert np.array_equal(got, rgb)
+
+    sci = tmp_path / "img.sci"
+    imio.save_sci(str(sci), rgb)
+    got = imio.load_color(str(sci))
+    assert np.array_equal(got, rgb)

@@ -169,3 +169,31 @@ def test_fuse_pair_depths_clusters():
     # outlier cluster of one loses; min_views respected
     depth2, _ = sgm.fuse_pair_depths([mk(5.0), mk(9.0)], min_views=2)
     assert (depth2 == 0).all()
+
+
+def test_speckle_filter_degenerate_layouts():
+    """Regression: cv2.filterSpeckles rejects non-C-contiguous and 0-row
+    arrays; _speckle_filter must handle an F-ordered disparity (a zero-copy
+    view of a jax result — the real-world trigger on the bundled scene) and
+    degenerate empty levels."""
+    from openmvs_tpu.ops import sgm
+
+    # F-ordered (transposed) input — the in-situ failure layout
+    base = np.full((320, 240), np.nan, np.float32)
+    base[:100, :80] = 3.0
+    f_ordered = base.T
+    assert not f_ordered.flags["C_CONTIGUOUS"]
+    out = sgm._speckle_filter(f_ordered)
+    assert out.shape == (240, 320)
+    assert np.isfinite(out).sum() > 0
+
+    # 0-row / 0-col inputs pass through
+    for shape in [(0, 64), (64, 0), (0, 0)]:
+        empty = np.full(shape, np.nan, np.float32)
+        out = sgm._speckle_filter(empty)
+        assert out.shape == shape
+
+    # degenerate rectified pair: match_pair_tsgm returns an empty result
+    disp, cost = sgm.match_pair_tsgm(
+        np.zeros((0, 64), np.float32), np.zeros((0, 64), np.float32), -16, 0)
+    assert disp.shape == (0, 64) and cost.shape == (0, 64)
