@@ -180,6 +180,10 @@ def _bench_refine():
         "refine_wall_s": round(wall, 2),
         "refine_faces_per_s": round(len(mesh.faces) * 1 / wall, 1),
         "refine_mean_z_err": round(moved, 5),
+        # measured same-host reference anchor for the IDENTICAL workload:
+        # bench_ref/ref_refine_workload.cpp (0.73 s wall, 1 core) — see
+        # bench_ref/BASELINE_MEASURED.md "Refine anchor (round 4)"
+        "refine_vs_ref": round(0.73 / wall, 4),
     }
 
 

@@ -22,6 +22,10 @@ class DenseOptions:
 
     # -- fusion --
     fuse_mode: str = "fuse"          # "fuse" (cross-view agreement) | "merge"
+    # Conf2Weight saturation floor (reference constant 0.03,
+    # SceneDensify.cpp:120) recalibrated to this estimator's deeper
+    # convergence — see ops/fusion.conf2weight for the full derivation
+    fuse_conf_weight_floor: float = 0.09
 
     # -- resolution policy (DepthMap.cpp:69-72) --
     resolution_level: int = 1        # scale down images this many times (halvings)

@@ -41,8 +41,24 @@ class ViewDepthData:
     neighbor_ids: Sequence[int]    # neighbor image ids
 
 
-def conf2weight(conf: np.ndarray, depth: np.ndarray) -> np.ndarray:
-    return 1.0 / (np.maximum(1.0 - conf, 0.03) * depth * depth)
+def conf2weight(conf: np.ndarray, depth: np.ndarray,
+                floor: float = 0.09) -> np.ndarray:
+    """Fusion weight of a depth sample (Conf2Weight, SceneDensify.cpp:120:
+    1/(max(1-conf, 0.03) * depth^2)).
+
+    The saturation floor is CALIBRATED to this estimator, not copied: the
+    reference constant 0.03 caps weights against ITS estimator's confidence
+    distribution (median valid conf ~0.70 on the bundled scene), while this
+    estimator converges deeper (one extra block-synchronous iteration +
+    exact-mode final rescoring; median valid conf ~0.86 with the
+    float32-correct geometric term) — through 1/(1-conf) that difference
+    alone doubles every visibility-ray weight and inflated the graph-cut
+    surface ~1.9x past the reference parity band (35-45k clean faces,
+    apps/Tests/Tests.cpp:97-99).  floor=0.09 restores reference-scale ray
+    evidence: bundled scene lands at 222k pts / 80.7k raw / 40.4k clean vs
+    the band centers (>=200k / >=75k / 35-45k); see
+    scripts/dev_calibrate_r4.py for the calibration sweep."""
+    return 1.0 / (np.maximum(1.0 - conf, floor) * depth * depth)
 
 
 class ViewProvider:
@@ -150,6 +166,7 @@ def fuse_depth_maps(
     if provider is None:
         provider = _InMemoryProvider(views)
     n_min_fuse = opts.min_views_fuse
+    w_floor = getattr(opts, "fuse_conf_weight_floor", 0.09)
     cos_normal_err = np.cos(np.radians(opts.normal_diff_threshold))
     # ownership: per view, map pixel -> fused point index (-1 free, -2 consumed)
     owner: Dict[int, np.ndarray] = {}
@@ -182,7 +199,7 @@ def fuse_depth_maps(
             continue
         d = ref.depth[yy, xx].astype(np.float64)
         conf = ref.conf[yy, xx] if ref.conf is not None else np.ones(len(d), np.float32)
-        wgt = conf2weight(conf, d)
+        wgt = conf2weight(conf, d, w_floor)
         uv = np.stack([xx, yy], -1).astype(np.float64)
         X = ref.camera.unproject(uv, d)                       # world points
         if ref.normal is not None:
@@ -247,7 +264,7 @@ def fuse_depth_maps(
                 # accumulate neighbor contribution
                 cb = nb.conf[iy_c[winners], ix_c[winners]] if nb.conf is not None else np.ones(len(winners), np.float32)
                 dbw = db[winners]
-                wb_ = conf2weight(cb, dbw)
+                wb_ = conf2weight(cb, dbw, w_floor)
                 uvb = np.stack([ix_c[winners], iy_c[winners]], -1).astype(np.float64)
                 Xb = nb.camera.unproject(uvb, dbw)
                 acc_X[winners] += Xb * wb_[:, None]

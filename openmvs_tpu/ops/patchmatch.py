@@ -427,10 +427,11 @@ def _geometric_term(
     shifting x1/y1 enough to flip the 0.03 similarity test and move the
     reprojection distance by ~1 px.  The Pallas geom kernel
     (geom_term_pallas) matches the CPU float32 values EXACTLY on the same
-    inputs.  The kernel is not yet the default because the round-2
-    pipeline contract (reference face-count window) was verified against
-    this term's TPU behavior; recalibrating the downstream against the
-    correct term is tracked in ROADMAP.md."""
+    inputs.  Since round 4 the merged scorer+geom kernel (float32-correct)
+    is the DEFAULT on TPU (score_hypotheses fused_geom); this XLA body
+    remains the term for non-Pallas backends (where it is exact) and the
+    OMVS_GEOM_FUSED=0 debug path, with the downstream recalibrated to the
+    reference face window under correct math (fusion.conf2weight)."""
     if not force_xla and _use_pallas() and _os.environ.get("OMVS_GEOM_KERNEL"):
         from openmvs_tpu.ops.pm_kernel import geom_term_pallas
 
@@ -569,13 +570,18 @@ def score_hypotheses(
         from openmvs_tpu.ops.pm_kernel import (score_view_geom_pallas,
                                                score_view_pallas)
 
-        # merged scoring+geom kernel (OMVS_GEOM_FUSED=1): ONE pallas_call
-        # per view computes both the ZNCC score and the geometric term —
-        # keeps a single kernel per jit (two pallas_calls in one sweep jit
-        # miscompile on this backend, see _geometric_term) while replacing
-        # the XLA serial-gather geometric sample
+        # merged scoring+geom kernel — the DEFAULT geometric path on TPU
+        # since round 4: ONE pallas_call per view computes both the ZNCC
+        # score and the geometric term.  It is both the float32-CORRECT
+        # term on this backend (the XLA 3x3 einsum lowers onto the MXU at
+        # reduced precision — ~60% of in-situ values off, ROADMAP r3) and
+        # the fastest measured config (0.877 vs 0.746 dm/s, battery r3).
+        # It also keeps a single kernel per jit (two pallas_calls in one
+        # sweep jit miscompile on this backend, see _geometric_term).
+        # OMVS_GEOM_FUSED=0 opts back into the XLA term (debug only).
         fused_geom = (use_geom and geom_terms is None and not patch_rows
-                      and _os.environ.get("OMVS_GEOM_FUSED"))
+                      and _os.environ.get("OMVS_GEOM_FUSED", "1")
+                      not in ("0", "false"))
         s0, s1 = big, big
         for j in range(n_views):
             kw = {"patch_rows": patch_rows} if patch_rows else {}
@@ -908,13 +914,13 @@ def sweep(
     per call).  OMVS_GEOM_SPLIT=xla runs the SAME split structure but with
     the standalone-jitted XLA geometric term instead of the kernel (any
     backend): isolates split-structure effects from kernel effects."""
-    # Structure A/B (battery r3, chip): fused-jit default 0.746 dm/s,
+    # Structure A/B (battery r3, chip): fused-jit with XLA term 0.746 dm/s,
     # OMVS_GEOM_SPLIT=xla 0.670 steady-state (its 1.85x densify win on
     # fresh runs is COMPILE time — much smaller graphs — not throughput),
-    # OMVS_GEOM_SPLIT=1 (geom kernel) 0.808, OMVS_GEOM_FUSED=1 (merged
-    # kernel) 0.877.  The kernel term is the float32-correct one (see
-    # _geometric_term); it becomes the default once the downstream is
-    # recalibrated to the reference face-count window under correct math.
+    # OMVS_GEOM_SPLIT=1 (geom kernel) 0.808, merged scorer+geom kernel
+    # 0.877.  Round 4: the merged kernel (float32-correct term, see
+    # _geometric_term) IS the default — the downstream was recalibrated to
+    # the reference face window under correct math (fusion.conf2weight).
     split = _os.environ.get("OMVS_GEOM_SPLIT")
     if use_geom and split and split != "0" and (
             split == "xla" or _use_pallas()):

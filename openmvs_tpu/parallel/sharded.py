@@ -675,3 +675,123 @@ def estimate_views_sharded(scene, opts, mesh: Mesh, prev_results=None,
             camera=vi["cam"],   # final level is full working resolution
         )
     return results
+
+
+# ----------------------------------------------------------------- SGM pairs
+def sgm_pairs_sharded(lefts: np.ndarray, rights_shifted: np.ndarray,
+                      d_min: int, num_d: int, devs,
+                      p1: float = 3.0, p2: float = 4.0, alpha: float = 14.0,
+                      num_dirs: int = 8, beta: float = 38.0 / 255.0):
+    """Disparity for a BATCH of rectified pairs with pairs sharded over
+    devices — the multi-chip layout of the SGM stage (each chip owns a
+    shard of stereo pairs, the analogue of the reference's per-pair
+    EventThreadPool jobs, SemiGlobalMatcher.cpp:2042-2060).  Each shard
+    runs WZNCC cost volume + 8-direction DP + winner-take-all locally; no
+    cross-pair communication is needed (pairs are independent), so the
+    shard_map is pure data parallelism over a "pairs" axis.
+
+    lefts/rights_shifted: (P, H, W) float32; rights pre-shifted by d_min
+    columns (wzncc_cost_volume's host-side layout).  Returns
+    (disp int32 (P, H, W) absolute disparities, cost float32 (P, H, W))."""
+    from jax import shard_map
+    from openmvs_tpu.ops import sgm as sgmod
+
+    n_dev = len(devs)
+    P_n = lefts.shape[0]
+    pad = (-P_n) % n_dev
+    if pad:
+        z = np.zeros((pad,) + lefts.shape[1:], lefts.dtype)
+        lefts = np.concatenate([lefts, z])
+        rights_shifted = np.concatenate([rights_shifted, z])
+    mesh = Mesh(np.asarray(devs), ("pairs",))
+
+    def one(l, r):
+        vol = sgmod._wzncc_volume0(l, r, jnp.int32(d_min), num_d)
+        agg = sgmod.aggregate8(vol, l, p1, p2, alpha, num_dirs, beta)
+        return (jnp.argmin(agg, -1).astype(jnp.int32) + d_min,
+                jnp.min(agg, -1).astype(jnp.float32))
+
+    fn = shard_map(jax.vmap(one), mesh=mesh,
+                   in_specs=(P("pairs"), P("pairs")),
+                   out_specs=(P("pairs"), P("pairs")))
+    disp, cost = fn(jnp.asarray(lefts), jnp.asarray(rights_shifted))
+    return np.asarray(disp)[:P_n], np.asarray(cost)[:P_n]
+
+
+# ------------------------------------------------------------ fusion reduce
+def fusion_reduce_sharded(X: np.ndarray, Nw: np.ndarray, nb_stack: dict,
+                          opts, devs):
+    """The fusion reduction with neighbor VIEWS sharded over devices:
+    every candidate point projects into each local neighbor shard, the
+    agreement test (depth similarity + normal cone, FuseDepthMaps
+    SceneDensify.cpp:1504-1603) accumulates confidence-weighted position
+    evidence locally, and per-point totals ride one psum over the "views"
+    axis — the multi-chip layout of the fusion stage (the sequential
+    greedy CLAIMING stays host-side by design, as in the reference's
+    best-connected-first loop; this kernel is its per-view inner scan).
+
+    X (N,3) world candidates, Nw (N,3) world normals.
+    nb_stack: dict of stacked neighbor data, each (V, ...):
+      depth (V,H,W), normal (V,H,W,3), conf (V,H,W),
+      K (V,3,3), R (V,3,3), C (V,3), valid (V,) 1.0 for real views.
+    Returns (acc_X (N,3), acc_W (N,), n_agree (N,)) summed over views."""
+    from jax import shard_map
+    from openmvs_tpu.ops.fusion import conf2weight  # noqa: F401 (doc link)
+
+    n_dev = len(devs)
+    V = nb_stack["depth"].shape[0]
+    pad = (-V) % n_dev
+    st = {k: np.asarray(v, np.float32) for k, v in nb_stack.items()}
+    if pad:
+        for k, v in st.items():
+            st[k] = np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+    mesh = Mesh(np.asarray(devs), ("views",))
+    cosn = float(np.cos(np.radians(opts.normal_diff_threshold)))
+    ddt = float(opts.depth_diff_threshold)
+    w_floor = float(getattr(opts, "fuse_conf_weight_floor", 0.09))
+
+    def per_view(depth, normal, conf, K, R, C, valid, Xp, Nwp):
+        Hb, Wb = depth.shape
+        Xc = (R @ (Xp - C[None]).T).T                    # (N, 3) cam coords
+        pb = Xc @ K.T
+        zb = pb[:, 2]
+        front = zb > 0
+        iz = jnp.where(front, 1.0 / jnp.where(front, zb, 1.0), 0.0)
+        ix = jnp.round(pb[:, 0] * iz).astype(jnp.int32)
+        iy = jnp.round(pb[:, 1] * iz).astype(jnp.int32)
+        inside = front & (ix >= 0) & (ix < Wb) & (iy >= 0) & (iy < Hb)
+        ixc = jnp.clip(ix, 0, Wb - 1)
+        iyc = jnp.clip(iy, 0, Hb - 1)
+        db = depth[iyc, ixc]
+        similar = inside & (db > 0) & (jnp.abs(zb - db) < ddt * zb)
+        Nb = normal[iyc, ixc] @ R                        # world-frame normal
+        agree = similar & (jnp.sum(Nwp * Nb, -1) > cosn) & (valid > 0)
+        cb = conf[iyc, ixc]
+        w = 1.0 / (jnp.maximum(1.0 - cb, w_floor) * db * db + 1e-30)
+        w = jnp.where(agree, w, 0.0)
+        # neighbor unprojection at the SAMPLED pixel (reference fuses the
+        # neighbor's own unprojected point, not the candidate)
+        uv1 = jnp.stack([ixc.astype(jnp.float32), iyc.astype(jnp.float32),
+                         jnp.ones_like(db)], -1)
+        Kinv = jnp.linalg.inv(K)
+        Xb = (R.T @ (uv1 * db[:, None] @ Kinv.T).T).T + C[None]
+        return (jnp.where(agree[:, None], Xb * w[:, None], 0.0),
+                w, agree.astype(jnp.int32))
+
+    def body(depth_l, normal_l, conf_l, K_l, R_l, C_l, valid_l, Xp, Nwp):
+        accX, accW, nA = jax.vmap(
+            per_view, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None)
+        )(depth_l, normal_l, conf_l, K_l, R_l, C_l, valid_l, Xp, Nwp)
+        return (jax.lax.psum(accX.sum(0), "views"),
+                jax.lax.psum(accW.sum(0), "views"),
+                jax.lax.psum(nA.sum(0), "views"))
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P("views"),) * 7 + (P(), P()),
+                   out_specs=(P(), P(), P()))
+    accX, accW, nA = fn(
+        jnp.asarray(st["depth"]), jnp.asarray(st["normal"]),
+        jnp.asarray(st["conf"]), jnp.asarray(st["K"]), jnp.asarray(st["R"]),
+        jnp.asarray(st["C"]), jnp.asarray(st["valid"]),
+        jnp.asarray(X, jnp.float32), jnp.asarray(Nw, jnp.float32))
+    return np.asarray(accX), np.asarray(accW), np.asarray(nA)

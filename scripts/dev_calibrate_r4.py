@@ -74,12 +74,24 @@ def _load_results(dmap_dir):
 
 
 def run_downstream(scene, results, opts, mesh_opts, conf_floor=0.0,
-                   use_filter=True):
-    """Mirror dense_reconstruction pass 3 + fusion, then mesh + clean."""
+                   use_filter=True, weight_mode="ref"):
+    """Mirror dense_reconstruction pass 3 + fusion, then mesh + clean.
+
+    weight_mode (diagnostic): "ref" = reference Conf2Weight; "unit" = 1/d^2
+    (conf ignored); "floorX" = 1/(max(1-conf, X) d^2) (reference floor is
+    0.03, i.e. weight saturates for conf>0.97)."""
     from openmvs_tpu.ops import filters, fusion
     from openmvs_tpu.reconstruct import reconstruct_mesh
     from openmvs_tpu import mesh_ops
     from openmvs_tpu.io import images as imio
+
+    orig_c2w = fusion.conf2weight
+    if weight_mode == "unit":
+        fusion.conf2weight = lambda conf, depth: 1.0 / (depth * depth)
+    elif weight_mode.startswith("floor"):
+        fl = float(weight_mode[5:])
+        fusion.conf2weight = (
+            lambda conf, depth: 1.0 / (np.maximum(1.0 - conf, fl) * depth * depth))
 
     results = {
         rid: dataclasses.replace(r, depth=r.depth.copy(), conf=r.conf.copy())
@@ -123,8 +135,11 @@ def run_downstream(scene, results, opts, mesh_opts, conf_floor=0.0,
             image_idx=r.image_idx, image_id=rid, camera=r.camera,
             depth=r.depth, normal=r.normal, conf=r.conf, color=color,
             neighbor_ids=r.neighbor_ids))
-    pc = fusion.fuse_depth_maps(vdd, opts, estimate_color=False,
-                                estimate_normal=False)
+    try:
+        pc = fusion.fuse_depth_maps(vdd, opts, estimate_color=False,
+                                    estimate_normal=False)
+    finally:
+        fusion.conf2weight = orig_c2w
     n_pts = len(pc)
     sc = scene
     sc.pointcloud = pc
@@ -150,6 +165,10 @@ GRID = {
                                "min_views_fuse": 3}},
     "strictfilter": {"opts": {"filter_adjust": False}},
     "floor0.3_fuse3": {"conf_floor": 0.3, "opts": {"min_views_fuse": 3}},
+    "unitw": {"weight_mode": "unit"},
+    "wfloor0.1": {"weight_mode": "floor0.1"},
+    "wfloor0.3": {"weight_mode": "floor0.3"},
+    "wfloor0.5": {"weight_mode": "floor0.5"},
 }
 
 
@@ -165,7 +184,8 @@ def cmd_sweep(dmap_dir, names):
         t0 = time.time()
         r = run_downstream(scene, results, opts, mesh_opts,
                            conf_floor=cfg.get("conf_floor", 0.0),
-                           use_filter=cfg.get("use_filter", True))
+                           use_filter=cfg.get("use_filter", True),
+                           weight_mode=cfg.get("weight_mode", "ref"))
         r["wall_s"] = round(time.time() - t0, 1)
         in_win = 35_000 <= r["clean"] <= 45_000 and r["raw"] >= 75_000 \
             and r["points"] >= 200_000
