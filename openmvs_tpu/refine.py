@@ -223,6 +223,48 @@ class PairData(NamedTuple):
     #                         gradient density into world units
 
 
+class PairStatic(NamedTuple):
+    """Per-pair constants that never change within one scale (images,
+    cameras) — uploaded ONCE; the per-refresh upload is PairRaster only
+    (a tunneled backend pays per-byte: re-sending the images with every
+    re-rasterization was ~70% of refine's host->device traffic)."""
+
+    imgA: jnp.ndarray      # (H, W)
+    imgB: jnp.ndarray      # (Hb, Wb)
+    KA_R: jnp.ndarray      # (3, 3)
+    KA_t: jnp.ndarray      # (3,)
+    KB_R: jnp.ndarray
+    KB_t: jnp.ndarray
+    sizeB: jnp.ndarray     # (2,)
+    CA: jnp.ndarray        # (3,)
+
+
+class PairRaster(NamedTuple):
+    """Per-pair rasterization results (change when vertices move): the
+    minimal wire format — face id + 2 barycentrics; the device
+    reconstructs face_vid = faces[fid], mask = fid >= 0, b2 = 1-b0-b1."""
+
+    fid: jnp.ndarray       # (H, W) int32, -1 = no surface
+    bary2: jnp.ndarray     # (H, W, 2) float32
+    reg_scale: jnp.ndarray  # ()
+
+
+def _assemble_pair_data(statics: PairStatic, rasters: PairRaster,
+                        faces: jnp.ndarray) -> PairData:
+    """Rebuild the stacked PairData in-graph from the split upload."""
+    fid = rasters.fid
+    mask = fid >= 0
+    face_vid = faces[jnp.maximum(fid, 0)]                  # (P, H, W, 3)
+    b01 = rasters.bary2
+    bary = jnp.concatenate(
+        [b01, (1.0 - b01[..., 0] - b01[..., 1])[..., None]], axis=-1)
+    return PairData(
+        imgA=statics.imgA, imgB=statics.imgB, face_vid=face_vid, bary=bary,
+        mask=mask, KA_R=statics.KA_R, KA_t=statics.KA_t, KB_R=statics.KB_R,
+        KB_t=statics.KB_t, sizeB=statics.sizeB, CA=statics.CA,
+        reg_scale=rasters.reg_scale)
+
+
 def _bilinear(img, x, y):
     Hp, Wp = img.shape
     x0 = jnp.floor(x)
@@ -429,6 +471,16 @@ def _device_steps(v, m, vv2, it0, pds, adj, deg, faces, step0, med_edge,
 
     v, e = jax.lax.fori_loop(0, 4, body, (v, jnp.float32(0.0)))
     return v, jnp.zeros_like(v), jnp.zeros_like(v), e
+
+
+@jax.jit
+def _device_steps_split(v, m, vv2, it0, statics, rasters, adj, deg, faces,
+                        step0, med_edge, reg_w, boundary=None, ratio=None):
+    """_device_steps with the split upload (PairStatic uploaded once per
+    scale, PairRaster per re-rasterization refresh)."""
+    pds = _assemble_pair_data(statics, rasters, faces)
+    return _device_steps(v, m, vv2, it0, pds, adj, deg, faces, step0,
+                         med_edge, reg_w, boundary, ratio)
 
 
 def _energy_grad(v, pds, adj, deg, faces, step0, med_edge, reg_w,
@@ -713,7 +765,7 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
             device=_dev,
         )
     else:
-        device_steps = _device_steps
+        device_steps = _device_steps_split
     if _dev is not None:
         adj_j = jax.device_put(adj_j, _dev)
         deg_j = jax.device_put(deg_j, _dev)
@@ -761,6 +813,47 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
         return PairData(*[np.stack([c[k] for c in cols])
                           for k in range(len(PairData._fields))])
 
+    def _pad2(x, fill=0):
+        if x.shape[0] == Hm_ and x.shape[1] == Wm_:
+            return x
+        out = np.full((Hm_, Wm_) + x.shape[2:], fill, x.dtype)
+        out[: x.shape[0], : x.shape[1]] = x
+        return out
+
+    def build_statics_stacked():
+        cols = []
+        for (a, b) in pairs:
+            camA, camB = cams[a], cams[b]
+            cols.append((
+                _pad2(grays[a]), _pad2(grays[b]),
+                (camA.K @ camA.R).astype(np.float32),
+                (-(camA.K @ camA.R) @ camA.C).astype(np.float32),
+                (camB.K @ camB.R).astype(np.float32),
+                (-(camB.K @ camB.R) @ camB.C).astype(np.float32),
+                np.asarray(grays[b].shape, np.float32),
+                camA.C.astype(np.float32)))
+        return PairStatic(*[np.stack([c[k] for c in cols])
+                            for k in range(len(PairStatic._fields))])
+
+    def build_rasters_stacked(v_np):
+        cols = []
+        v64 = v_np.astype(np.float64)
+        for (a, b) in pairs:
+            camA, camB = cams[a], cams[b]
+            H, W = grays[a].shape
+            prA = _project_np(camA, v64)
+            fid, _, bar = native.rasterize(prA, faces, H, W)
+            zA = prA[:, 2]
+            avgA = float(zA[zA > 0].mean()) if (zA > 0).any() else 1.0
+            zB = _project_np(camB, v64)[:, 2]
+            avgB = float(zB[zB > 0].mean()) if (zB > 0).any() else 1.0
+            cols.append((
+                _pad2(fid.astype(np.int32), -1),
+                _pad2(np.ascontiguousarray(bar[..., :2]).astype(np.float32)),
+                np.float32(avgA * avgB / float(camA.K[0, 0] * camB.K[0, 0]))))
+        return PairRaster(*[np.stack([c[k] for c in cols])
+                            for k in range(len(PairRaster._fields))])
+
     v_np = np.asarray(verts)
     iters = max(4, int(opts.iters * (0.5 if scale < 1.0 else 1.0)))
     if not _use_cpu_ad:
@@ -779,16 +872,21 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
             shard_pairs = NamedSharding(jmesh, PartitionSpec("pairs"))
             replicate = NamedSharding(jmesh, PartitionSpec())
 
-        def put(pds):
+        def put(pds, pad_fill=None):
+            if shard_pairs is not None and pds[0].shape[0] % n_sh:
+                # pad with all-masked-out dummy pairs (zero energy and grad;
+                # PairRaster pads fid with -1 so every pixel is masked)
+                padn = n_sh - pds[0].shape[0] % n_sh
+                cls = type(pds)
+                fills = pad_fill or {}
+                pds = cls(*[
+                    np.concatenate([x, np.full(
+                        (padn,) + x.shape[1:],
+                        fills.get(name, 0), x.dtype)])
+                    for name, x in zip(cls._fields, pds)
+                ])
             if shard_pairs is None:
                 return pds
-            if pds.imgA.shape[0] % n_sh:
-                # pad with all-masked-out dummy pairs (zero energy and grad)
-                padn = n_sh - pds.imgA.shape[0] % n_sh
-                pds = PairData(*[
-                    np.concatenate([x, np.zeros((padn,) + x.shape[1:], x.dtype)])
-                    for x in pds
-                ])
             return jax.device_put(pds, shard_pairs)
 
         v_d = jnp.asarray(v_np)
@@ -808,13 +906,20 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
         # conservative default, RR=8 halves the host raster+upload cost
         # (A/B'd on the quality harness before changing the default)
         rr = max(1, int(_os.environ.get("OMVS_REFINE_RERASTER", "4")))
+        # images/cameras never change within a scale: upload ONCE; each
+        # refresh ships only fid + 2 barycentrics (+ scalars) per pair
+        statics = put(build_statics_stacked())
+        if shard_pairs is None:
+            statics = jax.device_put(statics)   # pin on device across calls
         for it in range(0, iters, rr):
             v_prev = np.asarray(v_d)[:nvr]
-            pds = put(build_pds_stacked(v_prev))
+            rasters = put(build_rasters_stacked(v_prev),
+                          pad_fill={"fid": -1})
             ratio_it = (opts.rigidity_elasticity_ratio
                         if it <= iter_stop else 1.0)
             v_d, m_d, vv2_d, e = device_steps(
-                v_d, m_d, vv2_d, jnp.int32(it), pds, adj_j, deg_j, faces_j,
+                v_d, m_d, vv2_d, jnp.int32(it), statics, rasters,
+                adj_j, deg_j, faces_j,
                 jnp.float32(step0), jnp.float32(med_edge),
                 jnp.float32(opts.regularity_weight), bnd_j,
                 jnp.float32(ratio_it))

@@ -118,10 +118,10 @@ def test_refine_shape_bucketing_single_compile(monkeypatch):
     v0[:, 2] += rng.normal(0, 0.05, len(v0)).astype(np.float32)
     opts = RefineOptions(scales=2, iters=8, max_face_area=64)
 
-    n0 = rf._device_steps._cache_size()
+    n0 = rf._device_steps_split._cache_size()
     m1 = rf.refine_mesh(scene, Mesh(vertices=v0.copy(), faces=gt.faces.copy()),
                         opts)
-    assert rf._device_steps._cache_size() - n0 <= 1
+    assert rf._device_steps_split._cache_size() - n0 <= 1
 
     monkeypatch.setenv("OMVS_REFINE_NO_BUCKET", "1")
     m2 = rf.refine_mesh(scene, Mesh(vertices=v0.copy(), faces=gt.faces.copy()),
