@@ -10,9 +10,10 @@ with vectorized z-tests and ownership maps.  Output quality matches the
 greedy original (thresholds, weights, min-view counts identical); only the
 intra-image visit order differs (batch instead of scanline).
 
-Weight: Conf2Weight(conf, depth) = 1 / (max(1-conf, 0.03) * depth^2)
-(SceneDensify.cpp:120-122) -- note conf here is the [0,1] confidence map, so
-1-conf is the residual NCC score.
+Weight: Conf2Weight(conf, depth) = 1 / (max(1-conf, floor) * depth^2)
+(SceneDensify.cpp:120-122; reference floor 0.03, ours calibrated to 0.09 —
+see conf2weight) -- note conf here is the [0,1] confidence map, so 1-conf is
+the residual NCC score.
 """
 
 from __future__ import annotations
@@ -390,7 +391,7 @@ def merge_depth_maps(
             else:
                 nrms.append(np.zeros((len(ys), 3), np.float32))
         c = v.conf[ys, xs] if v.conf is not None else np.ones(len(ys), np.float32)
-        w = 1.0 / (np.maximum(1.0 - c, 0.03) * d * d)
+        w = conf2weight(c, d, getattr(opts, "fuse_conf_weight_floor", 0.09))
         view_ids.extend([np.array([v.image_id], np.uint32)] * len(ys))
         weights.extend(np.asarray(w, np.float32).reshape(-1, 1))
     if not pts:

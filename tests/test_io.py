@@ -356,3 +356,25 @@ def test_tga_and_sci_image_decode(tmp_path):
     imio.save_sci(str(sci), rgb)
     got = imio.load_color(str(sci))
     assert np.array_equal(got, rgb)
+
+
+def test_dds_image_decode(tmp_path):
+    """DDS (ImageDDS.cpp role): an uncompressed 24-bit RGB DDS decodes
+    through the standard loader's PIL fallback.  The file is hand-built
+    (128-byte DX9 header + BGR scanlines) since no writer is available."""
+    import struct
+    from openmvs_tpu.io import images as imio
+
+    h, w = 6, 8
+    rgb = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    DDSD = 0x1 | 0x2 | 0x4 | 0x1000 | 0x8  # caps|h|w|pixelformat|pitch
+    header = struct.pack(
+        "<4s I I I I I I I 44x I I I I I I I I I I 12x",
+        b"DDS ", 124, DDSD, h, w, w * 3, 0, 0,
+        32, 0x40, 0, 24, 0xFF0000, 0x00FF00, 0x0000FF, 0x0,
+        0x1000, 0)
+    assert len(header) == 128
+    p = tmp_path / "img.dds"
+    p.write_bytes(header + rgb[..., ::-1].tobytes())
+    got = imio.load_color(str(p))
+    assert np.array_equal(got, rgb)
