@@ -312,7 +312,26 @@ def estimate_depth_map(
         n_exact = _n_exact
         n_pert = max(1, opts.random_iters // 2)
         prev_mode = None
-        for it in range(n_iters):
+        # OMVS_EARLY_EXIT=1: run the nn search sweeps as ONE on-device
+        # adaptive block (lax.while_loop) that stops when almost no pixel
+        # improves any more — the TPU form of the reference's per-pixel
+        # convergence skipping (DepthMap.cpp:630-799).  The exact final
+        # sweeps always run.  RNG/folds match the eager loop exactly, so
+        # a block that never exits early is bit-identical to the default.
+        n_nn = 0 if all_exact else max(0, n_iters - n_exact)
+        it0 = 0
+        if os.environ.get("OMVS_EARLY_EXIT") and n_nn >= 3:
+            state, _ = patchmatch.sweep_block_adaptive(
+                state, data, opts, key, nV, is_geometric,
+                n_perturb=n_pert, mode="nn", n_prop=8, first_fold=1,
+                n_sweeps=n_nn,
+                min_sweeps=int(os.environ.get("OMVS_EE_MIN", "2")),
+                eps=float(os.environ.get("OMVS_EE_EPS", "5e-3")),
+                min_frac=float(os.environ.get("OMVS_EE_FRAC", "0.01")),
+            )
+            prev_mode = "nn"
+            it0 = n_nn
+        for it in range(it0, n_iters):
             final_exact = it >= n_iters - n_exact
             mode = "exact" if (final_exact or all_exact) else "nn"
             state = patchmatch.sweep(

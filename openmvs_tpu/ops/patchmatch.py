@@ -933,6 +933,64 @@ def sweep(
                             jnp.uint32(fold), has_fold=bool(fold))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "opts", "n_views", "use_geom", "n_perturb", "mode", "n_prop",
+    "n_sweeps", "min_sweeps", "eps", "min_frac"))
+def sweep_block_adaptive(
+    state: PMState,
+    data: PMData,
+    opts: DenseOptions,
+    key: jnp.ndarray,
+    n_views: int,
+    use_geom: bool = False,
+    n_perturb: int = 3,
+    mode: str = "nn",
+    n_prop: int = len(PROP_OFFSETS),
+    first_fold: int = 1,
+    n_sweeps: int = 3,
+    min_sweeps: int = 2,
+    eps: float = 5e-3,
+    min_frac: float = 0.01,
+):
+    """A block of up to n_sweeps identical search sweeps with ON-DEVICE
+    convergence-based early exit (the TPU answer to the reference's
+    per-pixel adaptive skipping, DepthMap.cpp:630-799: pixels stop paying
+    once confident; here whole sweeps stop once almost no pixel improves).
+
+    Runs as ONE lax.while_loop jit: no host round-trips, no per-iteration
+    dispatch, and skipped sweeps genuinely skip their FLOPs (while_loop
+    iterations that never run are never executed).  The loop stops after
+    sweep k >= min_sweeps when the fraction of valid pixels whose score
+    improved by more than `eps` during sweep k falls below `min_frac`.
+
+    RNG parity: sweep k uses fold_in(key, first_fold + k) — identical to
+    the eager loop in densify.estimate_depth_map, so a block that runs all
+    n_sweeps produces bit-identical results to n_sweeps sweep() calls.
+
+    Returns (state, n_done) with n_done the number of sweeps executed.
+    """
+    n_valid = jnp.maximum(jnp.sum(data.valid.astype(jnp.float32)), 1.0)
+
+    def body(carry):
+        st, it, _ = carry
+        k = jax.random.fold_in(key, jnp.uint32(first_fold) + it.astype(jnp.uint32))
+        old_conf = st.conf
+        for parity in (0, 1):
+            st = _sweep_parity(st, data, opts, k, n_views, use_geom,
+                               n_perturb, mode, parity, n_prop)
+        improved = ((old_conf - st.conf) > eps) & data.valid
+        frac = jnp.sum(improved.astype(jnp.float32)) / n_valid
+        return (st, it + 1, frac)
+
+    def cond(carry):
+        _, it, frac = carry
+        return (it < n_sweeps) & ((it < min_sweeps) | (frac >= min_frac))
+
+    state, n_done, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), jnp.float32(1.0)))
+    return state, n_done
+
+
 def _geom_all_views(data: PMData, n_views: int, depth_c: jnp.ndarray) -> jnp.ndarray:
     """(V, C, H, W) consistency via the lane-gather geom kernel
     (OMVS_GEOM_SPLIT=1; the float32-correct term) or the standalone-jitted

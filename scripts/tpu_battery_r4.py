@@ -32,6 +32,9 @@ CONFIGS = {
     "compact_hoist25": {"OMVS_COMPACT": "1", "OMVS_HOIST": "1",
                         "OMVS_TEXEL_CHUNK": "25"},
     "staged": {"OMVS_STAGED": "1"},
+    "ee": {"OMVS_EARLY_EXIT": "1"},
+    "hoist25_ee": {"OMVS_HOIST": "1", "OMVS_TEXEL_CHUNK": "25",
+                   "OMVS_EARLY_EXIT": "1"},
     "geomxla": {"OMVS_GEOM_FUSED": "0"},   # regression reference
 }
 
