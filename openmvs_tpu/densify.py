@@ -222,12 +222,19 @@ def estimate_depth_map(
 
     ref_cam_full = img.working_camera()
     H, W = img.gray.shape
-    seed_depth_full, seed_normal_full, d_min, d_max = seed.seed_depth_normal(
-        ref_cam_full, W, H, pts_sel, trusted,
-        interpolate=not opts.init_sparse, add_corners=opts.add_corners,
-    )
-    if prev is not None:
+    if prev is not None and geometric_iter >= 0:
+        # geometric re-estimation seeds from the previous pass's full-res
+        # depth/normal (set below); the sparse-seed interpolation is host
+        # Delaunay work that would be discarded — skip it
+        seed_depth_full = seed_normal_full = None
         d_min, d_max = prev.d_min, prev.d_max
+    else:
+        seed_depth_full, seed_normal_full, d_min, d_max = seed.seed_depth_normal(
+            ref_cam_full, W, H, pts_sel, trusted,
+            interpolate=not opts.init_sparse, add_corners=opts.add_corners,
+        )
+        if prev is not None:
+            d_min, d_max = prev.d_min, prev.d_max
     if d_max <= d_min:
         return None
 

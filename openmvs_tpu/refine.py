@@ -704,6 +704,7 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
     # and runs; dummy vertices have no faces, no adjacency, boundary=True
     # and no pixel support, so they contribute exactly nothing
     import os as _os
+    import time as _time
 
     if _os.environ.get("OMVS_REFINE_CPU_AD"):
         pad_hw = None   # the full-AD validation path stays unpadded
@@ -911,20 +912,36 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
         statics = put(build_statics_stacked())
         if shard_pairs is None:
             statics = jax.device_put(statics)   # pin on device across calls
+        prof = _os.environ.get("OMVS_REFINE_PROF")
+        tprof = {"down": 0.0, "raster": 0.0, "up": 0.0, "dev": 0.0}
         for it in range(0, iters, rr):
+            t0 = _time.time()
             v_prev = np.asarray(v_d)[:nvr]
-            rasters = put(build_rasters_stacked(v_prev),
-                          pad_fill={"fid": -1})
+            t1 = _time.time()
+            rasters_np = build_rasters_stacked(v_prev)
+            t2 = _time.time()
+            rasters = put(rasters_np, pad_fill={"fid": -1})
             ratio_it = (opts.rigidity_elasticity_ratio
                         if it <= iter_stop else 1.0)
+            t3 = _time.time()
             v_d, m_d, vv2_d, e = device_steps(
                 v_d, m_d, vv2_d, jnp.int32(it), statics, rasters,
                 adj_j, deg_j, faces_j,
                 jnp.float32(step0), jnp.float32(med_edge),
                 jnp.float32(opts.regularity_weight), bnd_j,
                 jnp.float32(ratio_it))
+            if prof:
+                _ = float(e)   # force completion so 'dev' is the real time
+                t4 = _time.time()
+                tprof["down"] += t1 - t0
+                tprof["raster"] += t2 - t1
+                tprof["up"] += t3 - t2
+                tprof["dev"] += t4 - t3
             if it % 8 == 0:
                 log.info("  iter %d: E=%.5f", it, float(e))
+        if prof:
+            log.info("  refine prof (scale %.2f): %s", scale,
+                     {k: round(v, 3) for k, v in tprof.items()})
             if it >= iter_start and iters - it > 5:
                 # planar-vertex pruning (SceneRefine.cpp:1377-1399): remove
                 # interior vertices that barely moved AND sit on a flat
