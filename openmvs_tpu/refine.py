@@ -912,6 +912,39 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
         statics = put(build_statics_stacked())
         if shard_pairs is None:
             statics = jax.device_put(statics)   # pin on device across calls
+        # OMVS_REFINE_PIPELINE=1: software-pipeline the refresh loop — host
+        # rasterization for block k+1 overlaps device execution of block k.
+        # Rasters are built from the verts of block k-1 (one block stale);
+        # the per-iteration trust-region cap (0.3*med_edge) bounds the
+        # drift a stale rasterization sees, exactly like doubling rr would,
+        # but at rr's refresh cost and with the device never idle.
+        # Requires planar pruning off (topology fixed across the pipeline).
+        if (_os.environ.get("OMVS_REFINE_PIPELINE")
+                and iter_start >= iters and iters > rr):
+            v_host = np.asarray(v_d)[:nvr]
+            handles = []
+            for it in range(0, iters, rr):
+                rasters = put(build_rasters_stacked(v_host),
+                              pad_fill={"fid": -1})
+                ratio_it = (opts.rigidity_elasticity_ratio
+                            if it <= iter_stop else 1.0)
+                v_d, m_d, vv2_d, e = device_steps(
+                    v_d, m_d, vv2_d, jnp.int32(it), statics, rasters,
+                    adj_j, deg_j, faces_j,
+                    jnp.float32(step0), jnp.float32(med_edge),
+                    jnp.float32(opts.regularity_weight), bnd_j,
+                    jnp.float32(ratio_it))
+                handles.append((it, v_d, e))
+                if len(handles) >= 2:
+                    # block k is queued on the device; this waits only for
+                    # block k-1 and runs concurrently with block k
+                    it_p, v_p, e_p = handles[-2]
+                    v_host = np.asarray(v_p)[:nvr]
+                    if it_p % 8 == 0:
+                        log.info("  iter %d: E=%.5f", it_p, float(e_p))
+            v_np = np.asarray(v_d)[:nvr]
+            return Mesh(vertices=v_np.astype(np.float32), faces=faces)
+
         prof = _os.environ.get("OMVS_REFINE_PROF")
         tprof = {"down": 0.0, "raster": 0.0, "up": 0.0, "dev": 0.0}
         for it in range(0, iters, rr):
