@@ -73,15 +73,27 @@ SCALE_RANGES = tuple(0.5 ** i for i in range(12))
 # Checkerboard parity compaction scores only active pixels.  ROW-PAIR
 # compaction (_compact_parity_rows) keeps warped x-coordinates exact (the
 # older column packing, OMVS_COMPACT=cols, doubles the x-span and lost
-# border pixels at PATCH_COLS=384).  MEASURED on this chip (sweep A/B,
-# 640x480, quality-neutral): nn sweeps 203 vs 178 ms, exact 331 vs 333 —
-# per-tile fixed costs (operand block swaps, patch fetch) dominate the
-# gather loop, so halving active pixels while 1.33x-ing the patch rows is
-# a net LOSS.  Default OFF; opt in with OMVS_COMPACT=1 (re-evaluate on
-# hardware with cheaper block bookkeeping or larger tiles).
+# border pixels at PATCH_COLS=384).  History: a r2 A/B measured compaction
+# as a net loss (per-tile fixed costs dominated the gather loop) and it
+# shipped default-OFF; the round-4 battery re-measured it on top of the
+# merged scorer+geom kernel at 1.0038 dm/s vs 0.8487 default (and 1.0043
+# with the hoist band) with gates in-window and F-score within the 1%
+# band (/tmp/tpu_battery_r4, BENCH_r04) — so compaction (with the hoisted
+# source band, see pm_kernel.HOIST) is the PRODUCTION DEFAULT *on the
+# Pallas/TPU path*; the CPU XLA-scorer fallback keeps it off (measured
+# ~3x slower there: the compacted 32-row patch scan costs more than the
+# halved pixel count saves).  Override either way with OMVS_COMPACT=0/1.
 import os as _os
 
-_COMPACT_SWEEPS = _os.environ.get("OMVS_COMPACT", "0") not in ("0", "")
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=1)
+def _compact_default() -> bool:
+    env = _os.environ.get("OMVS_COMPACT")
+    if env is not None:
+        return env not in ("0", "")
+    return _use_pallas()
 _COMPACT_COLS = _os.environ.get("OMVS_COMPACT") == "cols"
 _PATCH_ROWS_COMPACT = int(_os.environ.get("OMVS_PATCH_ROWS_COMPACT", "32"))
 # staged propagate-then-perturb half-steps (two scoring launches; perturbs
@@ -1206,7 +1218,7 @@ def _score_select(state, data, opts, cd, cn, cok, active, parity, n_views,
                   use_geom, mode):
     """Score a candidate stack and take per-parity winners vs the incumbent."""
     H, W = state.depth.shape
-    if (W % 2 == 0 and H % 2 == 0 and _COMPACT_SWEEPS
+    if (W % 2 == 0 and H % 2 == 0 and _compact_default()
             and mode in ("exact", "nn")):
         # checkerboard compaction: score only the active parity's pixels
         # (the reference's red/black kernels process exactly half each

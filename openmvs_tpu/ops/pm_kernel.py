@@ -54,8 +54,12 @@ INTERPRET = bool(_os.environ.get("OMVS_PALLAS_INTERPRET"))
 TILE_H = int(_os.environ.get("OMVS_TILE_H", "8"))
 TILE_W = 128
 # texels processed per grid step: amortizes the fixed per-step cost (block
-# bookkeeping across 15 operands) over several gather sweeps
-TEXEL_CHUNK = int(_os.environ.get("OMVS_TEXEL_CHUNK", "5"))
+# bookkeeping across 15 operands) over several gather sweeps.  Default 25
+# (= the full 5x5 texel window in ONE grid step) paired with the hoisted
+# source band below: the round-4 battery measured hoist+chunk25 at
+# 0.978 dm/s vs 0.8905 hoist-alone and 0.8487 default, and compact+hoist25
+# at 1.0043 — the shipped configuration.
+TEXEL_CHUNK = int(_os.environ.get("OMVS_TEXEL_CHUNK", "25"))
 # OMVS_SLAB=1: diagonal-slab row selection — replaces the per-row
 # broadcast/blend scan (patch_rows iterations) with one equality-select per
 # static (8, PATCH_COLS) slab (patch_rows-7 iterations, no broadcasts):
@@ -84,7 +88,10 @@ DYNSLAB_BAND = int(_os.environ.get("OMVS_DYNSLAB_BAND", "16"))
 # pixels, so a (HOIST_ROWS, HOIST_COLS) band with margin covers every
 # texel of the chunk; out-of-band samples invalidate (same monotone
 # contract as the slab variants).  Best paired with OMVS_TEXEL_CHUNK=25.
-HOIST = bool(int(_os.environ.get("OMVS_HOIST", "0")))
+# Default ON since round 4: passed the kernel-variant accuracy-contract
+# corpus with ZERO extra invalidation and won the battery (see TEXEL_CHUNK
+# note above).  Opt out with OMVS_HOIST=0.
+HOIST = bool(int(_os.environ.get("OMVS_HOIST", "1")))
 HOIST_ROWS = int(_os.environ.get("OMVS_HOIST_ROWS", "32"))
 HOIST_COLS = int(_os.environ.get("OMVS_HOIST_COLS", "512"))
 
