@@ -25,6 +25,19 @@ if not os.environ.get("OMVS_RUN_PIPELINE_TEST"):
     except RuntimeError:  # pragma: no cover - cpu platform always exists
         pass
 
+# CPU-only runs exercise the Pallas kernels in INTERPRET mode, where the
+# round-4 production defaults (25-texel grid chunks + hoisted source band)
+# are ~25x slower to emulate than the minimal config — pin the small
+# config there.  When a real accelerator is present the suite keeps the
+# SHIPPING defaults so the hardware parity tests cover what users run.
+try:
+    _accel = any(d.platform != "cpu" for d in jax.devices())
+except RuntimeError:  # pragma: no cover
+    _accel = False
+if not _accel:
+    os.environ.setdefault("OMVS_TEXEL_CHUNK", "5")
+    os.environ.setdefault("OMVS_HOIST", "0")
+
 import pytest  # noqa: E402
 
 REFERENCE_DATA = "/root/reference/apps/Tests/data"
