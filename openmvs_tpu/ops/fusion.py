@@ -59,7 +59,10 @@ def conf2weight(conf: np.ndarray, depth: np.ndarray,
     evidence: bundled scene lands at 222k pts / 80.7k raw / 40.4k clean vs
     the band centers (>=200k / >=75k / 35-45k); see
     scripts/dev_calibrate_r4.py for the calibration sweep."""
-    return 1.0 / (np.maximum(1.0 - conf, floor) * depth * depth)
+    # depth==0 marks an invalid pixel (padded slots, masked candidates):
+    # give it zero weight instead of a divide-by-zero inf
+    den = np.maximum(1.0 - conf, floor) * depth * depth
+    return np.where(den > 0, 1.0 / np.where(den > 0, den, 1.0), 0.0)
 
 
 class ViewProvider:

@@ -47,12 +47,14 @@ def _project(cam, verts: np.ndarray) -> np.ndarray:
 def _face_adjacency(faces: np.ndarray) -> np.ndarray:
     """(nf, 3) adjacent face index per edge (-1 if none)."""
     nf = len(faces)
-    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0)
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]],
+                       axis=0).astype(np.int32, copy=False)
     e = np.sort(e, axis=1)
     order = np.lexsort((e[:, 1], e[:, 0]))
     es = e[order]
-    fidx = order % nf
-    adj = np.full((nf, 3), -1, np.int64)
+    del e
+    fidx = (order % nf).astype(np.int32)
+    adj = np.full((nf, 3), -1, np.int32)
     same = (es[1:] == es[:-1]).all(axis=1)
     si = np.nonzero(same)[0]
     if len(si):
@@ -548,7 +550,7 @@ def virtual_face_lambda(
     return lam
 
 
-@dataclass
+@dataclass(slots=True)
 class _Patch:
     view: int
     faces: np.ndarray     # face indices
@@ -756,9 +758,11 @@ def generate_texture(
     projs = {}
     pad = 2
     for view in np.unique(labels[labels >= 0]):
+        # f32 is plenty for pixel coordinates (<= 1e-4 px at 8k images) and
+        # halves the largest per-view array (5M verts x 3 x 8B x V views)
         projs[int(view)] = _project(
             scene.images[int(view)].working_camera(),
-            mesh.vertices.astype(np.float64))
+            mesh.vertices.astype(np.float64)).astype(np.float32)
     _t_patch = timed(log, f"build {ncomp} patches")
     _t_patch.__enter__()
     comp_min_u = np.full(ncomp, np.inf)
@@ -979,16 +983,20 @@ def generate_texture(
     for vv in views_used:
         proj_stack[vv] = projs[vv][:, :2]
     mapped = face_view >= 0
-    fv_safe = np.where(mapped, face_view, views_used[0])
-    uv_f = proj_stack[fv_safe[:, None], mesh.faces]          # (nf, 3, 2)
+    mi = np.nonzero(mapped)[0]
+    # compute texcoords on the MAPPED subset only (unlabeled faces keep
+    # zeros): at 10M faces with sparse coverage this avoids several
+    # (nf, 3, 2) temporaries
+    uv_f = proj_stack[face_view[mi][:, None], mesh.faces[mi]]   # (m, 3, 2)
     # clamp projections into the face's patch rect: a vertex projecting
     # outside the image (border faces) must sample its own patch's edge
     # texels, not a neighboring patch or empty atlas space
-    uv_f[..., 0] = np.clip(uv_f[..., 0], face_x0[:, None], face_x1[:, None])
-    uv_f[..., 1] = np.clip(uv_f[..., 1], face_y0[:, None], face_y1[:, None])
-    ftc[..., 0] = np.where(mapped[:, None], (uv_f[..., 0] + face_dx[:, None]) / tw, 0)
-    ftc[..., 1] = np.where(mapped[:, None], 1.0 - (uv_f[..., 1] + face_dy[:, None]) / th, 0)
-    ftc = np.clip(ftc, 0.0, 1.0).astype(np.float32)
+    uv_f[..., 0] = np.clip(uv_f[..., 0], face_x0[mi, None], face_x1[mi, None])
+    uv_f[..., 1] = np.clip(uv_f[..., 1], face_y0[mi, None], face_y1[mi, None])
+    ftc[mi, :, 0] = np.clip((uv_f[..., 0] + face_dx[mi, None]) / tw, 0.0, 1.0)
+    ftc[mi, :, 1] = np.clip(1.0 - (uv_f[..., 1] + face_dy[mi, None]) / th,
+                            0.0, 1.0)
+    del proj_stack, uv_f, face_dx, face_dy, face_x0, face_y0, face_x1, face_y1
     _t_copy.__exit__(None, None, None)
 
     if opts.global_seam_leveling:
@@ -996,6 +1004,7 @@ def generate_texture(
             # offsets live on mesh vertices, so leveling spans ALL pages
             _global_seam_leveling(scene, mesh, patches, projs, pages, tw, th,
                                   ftc, patch_page=patch_page)
+    projs.clear()              # per-view (nv, 3) arrays: dead past leveling
     if opts.local_seam_leveling:
         with timed(log, "local seam leveling"):
             # per page: diffusion is confined to patch rects; cross-page
@@ -1108,10 +1117,15 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas_pages, tw, th,
     # 3 channels (3 separate scipy cg() calls cost 600 serial matvecs at
     # 500k faces); the atlas is 8-bit, so rtol 2e-3 on the offsets is
     # already below quantization
+    # float32 CG: the offsets feed an 8-bit atlas at rtol 2e-3 — well below
+    # f32 precision; halves every (n, 3) CG vector and the CSR data
+    M = M.astype(np.float32)
+    Lp = Lp.astype(np.float32)
+    c = c.astype(np.float32)
     B = -(Lp @ c)
     X = np.zeros_like(B)
     R = B.copy()
-    dinv = 1.0 / np.maximum(M.diagonal(), 1e-12)
+    dinv = (1.0 / np.maximum(M.diagonal(), 1e-12)).astype(np.float32)
     Z = R * dinv[:, None]
     P = Z.copy()
     rz = (R * Z).sum(axis=0)
@@ -1156,20 +1170,31 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas_pages, tw, th,
             np.asarray(patch_page), _cnt)
         page_of_valid = page_of_face[valid_f]
     exp_off = exp_off.astype(np.float32)
+    # rasterize in horizontal BANDS: a full 8k x 8k page materializes
+    # ~1.35 GB of fid/depth/bary buffers per call — the round-4 RSS
+    # profile's largest single spike.  Bands divide that by th/BAND; the
+    # native rasterizer clips triangle bboxes to the viewport, so a pure
+    # y-translation of the corner-split vertices is exact.
+    BAND = min(th, 2048)
     for pg, atlas in enumerate(atlas_pages):
         fsel = np.nonzero(page_of_valid == pg)[0]
         if len(fsel) == 0:
             continue
-        fid, _, bar = native.rasterize(exp_verts, exp_faces[fsel], th, tw)
-        ys, xs = np.nonzero(fid >= 0)
-        if len(ys) == 0:
-            continue
-        # gather only at covered texels (full-page (H,W,3,3) float64
-        # temporaries measured 10s+ per call)
-        fvp = exp_faces[fsel][fid[ys, xs]]          # (n_hit, 3)
-        o = (exp_off[fvp] * bar[ys, xs][..., None]).sum(axis=1)
-        px = atlas[ys, xs].astype(np.int16) + np.round(o).astype(np.int16)
-        atlas[ys, xs] = np.clip(px, 0, 255).astype(np.uint8)
+        ef = exp_faces[fsel]
+        for y0 in range(0, th, BAND):
+            bh = min(BAND, th - y0)
+            vb = exp_verts if y0 == 0 and bh == th else (
+                exp_verts - np.array([0.0, y0, 0.0]))
+            fid, _, bar = native.rasterize(vb, ef, bh, tw)
+            ys, xs = np.nonzero(fid >= 0)
+            if len(ys) == 0:
+                continue
+            # gather only at covered texels (full-page (H,W,3,3) float64
+            # temporaries measured 10s+ per call)
+            fvp = ef[fid[ys, xs]]                   # (n_hit, 3)
+            o = (exp_off[fvp] * bar[ys, xs][..., None]).sum(axis=1)
+            px = atlas[y0 + ys, xs].astype(np.int16) + np.round(o).astype(np.int16)
+            atlas[y0 + ys, xs] = np.clip(px, 0, 255).astype(np.uint8)
 
 
 def _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc,
@@ -1226,9 +1251,10 @@ def _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc,
     # conversion + ufunc.at scatters measured ~15 s at 500k faces); the
     # scatters run as bincounts over linear texel indices
     def px(uv):
-        x = np.clip((uv[..., 0] * tw).astype(np.int64), 0, tw - 1).ravel()
-        y = np.clip(((1.0 - uv[..., 1]) * th).astype(np.int64), 0, th - 1).ravel()
-        return y * tw + x
+        # int32 linear indices (page texel count < 2^31 at <= 16k pages)
+        x = np.clip((uv[..., 0] * tw).astype(np.int32), 0, tw - 1).ravel()
+        y = np.clip(((1.0 - uv[..., 1]) * th).astype(np.int32), 0, th - 1).ravel()
+        return y * np.int32(tw) + x
 
     la = px(pa)
     lb = px(pb)
@@ -1253,21 +1279,35 @@ def _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc,
     sat_dim = 2 * iters + 1
     small = [p for p in patches
              if 3 <= min(p.h, p.w) and max(p.h, p.w) <= sat_dim]
-    if small:
-        ns = len(small)
-        s_w = np.fromiter((p.w for p in small), np.int64, ns)
-        s_h = np.fromiter((p.h for p in small), np.int64, ns)
-        s_x = np.fromiter((p.atlas_x for p in small), np.int64, ns)
-        s_y = np.fromiter((p.atlas_y for p in small), np.int64, ns)
+    # chunked over patches: the flat texel expansion is ~7 arrays over the
+    # total small-patch area (tens of millions of texels at 1M patches) —
+    # processing ~8M texels at a time bounds the transient to ~300 MB
+    # (round-4 RSS profile: this pass was the largest local-leveling spike)
+    CHUNK_TEXELS = 8_000_000
+    i0 = 0
+    while i0 < len(small):
+        ar_run = 0
+        i1 = i0
+        while i1 < len(small) and ar_run < CHUNK_TEXELS:
+            ar_run += small[i1].w * small[i1].h
+            i1 += 1
+        chunk = small[i0:i1]
+        i0 = i1
+        ns = len(chunk)
+        s_w = np.fromiter((p.w for p in chunk), np.int32, ns)
+        s_h = np.fromiter((p.h for p in chunk), np.int32, ns)
+        s_x = np.fromiter((p.atlas_x for p in chunk), np.int32, ns)
+        s_y = np.fromiter((p.atlas_y for p in chunk), np.int32, ns)
         ar = s_w * s_h
         tot = int(ar.sum())
-        off = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(ar) - ar, ar)
+        off = np.arange(tot, dtype=np.int32) - np.repeat(
+            np.cumsum(ar, dtype=np.int32) - ar, ar)
         wrep = np.repeat(s_w, ar)
         ry = off // wrep
         rx = off - ry * wrep
         yy = np.repeat(s_y, ar) + ry
         xx = np.repeat(s_x, ar) + rx
-        pid = np.repeat(np.arange(ns), ar)
+        pid = np.repeat(np.arange(ns, dtype=np.int32), ar)
         wsum = np.bincount(pid, weights=wgt[yy, xx], minlength=ns)
         mean = np.zeros((ns, 3), np.float32)
         for ch in range(3):
@@ -1327,8 +1367,30 @@ def texture_mesh(
     )
     labeler = label_faces_trws if opts.inference == "trws" else label_faces_lbp
     with timed(log, f"{opts.inference} face labeling"):
-        labels = labeler(quality, adj, lam, lam_edge=lam_edge)
+        # faces with NO candidate view can only take label -1; when they
+        # dominate (partially-observed meshes), restrict the MRF to the
+        # faces with a candidate view plus their 1-ring (smoothness across
+        # one unseen face still propagates; farther unseen chains carry
+        # only uniform-data messages whose influence is ~0) and scatter
+        # labels back.  10M-face stress: labeling 44.7 s -> ~6 s.
+        seen = quality.max(axis=1) > 0
+        if (~seen).mean() > 0.5 and len(seen) > 100_000:
+            act = seen.copy()
+            nb = adj[seen].reshape(-1)
+            act[nb[nb >= 0]] = True
+            idx = np.nonzero(act)[0]
+            remap = np.full(len(act), -1, adj.dtype)
+            remap[idx] = np.arange(len(idx), dtype=adj.dtype)
+            adj_sub = np.where(adj[idx] >= 0,
+                               remap[np.maximum(adj[idx], 0)], -1)
+            labels = np.full(len(act), -1, np.int64)
+            labels[idx] = labeler(
+                quality[idx], adj_sub, lam,
+                lam_edge=lam_edge[idx] if lam_edge is not None else None)
+        else:
+            labels = labeler(quality, adj, lam, lam_edge=lam_edge)
     n_unseen = int((labels < 0).sum())
     log.info("labels: %d faces, %d unseen", len(labels), n_unseen)
+    del quality, lam_edge      # (nf, V) + (nf, 3): dead past labeling
     with timed(log, "generate texture"):
         return generate_texture(scene, mesh, labels, opts, max_dim, adj=adj)

@@ -34,7 +34,16 @@ def timed(log: logging.Logger, label: str):
     try:
         yield
     finally:
-        log.info("%s (%.2fs)", label, time.perf_counter() - t0)
+        if os.environ.get("OMVS_LOG_RSS"):
+            # ru_maxrss is the process PEAK (monotone): the per-stage print
+            # identifies which stage grew it
+            import resource
+
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+            log.info("%s (%.2fs, peak_rss %.2f GB)", label,
+                     time.perf_counter() - t0, rss)
+        else:
+            log.info("%s (%.2fs)", label, time.perf_counter() - t0)
 
 
 # verbosity level gating extra artifact dumps (the reference's
