@@ -1019,10 +1019,20 @@ def generate_texture(
         _t_sh.__enter__()
         import cv2
 
+        # banded: a full-page float copy + blur temp cost ~1.6 GB at 8k^2;
+        # 1024-row bands with 16-px overlap (sigma 1.5 kernel ~ 9 px) are
+        # exact away from the seam and indistinguishable at it
+        SB, OV = 1024, 16
         for pg in pages:
-            a = pg.astype(np.float32)
-            blur = cv2.GaussianBlur(a, (0, 0), 1.5)
-            pg[:] = np.clip(a + opts.sharpness_weight * (a - blur), 0, 255).astype(np.uint8)
+            Hp = pg.shape[0]
+            for y0 in range(0, Hp, SB):
+                lo = max(0, y0 - OV)
+                hi = min(Hp, y0 + SB + OV)
+                a = pg[lo:hi].astype(np.float32)
+                blur = cv2.GaussianBlur(a, (0, 0), 1.5)
+                out = np.clip(a + opts.sharpness_weight * (a - blur),
+                              0, 255).astype(np.uint8)
+                pg[y0:min(Hp, y0 + SB)] = out[y0 - lo:y0 - lo + SB]
 
         _t_sh.__exit__(None, None, None)
     out = Mesh(vertices=mesh.vertices, faces=mesh.faces,
@@ -1101,18 +1111,21 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas_pages, tw, th,
     lam = 0.1
 
     def laplacian(i, j):
-        i = np.asarray(i)
-        j = np.asarray(j)
-        data = np.concatenate([np.ones(len(i)), np.ones(len(i)),
-                               -np.ones(len(i)), -np.ones(len(i))])
+        # f32 data + int32 indices: halves the COO/CSR transients (the
+        # unknown count n < 2^31 always; offsets feed an 8-bit atlas)
+        i = np.asarray(i, np.int32)
+        j = np.asarray(j, np.int32)
+        one = np.ones(len(i), np.float32)
+        data = np.concatenate([one, one, -one, -one])
         r = np.concatenate([i, j, i, j])
         col = np.concatenate([i, j, j, i])
         return coo_matrix((data, (r, col)), shape=(n, n)).tocsr()
 
     Lp = laplacian(rows_i, rows_j)
     M = Lp + (lam * laplacian(e_i, e_j) if len(e_i) else 0)
-    M = M + 1e-6 * coo_matrix((np.ones(n), (np.arange(n), np.arange(n))),
-                              shape=(n, n))
+    _di = np.arange(n, dtype=np.int32)
+    M = M + coo_matrix((np.full(n, 1e-6, np.float32), (_di, _di)),
+                       shape=(n, n))
     # Jacobi-preconditioned block CG: one csr matmat per iteration for all
     # 3 channels (3 separate scipy cg() calls cost 600 serial matvecs at
     # 500k faces); the atlas is 8-bit, so rtol 2e-3 on the offsets is
