@@ -972,9 +972,6 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
                 tprof["dev"] += t4 - t3
             if it % 8 == 0:
                 log.info("  iter %d: E=%.5f", it, float(e))
-        if prof:
-            log.info("  refine prof (scale %.2f): %s", scale,
-                     {k: round(v, 3) for k, v in tprof.items()})
             if it >= iter_start and iters - it > 5:
                 # planar-vertex pruning (SceneRefine.cpp:1377-1399): remove
                 # interior vertices that barely moved AND sit on a flat
@@ -1017,6 +1014,9 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
                                 jax.device_put((v_d, m_d, vv2_d, adj_j,
                                                 deg_j, faces_j, bnd_j),
                                                replicate)
+        if prof:
+            log.info("  refine prof (scale %.2f): %s", scale,
+                     {k: round(v, 3) for k, v in tprof.items()})
         v_np = np.asarray(v_d)[:nvr]
         return Mesh(vertices=v_np.astype(np.float32), faces=faces)
 
