@@ -241,6 +241,8 @@ def main(argv=None):
     p = sub.add_parser("export-colmap")
     p.add_argument("scene")
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("--binary", action="store_true",
+                   help="write the COLMAP .bin model instead of .txt")
 
     p = sub.add_parser("import-mvsnet")
     p.add_argument("root")
@@ -532,7 +534,7 @@ def main(argv=None):
         from openmvs_tpu.interfaces.colmap import export_colmap
 
         itf = mvsio.load(args.scene)
-        export_colmap(itf, args.output)
+        export_colmap(itf, args.output, binary=args.binary)
         print(f"exported -> {args.output}")
 
     elif args.cmd == "import-mvsnet":

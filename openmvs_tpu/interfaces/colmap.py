@@ -261,19 +261,40 @@ def import_colmap(sparse_folder: str, images_folder: str = "",
 
 
 # ----------------------------------------------------------------- export
-def export_colmap(itf: mvsio.Interface, out_folder: str):
-    """.mvs Interface -> COLMAP text model (cameras/images/points3D.txt)."""
+def export_colmap(itf: mvsio.Interface, out_folder: str,
+                  binary: bool = False):
+    """.mvs Interface -> COLMAP model.
+
+    Text (cameras/images/points3D.txt) by default; `binary=True` writes the
+    COLMAP .bin model instead — the byte format COLMAP itself produces and
+    the reference writes back in ExportScene (InterfaceCOLMAP.cpp:1417-1443)
+    — so downstream COLMAP tooling (model_converter, patch-match, gui) can
+    consume the result directly."""
     os.makedirs(out_folder, exist_ok=True)
     cam_ids = {}
-    with open(os.path.join(out_folder, "cameras.txt"), "w") as f:
-        f.write("# Camera list: CAMERA_ID MODEL WIDTH HEIGHT PARAMS\n")
-        for pi, plat in enumerate(itf.platforms):
-            for ci, cam in enumerate(plat.cameras):
-                cid = len(cam_ids) + 1
-                cam_ids[(pi, ci)] = cid
-                K = cam.K
-                f.write(f"{cid} PINHOLE {cam.width} {cam.height} "
-                        f"{K[0,0]} {K[1,1]} {K[0,2]} {K[1,2]}\n")
+    if binary:
+        with open(os.path.join(out_folder, "cameras.bin"), "wb") as f:
+            ncams = sum(len(p.cameras) for p in itf.platforms)
+            f.write(struct.pack("<Q", ncams))
+            for pi, plat in enumerate(itf.platforms):
+                for ci, cam in enumerate(plat.cameras):
+                    cid = len(cam_ids) + 1
+                    cam_ids[(pi, ci)] = cid
+                    K = np.asarray(cam.K, np.float64)
+                    f.write(struct.pack("<ii", cid, NAME_TO_ID["PINHOLE"]))
+                    f.write(struct.pack("<QQ", int(cam.width), int(cam.height)))
+                    f.write(np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
+                                     np.float64).tobytes())
+    else:
+        with open(os.path.join(out_folder, "cameras.txt"), "w") as f:
+            f.write("# Camera list: CAMERA_ID MODEL WIDTH HEIGHT PARAMS\n")
+            for pi, plat in enumerate(itf.platforms):
+                for ci, cam in enumerate(plat.cameras):
+                    cid = len(cam_ids) + 1
+                    cam_ids[(pi, ci)] = cid
+                    K = cam.K
+                    f.write(f"{cid} PINHOLE {cam.width} {cam.height} "
+                            f"{K[0,0]} {K[1,1]} {K[0,2]} {K[1,2]}\n")
     # per-image camera composition (reused for the 2D observation lists)
     cams = []
     for im in itf.images:
@@ -300,9 +321,41 @@ def export_colmap(itf: mvsio.Interface, out_folder: str):
                 continue
             u = K[0, 0] * Xc[0] / Xc[2] + K[0, 2]
             w_ = K[1, 1] * Xc[1] / Xc[2] + K[1, 2]
-            parts.append(f"{v+1} {len(obs[v])}")
+            parts.append((v + 1, len(obs[v])))
             obs[v].append((u, w_, i + 1))
-        tracks.append(" ".join(parts))
+        tracks.append(parts)
+    if binary:
+        with open(os.path.join(out_folder, "images.bin"), "wb") as f:
+            f.write(struct.pack("<Q", len(itf.images)))
+            for i, im in enumerate(itf.images):
+                R, C, _ = cams[i]
+                q = R_to_qvec(R)
+                t = -R @ C
+                f.write(struct.pack("<i", i + 1))
+                f.write(np.asarray(q, np.float64).tobytes())
+                f.write(np.asarray(t, np.float64).tobytes())
+                f.write(struct.pack("<i", cam_ids[(im.platform_id,
+                                                   im.camera_id)]))
+                f.write(os.path.basename(im.name).encode() + b"\x00")
+                f.write(struct.pack("<Q", len(obs[i])))
+                for u, v_, pid in obs[i]:
+                    f.write(struct.pack("<ddq", u, v_, pid))
+        with open(os.path.join(out_folder, "points3D.bin"), "wb") as f:
+            f.write(struct.pack("<Q", len(itf.points)))
+            has_col = len(itf.colors) == len(itf.points)
+            for i, p in enumerate(itf.points):
+                col = itf.colors[i] if has_col else (128, 128, 128)
+                f.write(struct.pack("<Q", i + 1))
+                f.write(np.asarray(p, np.float64).tobytes())
+                f.write(struct.pack("<BBB", int(col[0]), int(col[1]),
+                                    int(col[2])))
+                f.write(struct.pack("<d", 0.0))
+                f.write(struct.pack("<Q", len(tracks[i])))
+                for img_id, p2d_idx in tracks[i]:
+                    f.write(struct.pack("<ii", img_id, p2d_idx))
+        log.info("COLMAP binary export: %d images, %d points -> %s",
+                 len(itf.images), len(itf.points), out_folder)
+        return
     with open(os.path.join(out_folder, "images.txt"), "w") as f:
         f.write("# Image list: IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME\n")
         f.write("#   POINTS2D[] as (X, Y, POINT3D_ID)\n")
@@ -319,5 +372,6 @@ def export_colmap(itf: mvsio.Interface, out_folder: str):
         has_col = len(itf.colors) == len(itf.points)
         for i, p in enumerate(itf.points):
             col = itf.colors[i] if has_col else (128, 128, 128)
+            tr = " ".join(f"{a} {b}" for a, b in tracks[i])
             f.write(f"{i+1} {p[0]} {p[1]} {p[2]} {col[0]} {col[1]} {col[2]} "
-                    f"0 {tracks[i]}\n")
+                    f"0 {tr}\n")

@@ -195,6 +195,13 @@ def _collapse_vertices(verts: np.ndarray, faces: np.ndarray,
     good = ((f2[:, 0] != f2[:, 1]) & (f2[:, 1] != f2[:, 2])
             & (f2[:, 0] != f2[:, 2]))
     f2 = f2[good]
+    # multiple faces can collapse onto the same vertex triple; duplicated
+    # faces would double-count half-edges and hide real open borders from
+    # _vertex_boundary's single-use edge test — dedup on the sorted triple,
+    # keeping the first occurrence (preserves orientation)
+    key = np.sort(f2, axis=1)
+    _, first = np.unique(key, axis=0, return_index=True)
+    f2 = f2[np.sort(first)]
     used = np.zeros(nv, bool)
     used[f2.reshape(-1)] = True
     remap = np.full(nv, -1, np.int64)
@@ -429,12 +436,16 @@ def _pair_energy_grad_manual(verts: jnp.ndarray, pd: PairData, half: int = 3):
 
 
 @jax.jit
-def _device_steps(v, m, vv2, it0, pds, adj, deg, faces, step0, med_edge,
-                  reg_w, boundary=None, ratio=None):
-    """4 refinement iterations on device between host re-rasterizations.
-    Module-level with every constant as an argument so the compiled module is
-    shape-keyed only (persistent-cache friendly).  m/vv2 are unused legacy
-    optimizer-state slots kept for caller compatibility.
+def _device_iter(v, it, pds, adj, deg, faces, step0, med_edge,
+                 reg_w, boundary=None, ratio=None):
+    """ONE refinement iteration on device.
+
+    A single iteration per dispatch is a deliberate compile-time decision:
+    wrapping even 4 iterations in a `lax.fori_loop` blows this backend's
+    XLA compile from ~25 s to >580 s (measured round 5,
+    scripts/dev_refine_compile_bisect.py), while per-iteration dispatches
+    enqueue asynchronously — the device never idles and the host loop in
+    `_refine_at_scale` stays ahead of it.
 
     The update mirrors the reference's plain decayed gradient descent
     (SceneRefine.cpp:1385-1411), NOT Adam: per-coordinate normalization lets
@@ -459,26 +470,35 @@ def _device_steps(v, m, vv2, it0, pds, adj, deg, faces, step0, med_edge,
       v       -= 0.98^it * step0 * (photo + reg)   with step0 = the
                  reference gstep (0.5 at the default gradient_step=45.05).
     boundary/ratio default to no-boundary / 0.9 when not given."""
+    e, g = _energy_grad(v, pds, adj, deg, faces, step0, med_edge,
+                        reg_w, boundary, ratio)
+    v = v - (0.98 ** it.astype(jnp.float32)) * step0 * g
+    return v, e
+
+
+def _device_steps(v, m, vv2, it0, pds, adj, deg, faces, step0, med_edge,
+                  reg_w, boundary=None, ratio=None):
+    """4 refinement iterations between host re-rasterizations, dispatched as
+    4 asynchronous `_device_iter` calls (see its docstring for why there is
+    no on-device loop).  m/vv2 are unused legacy optimizer-state slots kept
+    for caller compatibility."""
     del m, vv2
-
-    def body(i, carry):
-        v, _ = carry
-        it = (it0 + i).astype(jnp.float32)
-        e, g = _energy_grad(v, pds, adj, deg, faces, step0, med_edge,
-                            reg_w, boundary, ratio)
-        v = v - (0.98 ** it) * step0 * g
-        return (v, e)
-
-    v, e = jax.lax.fori_loop(0, 4, body, (v, jnp.float32(0.0)))
+    e = jnp.float32(0.0)
+    for i in range(4):
+        v, e = _device_iter(v, it0 + i, pds, adj, deg, faces, step0,
+                            med_edge, reg_w, boundary, ratio)
     return v, jnp.zeros_like(v), jnp.zeros_like(v), e
 
 
-@jax.jit
+_assemble_pair_data_jit = jax.jit(_assemble_pair_data)
+
+
 def _device_steps_split(v, m, vv2, it0, statics, rasters, adj, deg, faces,
                         step0, med_edge, reg_w, boundary=None, ratio=None):
     """_device_steps with the split upload (PairStatic uploaded once per
-    scale, PairRaster per re-rasterization refresh)."""
-    pds = _assemble_pair_data(statics, rasters, faces)
+    scale, PairRaster per re-rasterization refresh).  The assembly runs as
+    its own (cheap) jit so the per-iteration module stays small."""
+    pds = _assemble_pair_data_jit(statics, rasters, faces)
     return _device_steps(v, m, vv2, it0, pds, adj, deg, faces, step0,
                          med_edge, reg_w, boundary, ratio)
 
@@ -680,6 +700,18 @@ def _bucket(n: int, q: int) -> int:
 
 def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
                      opts: RefineOptions, pad_hw=None) -> Mesh:
+    import os as _os0
+    import time as _time0
+    _prof0 = _os0.environ.get("OMVS_REFINE_PROF")
+    _tp0 = _time0.time()
+
+    def _mark(what):
+        nonlocal _tp0
+        if _prof0:
+            t = _time0.time()
+            log.info("  setup %-12s %.2fs", what, t - _tp0)
+            _tp0 = t
+
     from openmvs_tpu.io import images as imio
 
     # scaled images + cameras
@@ -692,12 +724,15 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
         grays.append(np.asarray(g, np.float32))
         cams.append(img.working_camera().scaled(g.shape[1] / img.gray.shape[1])
                     if scale != 1.0 else img.working_camera())
+    _mark("images")
 
     mesh = subdivide_to_area(mesh, scene, float(opts.max_face_area) / max(scale, 1e-3))
+    _mark("subdivide")
     faces = mesh.faces
     nvr = len(mesh.vertices)
     adj, deg = _vertex_adjacency(faces, nvr)
     boundary_np = _vertex_boundary(faces, nvr)
+    _mark("adjacency")
 
     # vertex/face-count bucketing (with pad_hw): device arrays padded to
     # coarse buckets so the compiled step's shapes coincide across scales
@@ -765,8 +800,6 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
             ),
             device=_dev,
         )
-    else:
-        device_steps = _device_steps_split
     if _dev is not None:
         adj_j = jax.device_put(adj_j, _dev)
         deg_j = jax.device_put(deg_j, _dev)
@@ -891,11 +924,9 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
             return jax.device_put(pds, shard_pairs)
 
         v_d = jnp.asarray(v_np)
-        m_d = jnp.zeros_like(v_d)
-        vv2_d = jnp.zeros_like(v_d)
         if shard_pairs is not None:
-            v_d, m_d, vv2_d, adj_j, deg_j, faces_j, bnd_j = jax.device_put(
-                (v_d, m_d, vv2_d, adj_j, deg_j, faces_j, bnd_j), replicate)
+            v_d, adj_j, deg_j, faces_j, bnd_j = jax.device_put(
+                (v_d, adj_j, deg_j, faces_j, bnd_j), replicate)
         # iteration schedule (SceneRefine.cpp:1362-1370): the elastic-only
         # regularizer takes over after 70% of the iterations; planar-vertex
         # pruning runs periodically from 40% when planar_vertex_ratio > 0
@@ -909,44 +940,18 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
         rr = max(1, int(_os.environ.get("OMVS_REFINE_RERASTER", "4")))
         # images/cameras never change within a scale: upload ONCE; each
         # refresh ships only fid + 2 barycentrics (+ scalars) per pair
+        _mark("pre-statics")
         statics = put(build_statics_stacked())
         if shard_pairs is None:
             statics = jax.device_put(statics)   # pin on device across calls
-        # OMVS_REFINE_PIPELINE=1: software-pipeline the refresh loop — host
-        # rasterization for block k+1 overlaps device execution of block k.
-        # Rasters are built from the verts of block k-1 (one block stale);
-        # the per-iteration trust-region cap (0.3*med_edge) bounds the
-        # drift a stale rasterization sees, exactly like doubling rr would,
-        # but at rr's refresh cost and with the device never idle.
-        # Requires planar pruning off (topology fixed across the pipeline).
-        if (_os.environ.get("OMVS_REFINE_PIPELINE")
-                and iter_start >= iters and iters > rr):
-            v_host = np.asarray(v_d)[:nvr]
-            handles = []
-            for it in range(0, iters, rr):
-                rasters = put(build_rasters_stacked(v_host),
-                              pad_fill={"fid": -1})
-                ratio_it = (opts.rigidity_elasticity_ratio
-                            if it <= iter_stop else 1.0)
-                v_d, m_d, vv2_d, e = device_steps(
-                    v_d, m_d, vv2_d, jnp.int32(it), statics, rasters,
-                    adj_j, deg_j, faces_j,
-                    jnp.float32(step0), jnp.float32(med_edge),
-                    jnp.float32(opts.regularity_weight), bnd_j,
-                    jnp.float32(ratio_it))
-                handles.append((it, v_d, e))
-                if len(handles) >= 2:
-                    # block k is queued on the device; this waits only for
-                    # block k-1 and runs concurrently with block k
-                    it_p, v_p, e_p = handles[-2]
-                    v_host = np.asarray(v_p)[:nvr]
-                    if it_p % 8 == 0:
-                        log.info("  iter %d: E=%.5f", it_p, float(e_p))
-            v_np = np.asarray(v_d)[:nvr]
-            return Mesh(vertices=v_np.astype(np.float32), faces=faces)
+        _mark("statics")
 
         prof = _os.environ.get("OMVS_REFINE_PROF")
-        tprof = {"down": 0.0, "raster": 0.0, "up": 0.0, "dev": 0.0}
+        tprof = {"down": 0.0, "raster": 0.0, "up": 0.0, "asm": 0.0,
+                 "dev": 0.0}
+        step0_j = jnp.float32(step0)
+        med_j = jnp.float32(med_edge)
+        regw_j = jnp.float32(opts.regularity_weight)
         for it in range(0, iters, rr):
             t0 = _time.time()
             v_prev = np.asarray(v_d)[:nvr]
@@ -954,30 +959,49 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
             rasters_np = build_rasters_stacked(v_prev)
             t2 = _time.time()
             rasters = put(rasters_np, pad_fill={"fid": -1})
-            ratio_it = (opts.rigidity_elasticity_ratio
-                        if it <= iter_stop else 1.0)
+            pds = _assemble_pair_data_jit(statics, rasters, faces_j)
+            if prof == "2":   # fine mode: sync at the phase boundary
+                jax.block_until_ready(pds)
+            ratio_it = jnp.float32(opts.rigidity_elasticity_ratio
+                                   if it <= iter_stop else 1.0)
             t3 = _time.time()
-            v_d, m_d, vv2_d, e = device_steps(
-                v_d, m_d, vv2_d, jnp.int32(it), statics, rasters,
-                adj_j, deg_j, faces_j,
-                jnp.float32(step0), jnp.float32(med_edge),
-                jnp.float32(opts.regularity_weight), bnd_j,
-                jnp.float32(ratio_it))
+            # rr asynchronous single-iteration dispatches (no on-device
+            # loop: see _device_iter on the fori_loop compile blowup); the
+            # queue drains while the host prepares the next refresh
+            for k in range(it, min(it + rr, iters)):
+                v_d, e = _device_iter(
+                    v_d, jnp.int32(k), pds, adj_j, deg_j, faces_j,
+                    step0_j, med_j, regw_j, bnd_j, ratio_it)
             if prof:
                 _ = float(e)   # force completion so 'dev' is the real time
                 t4 = _time.time()
                 tprof["down"] += t1 - t0
                 tprof["raster"] += t2 - t1
-                tprof["up"] += t3 - t2
+                tprof["up"] += t3 - t2 if prof != "2" else 0.0
+                tprof["asm"] += t3 - t2 if prof == "2" else 0.0
                 tprof["dev"] += t4 - t3
             if it % 8 == 0:
                 log.info("  iter %d: E=%.5f", it, float(e))
             if it >= iter_start and iters - it > 5:
                 # planar-vertex pruning (SceneRefine.cpp:1377-1399): remove
                 # interior vertices that barely moved AND sit on a flat
-                # one-ring; threshold = viewing depth * planar_vertex_ratio
+                # one-ring; threshold = viewing depth * planar_vertex_ratio.
+                # Cadence deviation from the reference (documented): the
+                # reference tests the single-iteration gradient norm every 3
+                # iterations; we test once per refresh block, so the
+                # accumulated displacement is normalized by the block length
+                # to keep per-iteration units and comparable aggressiveness.
                 v_now = np.asarray(v_d)[:nvr]
-                move = np.linalg.norm(v_now - v_prev, axis=1)
+                blk = max(1, min(it + rr, iters) - it)
+                move = np.linalg.norm(v_now - v_prev, axis=1) / blk
+                # visibility guard (the reference's vertexDepth < FLT_MAX
+                # test, SceneRefine.cpp:1389-1392): only vertices actually
+                # rasterized by some scoring pair may be pruned — unseen or
+                # occluded flat vertices keep their geometry
+                seen = np.zeros(nvr, bool)
+                for fidm in rasters_np.fid:
+                    fids = np.unique(fidm[fidm >= 0])
+                    seen[faces[fids].reshape(-1)] = True
                 wmask = (adj >= 0)
                 nbm = v_now[np.maximum(adj, 0)]
                 mean_nb = (nbm * wmask[..., None]).sum(1) / np.maximum(
@@ -991,7 +1015,8 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
                     np.minimum(min_d, np.linalg.norm(v_now - c.C, axis=1),
                                out=min_d)
                 th = min_d * opts.planar_vertex_ratio
-                kill = (~boundary_np) & (move < th) & (g1n < th) & (deg > 0)
+                kill = ((~boundary_np) & seen & (move < th) & (g1n < th)
+                        & (deg > 0))
                 if kill.sum() > max(16, 0.002 * len(v_now)):
                     keep_faces, remap = _collapse_vertices(
                         v_now, faces, adj, deg, kill)
@@ -1003,17 +1028,13 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
                         nvr = len(v_now)
                         adj, deg = _vertex_adjacency(faces, nvr)
                         boundary_np = _vertex_boundary(faces, nvr)
-                        v_dd, faces_j, adj_j, deg_j, bnd_j = dev_arrays(
+                        v_d, faces_j, adj_j, deg_j, bnd_j = dev_arrays(
                             v_now.astype(np.float32), faces, adj, deg,
                             boundary_np)
-                        v_d = v_dd
-                        m_d = jnp.zeros_like(v_d)
-                        vv2_d = jnp.zeros_like(v_d)
                         if shard_pairs is not None:
-                            v_d, m_d, vv2_d, adj_j, deg_j, faces_j, bnd_j = \
-                                jax.device_put((v_d, m_d, vv2_d, adj_j,
-                                                deg_j, faces_j, bnd_j),
-                                               replicate)
+                            v_d, adj_j, deg_j, faces_j, bnd_j = \
+                                jax.device_put((v_d, adj_j, deg_j, faces_j,
+                                                bnd_j), replicate)
         if prof:
             log.info("  refine prof (scale %.2f): %s", scale,
                      {k: round(v, 3) for k, v in tprof.items()})

@@ -33,7 +33,17 @@ def build_gt_scene(n_views=5, W=320, H=240, grid=96, seed=0, shape="smooth"):
     15-23% of the 6.0 viewing distance) with near-vertical walls — sharp
     depth discontinuities that OCCLUDE background differently per view,
     stressing occlusion handling, discontinuity preservation and the
-    speckle/gap post-filters (the failure modes a smooth field never hits)."""
+    speckle/gap post-filters (the failure modes a smooth field never hits).
+    shape="slant": a sawtooth of planes pitched ~63 deg from frontoparallel
+    (|dz/dx| = 2) — grazing-angle geometry where frontoparallel matching
+    fails and the slanted-plane hypothesis (normal estimation,
+    DepthMap.cpp:555-561 plane-induced homography) must carry the match.
+    shape="textureless": the smooth field, but the central third of the
+    surface gets a CONSTANT albedo (no ZNCC signal) — exercises the
+    low-confidence machinery: low-res prior seeding (pyramid upscale),
+    neighbor propagation across the dead zone, and the confidence-gated
+    post-filters (reference analogues DepthMap.cpp:535-561 low-res prior +
+    SceneDensify.cpp:810-1035)."""
     import cv2
 
     from openmvs_tpu import native
@@ -57,6 +67,13 @@ def build_gt_scene(n_views=5, W=320, H=240, grid=96, seed=0, shape="smooth"):
             return height * sx * sy
         zz = zz - plateau(-1.1, -0.7, 1.0, 0.9, 0.9) \
                 - plateau(1.3, 1.0, 0.8, 1.1, 1.4)
+    elif shape == "slant":
+        # sawtooth of planes, |dz/dx| = 2 (~63 deg from frontoparallel for
+        # the central camera): piecewise-linear in x with 1.5-unit period,
+        # small y-ripple so the texture warp is 2-D
+        period = 1.5
+        tri = np.abs(((xx + 3.0) % period) - period / 2)   # 0..period/2
+        zz = 6.0 + 2.0 * (tri - period / 4) + 0.05 * np.sin(3.1 * yy)
     verts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
     faces = []
     for r in range(grid - 1):
@@ -72,7 +89,14 @@ def build_gt_scene(n_views=5, W=320, H=240, grid=96, seed=0, shape="smooth"):
         t = (0.5 + 0.18 * np.sin(7.1 * x) * np.cos(6.3 * y)
              + 0.14 * np.sin(13.7 * x + 2.0) + 0.12 * np.cos(11.3 * y + 1.0)
              + 0.06 * np.sin(23.0 * x * y))
-        return np.clip(t, 0.02, 0.98)
+        t = np.clip(t, 0.02, 0.98)
+        if shape == "textureless":
+            # central third: constant albedo, zero ZNCC signal (smooth ramp
+            # at the border so the transition itself is not a cue)
+            w_dead = (1 / (1 + np.exp(-6.0 * (1.0 - np.abs(x))))
+                      * 1 / (1 + np.exp(-6.0 * (2.0 - np.abs(y)))))
+            t = t * (1 - w_dead) + 0.5 * w_dead
+        return t
 
     K = np.array([[0.9 * W, 0, W / 2 - 0.5], [0, 0.9 * W, H / 2 - 0.5],
                   [0, 0, 1.0]])
@@ -257,14 +281,13 @@ def run_mesh_refine(scene, gt_mesh, pc):
     }
 
 
-def main():
+CORPUS = ("smooth", "steps", "slant", "textureless")
+
+
+def run_shape(shape, W, H, grid, with_refine=True):
+    import copy
     import tempfile
 
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r03.json"
-    shape = sys.argv[2] if len(sys.argv) > 2 else "smooth"
-    W = int(sys.argv[3]) if len(sys.argv) > 3 else 320
-    H = int(sys.argv[4]) if len(sys.argv) > 4 else (W * 3 // 4)
-    grid = int(sys.argv[5]) if len(sys.argv) > 5 else max(96, 96 * W // 320)
     scene, gt_mesh, gt_depth = build_gt_scene(shape=shape, W=W, H=H,
                                               grid=grid)
     results = {"harness": f"synthetic textured height-field ({shape}), "
@@ -273,18 +296,48 @@ def main():
     for est in ("patchmatch", "sgm"):
         with tempfile.TemporaryDirectory() as td:
             # fresh copies: dense_reconstruction mutates view selection state
-            import copy
-
             sc = copy.deepcopy(scene)
             try:
                 results[est], pc = run_estimator(sc, gt_depth, gt_mesh, est, td)
-                if est == "patchmatch":
+                if est == "patchmatch" and with_refine:
                     results["mesh_refine"] = run_mesh_refine(sc, gt_mesh, pc)
                     print("mesh_refine ->",
                           json.dumps(results["mesh_refine"]), flush=True)
             except Exception as e:  # record failures honestly
                 results[est] = {"error": repr(e)[:300]}
-            print(est, "->", json.dumps(results[est])[:240], flush=True)
+            print(shape, est, "->", json.dumps(results[est])[:240], flush=True)
+    return results
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r03.json"
+    shape = sys.argv[2] if len(sys.argv) > 2 else "smooth"
+    W = int(sys.argv[3]) if len(sys.argv) > 3 else 320
+    H = int(sys.argv[4]) if len(sys.argv) > 4 else (W * 3 // 4)
+    grid = int(sys.argv[5]) if len(sys.argv) > 5 else max(96, 96 * W // 320)
+    if shape == "corpus":
+        # the hard-scene corpus (VERDICT r4 #3): per-scene records + the
+        # corpus MINIMUM F-scores — the number batteries must gate on
+        # (calibrating on the easy smooth scene alone hides regressions on
+        # occlusions / grazing slants / textureless patches)
+        results = {"corpus": {}}
+        for sh in CORPUS:
+            results["corpus"][sh] = run_shape(sh, W, H, grid,
+                                              with_refine=(sh == "smooth"))
+        summary = {}
+        for est in ("patchmatch", "sgm"):
+            fs = {sh: r[est]["cloud_fscore@0.06"]["fscore"]
+                  for sh, r in results["corpus"].items()
+                  if est in r and "cloud_fscore@0.06" in r[est]}
+            summary[est] = {
+                "per_scene_f": fs,
+                "min_f": min(fs.values()) if fs else 0.0,
+                "n_ok": len(fs), "n_scenes": len(CORPUS),
+            }
+        results["summary"] = summary
+        print("corpus summary:", json.dumps(summary), flush=True)
+    else:
+        results = run_shape(shape, W, H, grid)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out_path)

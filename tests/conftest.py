@@ -25,16 +25,16 @@ if not os.environ.get("OMVS_RUN_PIPELINE_TEST"):
     except RuntimeError:  # pragma: no cover - cpu platform always exists
         pass
 
-# CPU-only runs exercise the Pallas kernels in INTERPRET mode, where the
-# round-4 production defaults (25-texel grid chunks + hoisted source band)
-# are ~25x slower to emulate than the minimal config — pin the small
-# config there.  When a real accelerator is present the suite keeps the
-# SHIPPING defaults so the hardware parity tests cover what users run.
-try:
-    _accel = any(d.platform != "cpu" for d in jax.devices())
-except RuntimeError:  # pragma: no cover
-    _accel = False
-if not _accel:
+# Interpret-mode kernel tests verify LOGIC, not perf, and the round-4
+# production defaults (25-texel grid chunks + hoisted source band) are ~25x
+# slower to EMULATE than the minimal config — pin the small config for the
+# whole suite UNCONDITIONALLY (round-5: previously only when no accelerator
+# was present, which made the suite impractically slow exactly on the TPU
+# host).  The TPU-gated hardware parity tests restore the SHIPPING config
+# explicitly via the `shipping_kernel_config` fixture below, so what users
+# run on hardware stays covered by exactly those tests.
+# (the gated full-pipeline run IS the production path — keep its defaults)
+if not os.environ.get("OMVS_RUN_PIPELINE_TEST"):
     os.environ.setdefault("OMVS_TEXEL_CHUNK", "5")
     os.environ.setdefault("OMVS_HOIST", "0")
 
@@ -49,6 +49,32 @@ def tpu_devices():
         return [d for d in jax.devices() if d.platform != "cpu"]
     except RuntimeError:
         return []
+
+
+@pytest.fixture
+def shipping_kernel_config():
+    """Temporarily restore the SHIPPING kernel config (TEXEL_CHUNK=25 +
+    hoisted source band, the round-4 battery winner) for hardware parity
+    tests, overriding the suite-wide minimal-config pin above.
+
+    TEXEL_CHUNK is read at trace time inside the jitted kernels (a module
+    global, not a static arg), so the jit caches must be cleared on BOTH
+    transitions — the round-3 stale-trace trap."""
+    from openmvs_tpu.ops import pm_kernel
+
+    def _clear():
+        pm_kernel._score_view_pallas._clear_cache()
+        pm_kernel._score_view_geom_pallas._clear_cache()
+        pm_kernel.geom_term_pallas._clear_cache()
+
+    old = (pm_kernel.TEXEL_CHUNK, pm_kernel.HOIST)
+    pm_kernel.TEXEL_CHUNK, pm_kernel.HOIST = 25, True
+    _clear()
+    try:
+        yield
+    finally:
+        pm_kernel.TEXEL_CHUNK, pm_kernel.HOIST = old
+        _clear()
 
 
 @pytest.fixture(scope="session")

@@ -61,6 +61,36 @@ def test_colmap_roundtrip(tmp_path):
         np.testing.assert_allclose(p1.R, p2.R, atol=1e-9)
 
 
+def test_colmap_binary_roundtrip(tmp_path):
+    """export_colmap(binary=True) writes the COLMAP .bin model
+    (InterfaceCOLMAP.cpp:1417-1443 role) that import_colmap reads back
+    identically: poses, intrinsics, points, colors, and tracks."""
+    folder = str(tmp_path / "sparse")
+    _make_colmap_text_model(folder)
+    itf = colmap.import_colmap(folder)
+    out = str(tmp_path / "export_bin")
+    colmap.export_colmap(itf, out, binary=True)
+    for stem in ("cameras", "images", "points3D"):
+        assert os.path.exists(os.path.join(out, stem + ".bin"))
+        assert not os.path.exists(os.path.join(out, stem + ".txt"))
+    itf2 = colmap.import_colmap(out)
+    assert len(itf2.images) == len(itf.images)
+    assert len(itf2.points) == len(itf.points)
+    for im1, im2 in zip(itf.images, itf2.images):
+        p1 = itf.platforms[im1.platform_id].poses[im1.pose_id]
+        p2 = itf2.platforms[im2.platform_id].poses[im2.pose_id]
+        np.testing.assert_allclose(p1.C, p2.C, atol=1e-9)
+        np.testing.assert_allclose(p1.R, p2.R, atol=1e-9)
+    rig1 = itf.platforms[0].cameras[0]
+    rig2 = itf2.platforms[0].cameras[0]
+    assert (rig1.width, rig1.height) == (rig2.width, rig2.height)
+    np.testing.assert_allclose(rig1.K, rig2.K, atol=1e-9)
+    np.testing.assert_allclose(itf2.points, itf.points, atol=1e-5)
+    np.testing.assert_array_equal(itf2.colors, itf.colors)
+    for v1, v2 in zip(itf.point_views, itf2.point_views):
+        np.testing.assert_array_equal(np.sort(v1), np.sort(v2))
+
+
 def test_colmap_to_mvs_file(tmp_path):
     folder = str(tmp_path / "sparse")
     _make_colmap_text_model(folder)

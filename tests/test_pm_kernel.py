@@ -26,7 +26,7 @@ def _example(h=120, w=160):
     return data, opts, cd, cn, inv_nd
 
 
-def test_pallas_kernel_matches_cpu_scorer():
+def test_pallas_kernel_matches_cpu_scorer(shipping_kernel_config):
     from conftest import tpu_devices
 
     tpus = tpu_devices()
@@ -158,7 +158,7 @@ def _check_geom_parity(out, ref):
 
 
 @pytest.mark.parametrize("h,w", [(120, 160), (480, 640)])
-def test_geom_term_pallas_matches_cpu(h, w):
+def test_geom_term_pallas_matches_cpu(h, w, shipping_kernel_config):
     """geom_term_pallas vs the XLA _geometric_term (identical predicate-gated
     sampling semantics, Types.inl TImage::sample + DepthMap.cpp:535-551).
 
@@ -249,7 +249,7 @@ def test_score_view_geom_pallas_interpret(monkeypatch):
 
 
 @pytest.mark.parametrize("h,w", [(120, 160), (480, 640)])
-def test_score_view_geom_pallas_tpu(h, w):
+def test_score_view_geom_pallas_tpu(h, w, shipping_kernel_config):
     """Merged kernel Mosaic-compiled on real TPU at small AND pipeline
     resolution."""
     from conftest import tpu_devices

@@ -102,6 +102,41 @@ def test_refine_converges_without_periphery_blowup():
     assert worst1 < 0.5, worst1
 
 
+def test_refine_planar_pruning():
+    """Planar-vertex pruning (SceneRefine.cpp:1377-1399): with
+    planar_vertex_ratio > 0, flat well-observed interior vertices are
+    collapsed away; the result must keep a valid duplicate-free topology
+    and still recover noise."""
+    from scipy.spatial import cKDTree
+
+    from openmvs_tpu.config import RefineOptions
+    from openmvs_tpu.refine import refine_mesh
+    from openmvs_tpu.scene import Mesh
+
+    scene, gt = _build_scene()
+    rng = np.random.default_rng(3)
+    v0 = gt.vertices.copy()
+    v0[:, 2] += rng.normal(0, 0.04, len(v0)).astype(np.float32)
+    noisy = Mesh(vertices=v0, faces=gt.faces)
+    opts = RefineOptions(scales=1, iters=20, max_face_area=10_000,
+                         decimate=0.0, close_holes=0, ensure_edge_size=0,
+                         planar_vertex_ratio=0.02)
+    refined = refine_mesh(scene, noisy, opts)
+    # pruning actually fired on this flat-ish surface
+    assert len(refined.vertices) < len(gt.vertices), (
+        len(refined.vertices), len(gt.vertices))
+    # no duplicate faces (ADVICE r4: collapse may alias triples) and every
+    # face references live vertices
+    f = np.sort(np.asarray(refined.faces), axis=1)
+    assert len(np.unique(f, axis=0)) == len(f)
+    assert f.max() < len(refined.vertices)
+    assert (f[:, 0] != f[:, 1]).all() and (f[:, 1] != f[:, 2]).all()
+    # surface is still near GT
+    tree = cKDTree(gt.vertices)
+    d, _ = tree.query(np.asarray(refined.vertices), k=1)
+    assert float(np.sqrt((d ** 2).mean())) < 0.08
+
+
 def test_refine_shape_bucketing_single_compile(monkeypatch):
     """Shape bucketing (pair rasters padded to full-scale dims + vertex/face
     buckets) must let ONE compiled device step serve every scale, with
@@ -118,10 +153,10 @@ def test_refine_shape_bucketing_single_compile(monkeypatch):
     v0[:, 2] += rng.normal(0, 0.05, len(v0)).astype(np.float32)
     opts = RefineOptions(scales=2, iters=8, max_face_area=64)
 
-    n0 = rf._device_steps_split._cache_size()
+    n0 = rf._device_iter._cache_size()
     m1 = rf.refine_mesh(scene, Mesh(vertices=v0.copy(), faces=gt.faces.copy()),
                         opts)
-    assert rf._device_steps_split._cache_size() - n0 <= 1
+    assert rf._device_iter._cache_size() - n0 <= 1
 
     monkeypatch.setenv("OMVS_REFINE_NO_BUCKET", "1")
     m2 = rf.refine_mesh(scene, Mesh(vertices=v0.copy(), faces=gt.faces.copy()),
