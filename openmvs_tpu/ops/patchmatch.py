@@ -71,8 +71,8 @@ def _use_pallas() -> bool:
 SCALE_RANGES = tuple(0.5 ** i for i in range(12))
 
 # Checkerboard parity compaction scores only active pixels.  ROW-PAIR
-# compaction (_compact_parity_rows) keeps warped x-coordinates exact (the
-# older column packing, OMVS_COMPACT=cols, doubles the x-span and lost
+# compaction (_compact_parity_rows) keeps warped x-coordinates exact (a
+# legacy column packing, removed r5, doubled the x-span and lost
 # border pixels at PATCH_COLS=384).  History: a r2 A/B measured compaction
 # as a net loss (per-tile fixed costs dominated the gather loop) and it
 # shipped default-OFF; the round-4 battery re-measured it on top of the
@@ -94,7 +94,6 @@ def _compact_default() -> bool:
     if env is not None:
         return env not in ("0", "")
     return _use_pallas()
-_COMPACT_COLS = _os.environ.get("OMVS_COMPACT") == "cols"
 _PATCH_ROWS_COMPACT = int(_os.environ.get("OMVS_PATCH_ROWS_COMPACT", "32"))
 # staged propagate-then-perturb half-steps (two scoring launches; perturbs
 # refine the propagated winner — the reference's order, DepthMap.cpp:641-852);
@@ -830,29 +829,6 @@ def _probe_candidates(data: PMData, state: PMState, opts: DenseOptions, key):
     return out
 
 
-def _compact_parity(a: jnp.ndarray, parity: int) -> jnp.ndarray:
-    """Extract the checkerboard sub-lattice (x+y)%2 == parity as a dense
-    (H, W//2[, ...]) array: out[y, x'] = a[y, 2x' + (y+parity)%2].
-
-    Pure strided slicing (no gathers): even and odd rows have fixed column
-    offsets.  W must be even."""
-    H, W = a.shape[0], a.shape[1]
-    even = a[0::2, parity % 2 :: 2]
-    odd = a[1::2, (parity + 1) % 2 :: 2]
-    out = jnp.stack([even, odd], axis=1)
-    return out.reshape((H,) + out.shape[2:])
-
-
-def _scatter_parity(full: jnp.ndarray, sub: jnp.ndarray, parity: int) -> jnp.ndarray:
-    """Write the compacted sub-lattice back into `full` at its parity."""
-    H = full.shape[0]
-    sub2 = sub.reshape((H // 2, 2) + sub.shape[1:])
-    even, odd = sub2[:, 0], sub2[:, 1]
-    full = full.at[0::2, parity % 2 :: 2].set(even)
-    full = full.at[1::2, (parity + 1) % 2 :: 2].set(odd)
-    return full
-
-
 def _compact_parity_rows(a: jnp.ndarray, parity: int) -> jnp.ndarray:
     """Checkerboard compaction that HALVES ROWS, keeping columns exact:
     out[r, x] = a[2r + (parity + x) % 2, x], shape (H//2, W[, ...]).
@@ -898,8 +874,14 @@ def sweep(
     rescore_state: bool = False,
     n_prop: int = len(PROP_OFFSETS),
     fold: int = 0,
+    active_frac: float = 0.0,
+    conf_prev=None,
 ) -> PMState:
     """One full PatchMatch iteration = two checkerboard half-steps.
+
+    active_frac in (0, 1) with conf_prev (the state confidence BEFORE the
+    previous sweep): only the most-active fraction of 8-row tile blocks is
+    scored this sweep — convergence work-skipping, see _score_select.
 
     fold != 0 derives this iteration's key as fold_in(key, fold) INSIDE the
     jit (static value, so the fold costs nothing at runtime): an eager
@@ -940,9 +922,13 @@ def sweep(
                                  mode, rescore_state, n_prop, fold)
     # fold is traced (has_fold static): identical RNG to an eager
     # fold_in, ONE compile for all iterations sharing (mode, n_prop)
+    if not active_frac:
+        conf_prev = None   # keep the no-skip compile signature stable
     return _sweep_fused_jit(state, data, opts, key, n_views, use_geom,
                             n_perturb, mode, rescore_state, n_prop,
-                            jnp.uint32(fold), has_fold=bool(fold))
+                            jnp.uint32(fold), has_fold=bool(fold),
+                            active_frac=float(active_frac),
+                            conf_prev=conf_prev)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1134,7 +1120,7 @@ def _sweep_geom_split(state, data, opts, key, n_views, n_perturb, mode,
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop", "has_fold"))
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop", "has_fold", "active_frac"))
 def _sweep_fused_jit(
     state: PMState,
     data: PMData,
@@ -1148,6 +1134,8 @@ def _sweep_fused_jit(
     n_prop: int = len(PROP_OFFSETS),
     fold=0,
     has_fold: bool = False,
+    active_frac: float = 0.0,
+    conf_prev=None,
 ) -> PMState:
     if has_fold:
         key = jax.random.fold_in(key, fold)
@@ -1163,7 +1151,8 @@ def _sweep_fused_jit(
 
     for parity in (0, 1):
         state = _sweep_parity(state, data, opts, key, n_views, use_geom,
-                              n_perturb, mode, parity, n_prop)
+                              n_perturb, mode, parity, n_prop,
+                              active_frac, conf_prev)
     return state
 
 
@@ -1181,7 +1170,7 @@ def sweep_half(state, data, opts, key, n_views, use_geom=False, n_perturb=3,
 
 
 def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
-                  parity, n_prop):
+                  parity, n_prop, active_frac=0.0, conf_prev=None):
     # GLOBAL parity from data.uv — a row-tiled shard keeps the same lattice
     # as the full image (a local iota would flip parity on odd-offset tiles)
     parity_map = (data.uv[..., 0] + data.uv[..., 1]).astype(jnp.int32) % 2
@@ -1204,19 +1193,32 @@ def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
         # incumbent.  Opt-in OMVS_STAGED=1 (A/B in scripts/tpu_validation.sh).
         cd, cn, cok = _stack(_prop_cands(state))
         state = _score_select(state, data, opts, cd, cn, cok, active, parity,
-                              n_views, use_geom, mode)
+                              n_views, use_geom, mode, active_frac, conf_prev)
         cd, cn, cok = _stack(_perturb_cands(state))
         return _score_select(state, data, opts, cd, cn, cok, active, parity,
-                             n_views, use_geom, mode)
+                             n_views, use_geom, mode, active_frac, conf_prev)
 
     cd, cn, cok = _stack(_prop_cands(state) + _perturb_cands(state))
     return _score_select(state, data, opts, cd, cn, cok, active, parity,
-                         n_views, use_geom, mode)
+                         n_views, use_geom, mode, active_frac, conf_prev)
 
 
 def _score_select(state, data, opts, cd, cn, cok, active, parity, n_views,
-                  use_geom, mode):
-    """Score a candidate stack and take per-parity winners vs the incumbent."""
+                  use_geom, mode, active_frac=0.0, conf_prev=None):
+    """Score a candidate stack and take per-parity winners vs the incumbent.
+
+    active_frac in (0, 1): ACTIVE ROW-BLOCK COMPACTION — the TPU form of the
+    reference's per-pixel convergence skipping (DepthMap.cpp:630-799: pixels
+    whose estimate stopped improving stop paying for scoring).  On top of
+    the checkerboard row compaction, only the `active_frac` fraction of
+    8-row tile blocks with the HIGHEST recent confidence churn
+    (conf_prev - conf, i.e. improvement during the previous sweep) are
+    gathered and scored; quiescent blocks keep their incumbent state this
+    half-step and remain propagation SOURCES on the full lattice.  Static
+    block count = one extra compile per fraction, no host syncs (top_k runs
+    on device); each gathered block is one contiguous 8-row kernel tile, so
+    every within-tile kernel assumption (patch anchoring, hoisted band)
+    holds unchanged."""
     H, W = state.depth.shape
     if (W % 2 == 0 and H % 2 == 0 and _compact_default()
             and mode in ("exact", "nn")):
@@ -1225,15 +1227,13 @@ def _score_select(state, data, opts, cd, cn, cok, active, parity, n_views,
         # step, PatchMatchCUDA.cu:597-609) — 2x less scoring work.
         # mode="warp" is excluded: the warp-once scorer takes its 25-texel
         # window stats with dense shifts over the (compacted) lattice, so
-        # compaction would mix same-parity pixels ~2 real rows/cols apart
-        if _COMPACT_COLS:
-            comp = lambda x: _compact_parity(x, parity)
-            scat = _scatter_parity
-            pr = 0
-        else:
-            comp = lambda x: _compact_parity_rows(x, parity)
-            scat = _scatter_parity_rows
-            pr = _PATCH_ROWS_COMPACT
+        # compaction would mix same-parity pixels ~2 real rows/cols apart.
+        # (The legacy OMVS_COMPACT=cols column packing was removed in r5:
+        # it doubled the warp x-span, lost border pixels at PATCH_COLS=384,
+        # and never won a battery — row-pair compaction is the one path.)
+        comp = lambda x: _compact_parity_rows(x, parity)
+        scat = _scatter_parity_rows
+        pr = _PATCH_ROWS_COMPACT
         data_c = data._replace(
             ref=comp(data.ref), X0=comp(data.X0),
             w=jax.vmap(comp)(data.w), wtm=jax.vmap(comp)(data.wtm),
@@ -1247,19 +1247,64 @@ def _score_select(state, data, opts, cd, cn, cok, active, parity, n_views,
         cn_c = jax.vmap(comp)(cn)
         cok_c = jax.vmap(comp)(cok)
         bonus_full = _smoothness_bonus(data, opts, state, cd, cn)
+        bonus_c = jax.vmap(comp)(bonus_full)
+        active_c = comp(active)
+
+        # active row-block selection (see docstring): pick the top-churn
+        # 8-row blocks of the compacted lattice; requires the row-pair
+        # compaction (columns exact) and a tile-aligned compacted height
+        sel_rows = None
+        Hc2 = state_c.depth.shape[0]
+        if (active_frac and conf_prev is not None and Hc2 % 8 == 0):
+            nb = Hc2 // 8
+            kblk = max(1, min(nb, int(round(nb * float(active_frac)))))
+            if kblk < nb:
+                churn = jnp.where(data_c.valid,
+                                  comp(conf_prev) - state_c.conf, 0.0)
+                act_blk = jnp.sum(jnp.abs(churn).reshape(nb, -1), axis=1)
+                _, bidx = jax.lax.top_k(act_blk, kblk)
+                sel_rows = (bidx[:, None] * 8
+                            + jnp.arange(8)[None, :]).reshape(-1)
+        if sel_rows is not None:
+            rows = lambda x: jnp.take(x, sel_rows, axis=0)
+            data_c = data_c._replace(
+                ref=rows(data_c.ref), X0=rows(data_c.X0),
+                w=jax.vmap(rows)(data_c.w), wtm=jax.vmap(rows)(data_c.wtm),
+                sum_w=rows(data_c.sum_w), norm_sq0=rows(data_c.norm_sq0),
+                lowres=rows(data_c.lowres), valid=rows(data_c.valid),
+                uv=rows(data_c.uv))
+            state_r = PMState(depth=rows(state_c.depth),
+                              normal=rows(state_c.normal),
+                              conf=rows(state_c.conf))
+            cd_c = jax.vmap(rows)(cd_c)
+            cn_c = jax.vmap(rows)(cn_c)
+            cok_c = jax.vmap(rows)(cok_c)
+            bonus_c = jax.vmap(rows)(bonus_c)
+            active_c = rows(active_c)
+        else:
+            state_r = state_c
         s = score_hypotheses(
-            data_c, opts, state_c, cd_c, cn_c, n_views, use_geom, mode,
-            bonus=jax.vmap(comp)(bonus_full), patch_rows=pr,
+            data_c, opts, state_r, cd_c, cn_c, n_views, use_geom, mode,
+            bonus=bonus_c, patch_rows=pr,
         )
         s = jnp.where(cok_c, s, jnp.inf)
         best = jnp.argmin(s, axis=0)
         s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
         d_best = jnp.take_along_axis(cd_c, best[None], axis=0)[0]
         n_best = jnp.take_along_axis(cn_c, best[None, ..., None], axis=0)[0]
-        take = comp(active) & (s_best < state_c.conf)
-        nd = scat(state.depth, jnp.where(take, d_best, state_c.depth), parity)
-        nn = scat(state.normal, jnp.where(take[..., None], n_best, state_c.normal), parity)
-        nc = scat(state.conf, jnp.where(take, s_best, state_c.conf), parity)
+        take = active_c & (s_best < state_r.conf)
+        ud = jnp.where(take, d_best, state_r.depth)
+        un = jnp.where(take[..., None], n_best, state_r.normal)
+        uc = jnp.where(take, s_best, state_r.conf)
+        if sel_rows is not None:
+            # write updated rows back into the compacted lattice; untouched
+            # blocks keep their incumbent values
+            ud = state_c.depth.at[sel_rows].set(ud)
+            un = state_c.normal.at[sel_rows].set(un)
+            uc = state_c.conf.at[sel_rows].set(uc)
+        nd = scat(state.depth, ud, parity)
+        nn = scat(state.normal, un, parity)
+        nc = scat(state.conf, uc, parity)
         state = PMState(depth=nd, normal=nn, conf=nc)
     else:
         s = score_hypotheses(data, opts, state, cd, cn, n_views, use_geom, mode)

@@ -240,10 +240,14 @@ def dryrun_refine(devs) -> None:
         jnp.asarray(rng.normal(size=(nv, 3)).astype(_np.float32) + [0, 0, 5.0]), rep)
     f32 = _np.float32
     K = _np.array([[40, 0, Ww / 2], [0, 40, Hh / 2], [0, 0, 1]], f32)
+    faces_np = rng.integers(0, nv, (40, 3)).astype(_np.int32)
+    # raster face ids consistent with faces_np: the production per-face
+    # gradient scatter path (PairData.fid, round 5) must be what shards
+    fid_np = rng.integers(0, len(faces_np), (npair, Hh, Ww)).astype(_np.int32)
     pds = PairData(
         imgA=rng.uniform(0, 1, (npair, Hh, Ww)).astype(f32),
         imgB=rng.uniform(0, 1, (npair, Hh, Ww)).astype(f32),
-        face_vid=rng.integers(0, nv, (npair, Hh, Ww, 3)).astype(_np.int32),
+        face_vid=faces_np[fid_np],
         bary=_np.full((npair, Hh, Ww, 3), 1.0 / 3.0, f32),
         mask=_np.ones((npair, Hh, Ww), bool),
         KA_R=_np.tile(K, (npair, 1, 1)),
@@ -253,12 +257,12 @@ def dryrun_refine(devs) -> None:
         sizeB=_np.tile(_np.asarray([Hh, Ww], f32), (npair, 1)),
         CA=_np.zeros((npair, 3), f32),
         reg_scale=_np.ones((npair,), f32),
+        fid=fid_np,
     )
     pds = jax.device_put(pds, sh)
     adj = jax.device_put(jnp.zeros((nv, 12), jnp.int32) - 1, rep)
     deg = jax.device_put(jnp.zeros(nv, jnp.float32), rep)
-    faces = jax.device_put(
-        jnp.asarray(rng.integers(0, nv, (40, 3)).astype(_np.int32)), rep)
+    faces = jax.device_put(jnp.asarray(faces_np), rep)
     z = jax.device_put(jnp.zeros((nv, 3), jnp.float32), rep)
     v2, _, _, e = _device_steps(verts, z, z, jnp.int32(0), pds, adj, deg,
                                 faces, jnp.float32(0.5), jnp.float32(0.1),

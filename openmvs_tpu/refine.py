@@ -228,6 +228,13 @@ class PairData(NamedTuple):
     #                         world area (the reference RegularizationScale,
     #                         SceneRefine.cpp:1169) converting per-pixel
     #                         gradient density into world units
+    fid: Optional[jnp.ndarray] = None  # (H, W) int32 rasterized face id
+    #                         (-1 = none).  When present, the gradient
+    #                         scatter runs the 2-stage per-FACE path (1
+    #                         scatter index/pixel, 10-wide contiguous rows)
+    #                         measured 2.1x faster than the per-vertex
+    #                         3-index scatter on this TPU
+    #                         (scripts/dev_refine_steady.py, round 5)
 
 
 class PairStatic(NamedTuple):
@@ -269,7 +276,7 @@ def _assemble_pair_data(statics: PairStatic, rasters: PairRaster,
         imgA=statics.imgA, imgB=statics.imgB, face_vid=face_vid, bary=bary,
         mask=mask, KA_R=statics.KA_R, KA_t=statics.KA_t, KB_R=statics.KB_R,
         KB_t=statics.KB_t, sizeB=statics.sizeB, CA=statics.CA,
-        reg_scale=rasters.reg_scale)
+        reg_scale=rasters.reg_scale, fid=fid)
 
 
 def _bilinear(img, x, y):
@@ -435,6 +442,69 @@ def _pair_energy_grad_manual(verts: jnp.ndarray, pd: PairData, half: int = 3):
     return e, g, sup, n_valid
 
 
+def _pair_face_acc(verts: jnp.ndarray, pd: PairData, half: int = 3):
+    """Per-pair (energy, per-FACE gradient rows, per-face touch count,
+    n_valid): the per-pixel chain of _pair_energy_grad_manual, but the
+    barycentric contributions accumulate by RASTER FACE ID — one scatter
+    index per pixel with a contiguous 10-wide row, measured 2.1x faster
+    than the 3-index per-vertex scatter on this TPU
+    (scripts/dev_refine_steady.py).  The face rows are pushed onto vertices
+    once per iteration in _energy_grad (nf*3 elements, negligible)."""
+    xb, yb, izb, ok = _warp_coords(verts, pd)
+    v, gx, gy = _bilinear_g(pd.imgB, xb, yb)
+    warped = jnp.where(ok, v, 0.0)
+    A = jnp.where(pd.mask, pd.imgA, 0.0)
+    M = ok.astype(jnp.float32)
+    e, gB = jax.value_and_grad(_box_zncc_energy, argnums=1)(A, warped, M, half)
+    gB = jnp.where(ok, gB, 0.0)
+    dxb = gB * gx
+    dyb = gB * gy
+    R = pd.KB_R
+    dX = (
+        dxb[..., None] * (R[0][None, None] - xb[..., None] * R[2][None, None])
+        + dyb[..., None] * (R[1][None, None] - yb[..., None] * R[2][None, None])
+    ) * izb[..., None]                                      # (H, W, 3)
+    contrib = pd.bary[..., None] * dX[..., None, :]         # (H, W, 3, 3)
+    contrib = jnp.where(ok[..., None, None], contrib, 0.0)
+    H, W = pd.fid.shape
+    row = jnp.concatenate(
+        [contrib.reshape(H, W, 9), M[..., None]], axis=-1)  # (H, W, 10)
+    # fid == -1 pixels have ok False => zero rows; clamp their index to 0
+    nf_axis = jnp.maximum(pd.fid, 0).reshape(-1)
+    return e, row.reshape(-1, 10), nf_axis, jnp.sum(M)
+
+
+def _pairs_grad_faces(verts, pds, faces):
+    """All-pairs photometric (energies, per-vertex gradient sum in world
+    units, per-vertex supporting-pair count) via the per-face scatter path.
+    Matches the per-vertex path's math exactly up to float reduction order
+    (parity test: tests/test_refine_grad.py)."""
+    nf = faces.shape[0]
+    nv = verts.shape[0]
+
+    def one(pd):
+        e, rows, idx, n_valid = _pair_face_acc(verts, pd)
+        acc = jnp.zeros((nf, 10), verts.dtype).at[idx].add(rows)
+        return e, acc, n_valid
+
+    es, accs, n_valids = jax.vmap(one)(pds)                 # (P,), (P,nf,10)
+    w_pair = (n_valids * pds.reg_scale)[:, None, None]      # (P,1,1)
+    acc9 = jnp.sum(accs[..., :9] * w_pair, axis=0)          # (nf, 9)
+    g = jnp.zeros((nv, 3), verts.dtype).at[faces.reshape(-1)].add(
+        acc9.reshape(nf, 3, 3).reshape(-1, 3))
+    # per-pair vertex support (photoGradNorm>0 role): a vertex is supported
+    # by pair p iff any valid pixel rasterized one of its faces in p
+    touched_f = (accs[..., 9] > 0).astype(jnp.float32)      # (P, nf)
+
+    def push(tf):
+        return jnp.zeros((nv,), jnp.float32).at[faces.reshape(-1)].add(
+            jnp.repeat(tf, 3))
+
+    sup = jax.vmap(push)(touched_f) > 0                     # (P, nv)
+    n_sup = jnp.sum(sup.astype(jnp.float32), axis=0)        # (nv,)
+    return es, g, n_sup
+
+
 @jax.jit
 def _device_iter(v, it, pds, adj, deg, faces, step0, med_edge,
                  reg_w, boundary=None, ratio=None):
@@ -508,14 +578,20 @@ def _energy_grad(v, pds, adj, deg, faces, step0, med_edge, reg_w,
     """(energy, descent direction) for one refinement iteration — the
     computation described in _device_steps' docstring."""
     nv = v.shape[0]
-    es, gs_pairs, sups, n_valids = jax.vmap(
-        _pair_energy_grad_manual, in_axes=(None, 0))(v, pds)
-    # world-unit per-pair gradients (mean-energy grad -> pixel sum ->
-    # world area), then the reference's average over supporting pairs
-    w_pair = (n_valids * pds.reg_scale)[:, None, None]
-    n_sup = jnp.sum(sups, axis=0)                           # (nv,)
-    photo = (jnp.sum(gs_pairs * w_pair, axis=0)
-             / jnp.maximum(n_sup, 1.0)[:, None])
+    if pds.fid is not None:
+        # 2-stage per-face scatter path (see _pair_face_acc): same math,
+        # ~40% less per-iteration device time
+        es, g_sum, n_sup = _pairs_grad_faces(v, pds, faces)
+        photo = g_sum / jnp.maximum(n_sup, 1.0)[:, None]
+    else:
+        es, gs_pairs, sups, n_valids = jax.vmap(
+            _pair_energy_grad_manual, in_axes=(None, 0))(v, pds)
+        # world-unit per-pair gradients (mean-energy grad -> pixel sum ->
+        # world area), then the reference's average over supporting pairs
+        w_pair = (n_valids * pds.reg_scale)[:, None, None]
+        n_sup = jnp.sum(sups, axis=0)                       # (nv,)
+        photo = (jnp.sum(gs_pairs * w_pair, axis=0)
+                 / jnp.maximum(n_sup, 1.0)[:, None])
     # area-weighted vertex normals; photometric movement along normals only
     fv = v[faces]                                           # (nf, 3, 3)
     fn = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
@@ -838,7 +914,8 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
                 (-(camB.K @ camB.R) @ camB.C).astype(np.float32),
                 np.asarray(grays[b].shape, np.float32),
                 camA.C.astype(np.float32),
-                np.float32(reg_scale))
+                np.float32(reg_scale),
+                pad2(fid.astype(np.int32), -1))
 
     def build_pds_stacked(v_np):
         # stays numpy: the jit call uploads the whole pytree in one transfer

@@ -52,6 +52,46 @@ def test_pair_grad_matches_autodiff():
     assert not np.any((s == 0) & (np.abs(ga).max(axis=1) > 1e-7))
 
 
+def test_face_scatter_path_matches_vertex_path():
+    """The 2-stage per-face gradient scatter (_pairs_grad_faces, used when
+    PairData.fid is present) must reproduce the per-vertex path's energies,
+    photometric gradient, and support counts up to float reduction order."""
+    from openmvs_tpu.refine import (PairData, _pair_energy_grad_manual,
+                                    _pairs_grad_faces)
+
+    rng = np.random.default_rng(4)
+    nv, nf, H, W = 30, 50, 40, 48
+    faces = rng.integers(0, nv, (nf, 3)).astype(np.int32)
+    fid = rng.integers(-1, nf, (H, W)).astype(np.int32)
+
+    verts, pd0 = _toy_pair(seed=0, H=H, W=W, nv=nv)
+    _, pd1 = _toy_pair(seed=3, H=H, W=W, nv=nv)
+    pds = []
+    for pd in (pd0, pd1):
+        pd = pd._replace(
+            face_vid=jnp.asarray(faces[np.maximum(fid, 0)]),
+            mask=pd.mask & jnp.asarray(fid >= 0),
+            fid=jnp.asarray(fid))
+        pds.append(pd)
+    pds = PairData(*[jnp.stack([np.asarray(a), np.asarray(b)])
+                     for a, b in zip(pds[0], pds[1])])
+
+    es_f, g_f, n_sup_f = _pairs_grad_faces(verts, pds, jnp.asarray(faces))
+
+    es_v, gs, sups, n_valids = jax.vmap(
+        _pair_energy_grad_manual, in_axes=(None, 0))(verts, pds)
+    w_pair = (n_valids * pds.reg_scale)[:, None, None]
+    g_v = jnp.sum(gs * w_pair, axis=0)
+    n_sup_v = jnp.sum(sups, axis=0)
+
+    np.testing.assert_allclose(np.asarray(es_f), np.asarray(es_v),
+                               rtol=1e-6, atol=1e-7)
+    ga, gb = np.asarray(g_f), np.asarray(g_v)
+    np.testing.assert_allclose(ga, gb, rtol=1e-4,
+                               atol=1e-6 * max(np.abs(gb).max(), 1e-6))
+    np.testing.assert_array_equal(np.asarray(n_sup_f), np.asarray(n_sup_v))
+
+
 def test_smooth_grad_matches_autodiff():
     from openmvs_tpu.refine import (_smooth_energy, _smooth_energy_grad_manual,
                                     _vertex_adjacency)
@@ -90,7 +130,8 @@ def test_device_steps_sharded_parity():
 
     verts, pd0 = _toy_pair(seed=0)
     _, pd1 = _toy_pair(seed=3)
-    pds = PairData(*[np.stack([np.asarray(a), np.asarray(b)])
+    pds = PairData(*[None if a is None else
+                     np.stack([np.asarray(a), np.asarray(b)])
                      for a, b in zip(pd0, pd1)])
     rng = np.random.default_rng(5)
     faces = rng.integers(0, verts.shape[0], (40, 3))
@@ -108,7 +149,9 @@ def test_device_steps_sharded_parity():
     sh = NamedSharding(mesh, PartitionSpec("pairs"))
     rep = NamedSharding(mesh, PartitionSpec())
     padn = 4 - len(pds.imgA) % 4
-    pds_p = PairData(*[np.concatenate([x, np.zeros((padn,) + x.shape[1:], x.dtype)])
+    pds_p = PairData(*[None if x is None else
+                       np.concatenate([x, np.zeros((padn,) + x.shape[1:],
+                                                   x.dtype)])
                        for x in pds])
     pds_s = jax.device_put(pds_p, sh)
     vr = jax.device_put(verts, rep)
