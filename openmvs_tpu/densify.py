@@ -352,32 +352,33 @@ def estimate_depth_map(
             )
             prev_mode = "nn"
             it0 = n_nn
-        # OMVS_ACTIVE=<frac>: active row-block compaction — from sweep
-        # OMVS_ACTIVE_FROM (default 2) on, only the most-active `frac` of
-        # 8-row tile blocks is scored (convergence work-skipping,
+        # OMVS_ACTIVE=<eps>: per-tile convergence skipping — from sweep
+        # OMVS_ACTIVE_FROM (default 2) on, 8-row tiles where no pixel
+        # improved its confidence by more than eps during the previous
+        # sweep are skipped inside the scoring kernel (work-skipping,
         # patchmatch._score_select; the reference's DepthMap.cpp:630-799
         # per-pixel skipping in TPU tile form).  Mode-switch sweeps rescore
         # all confidences, so they (and the sweep right after, whose churn
         # signal is the rescore artifact) run full.
         try:
-            active_frac = float(os.environ.get("OMVS_ACTIVE", "0") or 0)
+            active_eps = float(os.environ.get("OMVS_ACTIVE", "0") or 0)
         except ValueError:
-            active_frac = 0.0
+            active_eps = 0.0
         active_from = int(os.environ.get("OMVS_ACTIVE_FROM", "2"))
         prev_conf = None
         for it in range(it0, n_iters):
             final_exact = it >= n_iters - n_exact
             mode = "exact" if (final_exact or all_exact) else "nn"
             rescore = prev_mode is not None and mode != prev_mode
-            frac_it = (active_frac
-                       if (active_frac and it >= active_from and not rescore
-                           and prev_conf is not None) else 0.0)
+            eps_it = (active_eps
+                      if (active_eps and it >= active_from and not rescore
+                          and prev_conf is not None) else 0.0)
             this_conf = state.conf
             state = patchmatch.sweep(
                 state, data, opts, key, nV, is_geometric,
                 mode=mode, rescore_state=rescore,
                 n_perturb=n_pert, n_prop=8, fold=it + 1,
-                active_frac=frac_it, conf_prev=prev_conf,
+                active_eps=eps_it, conf_prev=prev_conf,
             )
             prev_conf = None if rescore else this_conf
             prev_mode = mode

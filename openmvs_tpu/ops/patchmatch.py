@@ -532,6 +532,7 @@ def score_hypotheses(
     bonus: jnp.ndarray = None,
     patch_rows: int = 0,
     geom_terms: jnp.ndarray = None,   # (V, C, H, W) precomputed consistency
+    tile_act: jnp.ndarray = None,     # per-8-row-tile activity flags
 ) -> jnp.ndarray:
     """Aggregated multi-view scores of C (depth, normal) hypothesis maps.
 
@@ -603,7 +604,7 @@ def score_hypotheses(
                     data.goff, data.w, data.wtm, data.sum_w, data.norm_sq0,
                     n_texels=int(data.goff.shape[0]),
                     th_robust=float(opts.th_robust),
-                    nearest=(mode == "nn"), **kw,
+                    nearest=(mode == "nn"), tile_act=tile_act, **kw,
                 )
             else:
                 s, gj = score_view_pallas(
@@ -611,7 +612,7 @@ def score_hypotheses(
                     depth, normal, inv_nd, data.X0, data.goff, data.w, data.wtm,
                     data.sum_w, data.norm_sq0,
                     n_texels=int(data.goff.shape[0]), th_robust=float(opts.th_robust),
-                    nearest=(mode == "nn"), **kw,
+                    nearest=(mode == "nn"), tile_act=tile_act, **kw,
                 ), (None if geom_terms is None else geom_terms[j])
             s = finish_view(s, v.depth[j], v.size[j], v.Tl[j], v.Tm[j],
                             v.Tr[j], v.Tn[j], gj)
@@ -874,14 +875,15 @@ def sweep(
     rescore_state: bool = False,
     n_prop: int = len(PROP_OFFSETS),
     fold: int = 0,
-    active_frac: float = 0.0,
+    active_eps: float = 0.0,
     conf_prev=None,
 ) -> PMState:
     """One full PatchMatch iteration = two checkerboard half-steps.
 
-    active_frac in (0, 1) with conf_prev (the state confidence BEFORE the
-    previous sweep): only the most-active fraction of 8-row tile blocks is
-    scored this sweep — convergence work-skipping, see _score_select.
+    active_eps > 0 with conf_prev (the state confidence BEFORE the
+    previous sweep): 8-row tiles where no pixel improved by more than
+    active_eps last sweep are skipped in-kernel — convergence
+    work-skipping, see _score_select.
 
     fold != 0 derives this iteration's key as fold_in(key, fold) INSIDE the
     jit (static value, so the fold costs nothing at runtime): an eager
@@ -922,12 +924,12 @@ def sweep(
                                  mode, rescore_state, n_prop, fold)
     # fold is traced (has_fold static): identical RNG to an eager
     # fold_in, ONE compile for all iterations sharing (mode, n_prop)
-    if not active_frac:
+    if not active_eps:
         conf_prev = None   # keep the no-skip compile signature stable
     return _sweep_fused_jit(state, data, opts, key, n_views, use_geom,
                             n_perturb, mode, rescore_state, n_prop,
                             jnp.uint32(fold), has_fold=bool(fold),
-                            active_frac=float(active_frac),
+                            active_eps=float(active_eps),
                             conf_prev=conf_prev)
 
 
@@ -1120,7 +1122,7 @@ def _sweep_geom_split(state, data, opts, key, n_views, n_perturb, mode,
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop", "has_fold", "active_frac"))
+@functools.partial(jax.jit, static_argnames=("opts", "n_views", "use_geom", "n_perturb", "mode", "rescore_state", "n_prop", "has_fold", "active_eps"))
 def _sweep_fused_jit(
     state: PMState,
     data: PMData,
@@ -1134,7 +1136,7 @@ def _sweep_fused_jit(
     n_prop: int = len(PROP_OFFSETS),
     fold=0,
     has_fold: bool = False,
-    active_frac: float = 0.0,
+    active_eps: float = 0.0,
     conf_prev=None,
 ) -> PMState:
     if has_fold:
@@ -1152,7 +1154,7 @@ def _sweep_fused_jit(
     for parity in (0, 1):
         state = _sweep_parity(state, data, opts, key, n_views, use_geom,
                               n_perturb, mode, parity, n_prop,
-                              active_frac, conf_prev)
+                              active_eps, conf_prev)
     return state
 
 
@@ -1170,7 +1172,7 @@ def sweep_half(state, data, opts, key, n_views, use_geom=False, n_perturb=3,
 
 
 def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
-                  parity, n_prop, active_frac=0.0, conf_prev=None):
+                  parity, n_prop, active_eps=0.0, conf_prev=None):
     # GLOBAL parity from data.uv — a row-tiled shard keeps the same lattice
     # as the full image (a local iota would flip parity on odd-offset tiles)
     parity_map = (data.uv[..., 0] + data.uv[..., 1]).astype(jnp.int32) % 2
@@ -1193,32 +1195,34 @@ def _sweep_parity(state, data, opts, key, n_views, use_geom, n_perturb, mode,
         # incumbent.  Opt-in OMVS_STAGED=1 (A/B in scripts/tpu_validation.sh).
         cd, cn, cok = _stack(_prop_cands(state))
         state = _score_select(state, data, opts, cd, cn, cok, active, parity,
-                              n_views, use_geom, mode, active_frac, conf_prev)
+                              n_views, use_geom, mode, active_eps, conf_prev)
         cd, cn, cok = _stack(_perturb_cands(state))
         return _score_select(state, data, opts, cd, cn, cok, active, parity,
-                             n_views, use_geom, mode, active_frac, conf_prev)
+                             n_views, use_geom, mode, active_eps, conf_prev)
 
     cd, cn, cok = _stack(_prop_cands(state) + _perturb_cands(state))
     return _score_select(state, data, opts, cd, cn, cok, active, parity,
-                         n_views, use_geom, mode, active_frac, conf_prev)
+                         n_views, use_geom, mode, active_eps, conf_prev)
 
 
 def _score_select(state, data, opts, cd, cn, cok, active, parity, n_views,
-                  use_geom, mode, active_frac=0.0, conf_prev=None):
+                  use_geom, mode, active_eps=0.0, conf_prev=None):
     """Score a candidate stack and take per-parity winners vs the incumbent.
 
-    active_frac in (0, 1): ACTIVE ROW-BLOCK COMPACTION — the TPU form of the
-    reference's per-pixel convergence skipping (DepthMap.cpp:630-799: pixels
-    whose estimate stopped improving stop paying for scoring).  On top of
-    the checkerboard row compaction, only the `active_frac` fraction of
-    8-row tile blocks with the HIGHEST recent confidence churn
-    (conf_prev - conf, i.e. improvement during the previous sweep) are
-    gathered and scored; quiescent blocks keep their incumbent state this
-    half-step and remain propagation SOURCES on the full lattice.  Static
-    block count = one extra compile per fraction, no host syncs (top_k runs
-    on device); each gathered block is one contiguous 8-row kernel tile, so
-    every within-tile kernel assumption (patch anchoring, hoisted band)
-    holds unchanged."""
+    active_eps > 0: PER-TILE CONVERGENCE SKIPPING — the TPU form of the
+    reference's per-pixel skipping (DepthMap.cpp:630-799: pixels whose
+    estimate stopped improving stop paying for scoring).  An 8-row tile of
+    the compacted lattice is QUIESCENT when no pixel in it improved its
+    confidence by more than `active_eps` during the previous sweep
+    (conf_prev = the confidence map BEFORE that sweep).  Quiescent tiles'
+    flags go to the Pallas kernel, which skips their entire gather/score
+    body in-place (pm_kernel._texel_kernel) — no row gathers, no extra
+    compiles (flags are a traced operand; all-ones = exact default
+    behavior); their pixels keep the incumbent state and remain propagation
+    SOURCES on the full lattice.  (A row-GATHER variant that materialized
+    compacted candidate/texel stacks was built first and measured a 20%
+    LOSS — the gathered w/wtm texel stacks outweighed the skipped scoring;
+    the in-kernel flag skip replaces it.)"""
     H, W = state.depth.shape
     if (W % 2 == 0 and H % 2 == 0 and _compact_default()
             and mode in ("exact", "nn")):
@@ -1250,61 +1254,44 @@ def _score_select(state, data, opts, cd, cn, cok, active, parity, n_views,
         bonus_c = jax.vmap(comp)(bonus_full)
         active_c = comp(active)
 
-        # active row-block selection (see docstring): pick the top-churn
-        # 8-row blocks of the compacted lattice; requires the row-pair
-        # compaction (columns exact) and a tile-aligned compacted height
-        sel_rows = None
+        # per-tile convergence skipping (see docstring): flag the 8-row
+        # tiles of the compacted lattice where NO pixel improved more than
+        # eps during the previous sweep; the Pallas kernel skips flagged
+        # tiles' whole gather/score body (pm_kernel._texel_kernel), and the
+        # select below masks their updates so incumbents survive verbatim.
+        tile_act = None
         Hc2 = state_c.depth.shape[0]
-        if (active_frac and conf_prev is not None and Hc2 % 8 == 0):
-            nb = Hc2 // 8
-            kblk = max(1, min(nb, int(round(nb * float(active_frac)))))
-            if kblk < nb:
-                churn = jnp.where(data_c.valid,
-                                  comp(conf_prev) - state_c.conf, 0.0)
-                act_blk = jnp.sum(jnp.abs(churn).reshape(nb, -1), axis=1)
-                _, bidx = jax.lax.top_k(act_blk, kblk)
-                sel_rows = (bidx[:, None] * 8
-                            + jnp.arange(8)[None, :]).reshape(-1)
-        if sel_rows is not None:
-            rows = lambda x: jnp.take(x, sel_rows, axis=0)
-            data_c = data_c._replace(
-                ref=rows(data_c.ref), X0=rows(data_c.X0),
-                w=jax.vmap(rows)(data_c.w), wtm=jax.vmap(rows)(data_c.wtm),
-                sum_w=rows(data_c.sum_w), norm_sq0=rows(data_c.norm_sq0),
-                lowres=rows(data_c.lowres), valid=rows(data_c.valid),
-                uv=rows(data_c.uv))
-            state_r = PMState(depth=rows(state_c.depth),
-                              normal=rows(state_c.normal),
-                              conf=rows(state_c.conf))
-            cd_c = jax.vmap(rows)(cd_c)
-            cn_c = jax.vmap(rows)(cn_c)
-            cok_c = jax.vmap(rows)(cok_c)
-            bonus_c = jax.vmap(rows)(bonus_c)
-            active_c = rows(active_c)
-        else:
-            state_r = state_c
+        if active_eps and conf_prev is not None:
+            eps = float(active_eps)
+            churn = jnp.where(data_c.valid,
+                              comp(conf_prev) - state_c.conf, 0.0)
+            nb = -(-Hc2 // 8)
+            pad_r = nb * 8 - Hc2
+            if pad_r:
+                churn = jnp.concatenate(
+                    [churn, jnp.zeros((pad_r,) + churn.shape[1:],
+                                      churn.dtype)])
+            tile_act = (jnp.max(churn.reshape(nb, -1), axis=1)
+                        > eps).astype(jnp.float32)
         s = score_hypotheses(
-            data_c, opts, state_r, cd_c, cn_c, n_views, use_geom, mode,
-            bonus=bonus_c, patch_rows=pr,
+            data_c, opts, state_c, cd_c, cn_c, n_views, use_geom, mode,
+            bonus=bonus_c, patch_rows=pr, tile_act=tile_act,
         )
         s = jnp.where(cok_c, s, jnp.inf)
         best = jnp.argmin(s, axis=0)
         s_best = jnp.take_along_axis(s, best[None], axis=0)[0]
         d_best = jnp.take_along_axis(cd_c, best[None], axis=0)[0]
         n_best = jnp.take_along_axis(cn_c, best[None, ..., None], axis=0)[0]
-        take = active_c & (s_best < state_r.conf)
-        ud = jnp.where(take, d_best, state_r.depth)
-        un = jnp.where(take[..., None], n_best, state_r.normal)
-        uc = jnp.where(take, s_best, state_r.conf)
-        if sel_rows is not None:
-            # write updated rows back into the compacted lattice; untouched
-            # blocks keep their incumbent values
-            ud = state_c.depth.at[sel_rows].set(ud)
-            un = state_c.normal.at[sel_rows].set(un)
-            uc = state_c.conf.at[sel_rows].set(uc)
-        nd = scat(state.depth, ud, parity)
-        nn = scat(state.normal, un, parity)
-        nc = scat(state.conf, uc, parity)
+        take = active_c & (s_best < state_c.conf)
+        if tile_act is not None:
+            # rows of skipped tiles may never update (their kernel outputs
+            # are the zero-filled th_robust sentinel, not real scores)
+            row_act = jnp.repeat(tile_act > 0.5, 8)[:Hc2]
+            take = take & row_act[:, None]
+        nd = scat(state.depth, jnp.where(take, d_best, state_c.depth), parity)
+        nn = scat(state.normal,
+                  jnp.where(take[..., None], n_best, state_c.normal), parity)
+        nc = scat(state.conf, jnp.where(take, s_best, state_c.conf), parity)
         state = PMState(depth=nd, normal=nn, conf=nc)
     else:
         s = score_hypotheses(data, opts, state, cd, cn, n_views, use_geom, mode)

@@ -101,6 +101,7 @@ def _texel_kernel(
     hm_ref,      # (1, 128): Hm [0:3]
     goff_ref,    # (1, >=3T): texel offsets flattened
     size_ref,    # (1, 128): valid (h, w) of the view image
+    act_ref,     # (1, n_row_tiles) SMEM: 0 = skip this 8-row tile entirely
     img_ref,     # (Hi, Wi) full neighbor image (padded)
     depth_ref,   # (1, 8, 128)
     nx_ref, ny_ref, nz_ref,
@@ -118,13 +119,35 @@ def _texel_kernel(
     row_mode: str = "scan",
     hoist: bool = False,
 ):
-    _texel_score_body(
-        hl_ref, hm_ref, goff_ref, size_ref, img_ref, depth_ref[0],
-        nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
-        w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
-        nearest=nearest, patch_rows=patch_rows, row_mode=row_mode,
-        hoist=hoist,
-    )
+    # Per-TILE convergence skipping (the reference's per-pixel skip,
+    # DepthMap.cpp:630-799, at TPU tile granularity): a traced flag per
+    # 8-row tile — quiescent tiles skip the whole gather/score body (their
+    # operand DMAs still run, but those are a small fraction of tile cost)
+    # and zero-fill their outputs, so downstream sees inb=0 -> th_robust
+    # for every candidate and the incumbent survives.  Flags are a normal
+    # operand: all-ones compiles and runs the exact default behavior — no
+    # extra jit cache entries per schedule.
+    act = act_ref[0, pl.program_id(1)] > 0.5
+    t_step = pl.program_id(3)   # hoisted: program_id inside a pl.when body
+    first = t_step == 0         # is unsupported in interpret mode
+
+    @pl.when(act)
+    def _():
+        _texel_score_body(
+            hl_ref, hm_ref, goff_ref, size_ref, img_ref, depth_ref[0],
+            nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
+            w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
+            nearest=nearest, patch_rows=patch_rows, row_mode=row_mode,
+            hoist=hoist, first=first, t_step=t_step,
+        )
+
+    @pl.when(jnp.logical_not(act) & first)
+    def _():
+        zero = jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
+        num_ref[...] = zero
+        ssum_ref[...] = zero
+        ssq_ref[...] = zero
+        inb_ref[...] = zero
 
 
 def _texel_score_body(
@@ -137,14 +160,18 @@ def _texel_score_body(
     patch_rows: int = PATCH_ROWS,
     row_mode: str = "scan",
     hoist: bool = False,
+    first=None,
+    t_step=None,
 ):
     # NOTE: variant selection rides EXPLICIT kwargs, not module globals:
     # pallas caches traced kernels by the partial's hash, so a global flag
     # flip after the first trace silently reuses the stale kernel (this
     # bit every in-process variant A/B in round 3 until root-caused)
     Hp, Wp = img_ref.shape
-    t_step = pl.program_id(3)
-    first = t_step == 0
+    if t_step is None:
+        t_step = pl.program_id(3)
+    if first is None:
+        first = t_step == 0
 
     inv_d = 1.0 / depth
     nx, ny, nz = nx_ref[0], ny_ref[0], nz_ref[0]
@@ -449,6 +476,7 @@ def _texel_geom_kernel(
     tn_ref,      # (1, 128): Tn [0:3]
     goff_ref,    # (1, >=3T): texel offsets flattened
     size_ref,    # (1, 128): valid (h, w) of the view image / depth map
+    act_ref,     # (1, n_row_tiles) SMEM: 0 = skip this 8-row tile
     img_ref,     # (Hi, Wi) full neighbor image (padded)
     dm_ref,      # (Hg, Wg) full neighbor depth map (padded)
     depth_ref,   # (1, 8, 128) RAW candidate depths (0 = invalid)
@@ -473,22 +501,27 @@ def _texel_geom_kernel(
     (see patchmatch._geometric_term), so the geom term rides the scoring
     kernel's grid instead — computed once per (candidate, tile) on the
     first texel-chunk step.  Hl==Tl and Hm==Tm (densify._assemble_pm_host),
-    so the warp constants are shared."""
-    first = pl.program_id(3) == 0
+    so the warp constants are shared.  act_ref: per-tile convergence
+    skipping, see _texel_kernel."""
+    t_step = pl.program_id(3)   # hoisted out of the pl.when bodies
+    first = t_step == 0
+    act = act_ref[0, pl.program_id(1)] > 0.5
     raw_depth = depth_ref[0]
     # scoring math needs strictly-positive depths (inv_d); geom needs the
     # raw zeros to mark invalid hypotheses
     depth_s = jnp.maximum(raw_depth, 1e-6)
 
-    _texel_score_body(
-        hl_ref, hm_ref, goff_ref, size_ref, img_ref, depth_s,
-        nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
-        w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
-        nearest=nearest, patch_rows=patch_rows, row_mode=row_mode,
-        hoist=hoist,
-    )
+    @pl.when(act)
+    def _():
+        _texel_score_body(
+            hl_ref, hm_ref, goff_ref, size_ref, img_ref, depth_s,
+            nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
+            w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
+            nearest=nearest, patch_rows=patch_rows, row_mode=row_mode,
+            hoist=hoist, first=first, t_step=t_step,
+        )
 
-    @pl.when(first)
+    @pl.when(act & first)
     def _():
         tl = [hl_ref[0, i] for i in range(9)]
         tm = [hm_ref[0, i] for i in range(3)]
@@ -498,6 +531,15 @@ def _texel_geom_kernel(
             tl, tm, tr, tn, size_ref[0, 0], size_ref[0, 1], dm_ref,
             raw_depth, x0a_ref[:], x0b_ref[:], x0c_ref[:],
             uu_ref[:], vv_ref[:], geom_rows, geom_cols)
+
+    @pl.when(jnp.logical_not(act) & first)
+    def _():
+        zero = jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
+        num_ref[...] = zero
+        ssum_ref[...] = zero
+        ssq_ref[...] = zero
+        inb_ref[...] = zero
+        cons_ref[...] = zero
 
 
 def _geom_kernel(
@@ -629,19 +671,38 @@ def _pad_to(x: jnp.ndarray, h: int, w: int, axes: Tuple[int, int]):
     return x
 
 
-def score_view_pallas(*args, row_mode=None, hoist=None, **kw):
+def _tile_act_full(depth_shape, tile_act):
+    """Pad/derive the per-8-row-tile activity flags to (1, Hpad//TILE_H);
+    None -> all ones (the exact default behavior)."""
+    Hpad = -(-depth_shape[-2] // TILE_H) * TILE_H
+    nt = Hpad // TILE_H
+    if tile_act is None:
+        return jnp.ones((1, nt), jnp.float32)
+    t = tile_act.reshape(-1).astype(jnp.float32)
+    if t.shape[0] < nt:
+        # tiles beyond the caller's lattice are pure padding: skip them too
+        t = jnp.concatenate([t, jnp.zeros(nt - t.shape[0], jnp.float32)])
+    return t[:nt].reshape(1, nt)
+
+
+def score_view_pallas(*args, row_mode=None, hoist=None, tile_act=None, **kw):
     """Public scorer: resolves the row-selection / band-hoist variant from
     the env-initialized module globals UNLESS given explicitly, then calls
     the jitted kernel with them as STATIC args.  Variants must ride the jit
     cache key: in-process flag flips with `_clear_cache()` silently reused
     the stale pallas kernel trace (round-3 root cause — it invalidated every
     in-process variant A/B and made the interpret-mode slab parity tests
-    compare identical outputs)."""
+    compare identical outputs).
+
+    tile_act: optional per-8-row-tile activity flags (convergence skipping;
+    see _texel_kernel).  None scores every tile."""
     if row_mode is None:
         row_mode = "dynslab" if DYNSLAB else ("slab" if SLAB else "scan")
     if hoist is None:
         hoist = HOIST
-    return _score_view_pallas(*args, row_mode=row_mode, hoist=hoist, **kw)
+    ta = _tile_act_full(args[4].shape, tile_act)   # args[4] = depth (C,H,W)
+    return _score_view_pallas(*args, tile_act=ta, row_mode=row_mode,
+                              hoist=hoist, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("n_texels", "th_robust", "nearest", "patch_rows", "row_mode", "hoist"))
@@ -665,6 +726,7 @@ def _score_view_pallas(
     patch_rows: int = PATCH_ROWS,
     row_mode: str = "scan",
     hoist: bool = False,
+    tile_act: jnp.ndarray = None,   # (1, Hpad//TILE_H) activity flags
 ) -> jnp.ndarray:
     """Weighted-ZNCC scores (C, H, W) of candidate maps in one view.
 
@@ -704,6 +766,8 @@ def _score_view_pallas(
     hm_s = Hm.reshape(1, 3).astype(jnp.float32)
     goff_s = goff.reshape(1, 3 * T).astype(jnp.float32)
     size_s = size.reshape(1, 2).astype(jnp.float32)
+    act_s = (jnp.ones((1, Hpad // TILE_H), jnp.float32)
+             if tile_act is None else tile_act.astype(jnp.float32))
 
     grid = (C, Hpad // TILE_H, Wpad // TILE_W, T // TEXEL_CHUNK)
 
@@ -731,6 +795,7 @@ def _score_view_pallas(
             pl.BlockSpec(hm_s.shape, im_const, memory_space=pltpu.SMEM),
             pl.BlockSpec(goff_s.shape, im_const, memory_space=pltpu.SMEM),
             pl.BlockSpec(size_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(act_s.shape, im_const, memory_space=pltpu.SMEM),
             pl.BlockSpec((Hi, Wi), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
@@ -748,7 +813,7 @@ def _score_view_pallas(
         ] * 4,
         interpret=INTERPRET,
     )(
-        hl_s, hm_s, goff_s, size_s, img_p,
+        hl_s, hm_s, goff_s, size_s, act_s, img_p,
         depth_p, nx, ny, nz, invnd_p, x0a, x0b, x0c, w_p, wtm_p,
     )
 
@@ -767,15 +832,17 @@ def _score_view_pallas(
 score_view_pallas._clear_cache = lambda: _score_view_pallas._clear_cache()
 
 
-def score_view_geom_pallas(*args, row_mode=None, hoist=None, **kw):
+def score_view_geom_pallas(*args, row_mode=None, hoist=None, tile_act=None,
+                           **kw):
     """Public merged scorer+geom kernel (see score_view_pallas for the
-    variant-resolution contract)."""
+    variant-resolution and tile_act contracts)."""
     if row_mode is None:
         row_mode = "dynslab" if DYNSLAB else ("slab" if SLAB else "scan")
     if hoist is None:
         hoist = HOIST
-    return _score_view_geom_pallas(*args, row_mode=row_mode, hoist=hoist,
-                                   **kw)
+    ta = _tile_act_full(args[7].shape, tile_act)   # args[7] = depth (C,H,W)
+    return _score_view_geom_pallas(*args, tile_act=ta, row_mode=row_mode,
+                                   hoist=hoist, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("n_texels", "th_robust", "nearest", "patch_rows", "row_mode", "hoist"))
@@ -803,6 +870,7 @@ def _score_view_geom_pallas(
     patch_rows: int = PATCH_ROWS,
     row_mode: str = "scan",
     hoist: bool = False,
+    tile_act: jnp.ndarray = None,   # (1, Hpad//TILE_H) activity flags
 ):
     """(score, cons): weighted-ZNCC scores AND the geometric-consistency
     penalty of candidate maps in one view, from ONE pallas_call (see
@@ -848,6 +916,8 @@ def _score_view_geom_pallas(
     tn_s = Tn.reshape(1, 3).astype(jnp.float32)
     goff_s = goff.reshape(1, 3 * T).astype(jnp.float32)
     size_s = size.reshape(1, 2).astype(jnp.float32)
+    act_s = (jnp.ones((1, Hpad // TILE_H), jnp.float32)
+             if tile_act is None else tile_act.astype(jnp.float32))
 
     grid = (C, Hpad // TILE_H, Wpad // TILE_W, T // TEXEL_CHUNK)
 
@@ -878,6 +948,7 @@ def _score_view_geom_pallas(
             pl.BlockSpec(tn_s.shape, im_const, memory_space=pltpu.SMEM),
             pl.BlockSpec(goff_s.shape, im_const, memory_space=pltpu.SMEM),
             pl.BlockSpec(size_s.shape, im_const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(act_s.shape, im_const, memory_space=pltpu.SMEM),
             pl.BlockSpec((Hi, Wi), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Hg, Wg), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
@@ -898,7 +969,7 @@ def _score_view_geom_pallas(
         ] * 5,
         interpret=INTERPRET,
     )(
-        hl_s, hm_s, tr_s, tn_s, goff_s, size_s, img_p, dm_p,
+        hl_s, hm_s, tr_s, tn_s, goff_s, size_s, act_s, img_p, dm_p,
         depth_p, nx, ny, nz, invnd_p, x0a, x0b, x0c, uu, vv, w_p, wtm_p,
     )
 

@@ -352,22 +352,43 @@ def _warp_coords(verts: jnp.ndarray, pd: PairData):
     return xb, yb, izb, ok
 
 
+import os as _os_box
+
+_BOX_MODE = _os_box.environ.get("OMVS_REFINE_BOX", "shift")
+
+
 def _box_zncc_energy(A: jnp.ndarray, B: jnp.ndarray, M: jnp.ndarray,
                      half: int = 3) -> jnp.ndarray:
     """1 - windowed ZNCC(A, B), mean over valid pixels; (2*half+1)^2 box
-    windows via prefix sums (ComputeLocalZNCC role, SceneRefine.cpp:161-164).
-    Gather-free (cumsum + static takes): safe to autodiff on the TPU."""
-    def box(x):
-        # out[i] = S[min(i+h+1, N)] - S[max(i-h, 0)] with S = [0, cumsum]
-        for axis in (0, 1):
-            n = x.shape[axis]
-            c = jnp.cumsum(x, axis=axis)
-            zero = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
-            S = jnp.concatenate([zero, c], axis=axis)          # length n+1
-            hi = jnp.clip(np.arange(n) + half + 1, 0, n)
-            lo = jnp.clip(np.arange(n) - half, 0, n)
-            x = jnp.take(S, hi, axis=axis) - jnp.take(S, lo, axis=axis)
-        return x
+    windows (ComputeLocalZNCC role, SceneRefine.cpp:161-164).
+
+    Two gather-free, autodiff-safe box implementations (identical values:
+    zero-padded shifted-slice sums == border-clipped prefix sums):
+    "shift" (default) — 2*(2*half+1) static slice adds, pure VPU adds that
+    XLA fuses; "cumsum" (OMVS_REFINE_BOX=cumsum) — prefix sums + static
+    takes, the r1-r4 path (log-pass cumsums cost more on this TPU)."""
+    if _BOX_MODE == "shift":
+        def box(x):
+            for axis in (0, 1):
+                n = x.shape[axis]
+                pads = [(0, 0)] * x.ndim
+                pads[axis] = (half, half)
+                xp = jnp.pad(x, pads)
+                x = sum(jax.lax.slice_in_dim(xp, k, k + n, axis=axis)
+                        for k in range(2 * half + 1))
+            return x
+    else:
+        def box(x):
+            # out[i] = S[min(i+h+1, N)] - S[max(i-h, 0)] with S = [0, cumsum]
+            for axis in (0, 1):
+                n = x.shape[axis]
+                c = jnp.cumsum(x, axis=axis)
+                zero = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
+                S = jnp.concatenate([zero, c], axis=axis)      # length n+1
+                hi = jnp.clip(np.arange(n) + half + 1, 0, n)
+                lo = jnp.clip(np.arange(n) - half, 0, n)
+                x = jnp.take(S, hi, axis=axis) - jnp.take(S, lo, axis=axis)
+            return x
 
     n = jnp.maximum(box(M), 1.0)
     mA = box(A * M) / n

@@ -23,13 +23,18 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = {
+    # OMVS_ACTIVE = per-tile convergence-skipping churn threshold EPS
+    # (pm_kernel tile_act; a tile quiesces once no pixel improved > eps in
+    # the previous sweep).  The r5a row-GATHER fraction variant measured a
+    # 20% LOSS (bench_active50 0.7369 vs default 0.9184, /tmp/tpu_battery_r5
+    # first run) and was replaced by the in-kernel flag skip.
     "default": {},
-    "active50": {"OMVS_ACTIVE": "0.5"},
-    "active38": {"OMVS_ACTIVE": "0.375"},
-    "active62": {"OMVS_ACTIVE": "0.625"},
-    "active50_from1": {"OMVS_ACTIVE": "0.5", "OMVS_ACTIVE_FROM": "1"},
+    "active5e3": {"OMVS_ACTIVE": "5e-3"},
+    "active1e2": {"OMVS_ACTIVE": "1e-2"},
+    "active2e3": {"OMVS_ACTIVE": "2e-3"},
+    "active5e3_from1": {"OMVS_ACTIVE": "5e-3", "OMVS_ACTIVE_FROM": "1"},
     "ee": {"OMVS_EARLY_EXIT": "1"},
-    "active50_ee": {"OMVS_ACTIVE": "0.5", "OMVS_EARLY_EXIT": "1"},
+    "active5e3_ee": {"OMVS_ACTIVE": "5e-3", "OMVS_EARLY_EXIT": "1"},
 }
 # battery benches compare the depth-map metric only
 COMMON = {"OMVS_BENCH_REFINE": "0", "OMVS_BENCH_SGM": "0"}
