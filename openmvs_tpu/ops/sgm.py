@@ -433,8 +433,11 @@ def disparity_range_map(prior_disp: np.ndarray, out_shape,
     cnt = np.where(valid, c7, c41)
     cap = np.where(valid, max_valid, max_invalid).astype(np.int32)
 
-    center = (mn + mx)  # = median*2 in doubled units
-    span = (mx - mn) * 2.0
+    with np.errstate(invalid="ignore"):
+        # empty windows are (+inf, -inf): their NaN center/span are masked
+        # by `ok` below — silence the expected invalid-add warning
+        center = (mn + mx)  # = median*2 in doubled units
+        span = (mx - mn) * 2.0
     ok = np.isfinite(mn) & np.isfinite(mx) & (cnt >= 3)
     num = np.clip(span, min_num_disp, cap)
     lo = np.where(ok, center - num / 2, 0).astype(np.float32)
@@ -693,6 +696,7 @@ def match_pair_tsgm(
             hiR = np.full((hs, ws), -glo, np.int16)
         else:
             mnd, mnd_i = (11, 33) if first_up else (5, 7)
+            was_first_up = first_up
             first_up = False
             # fallback window for pixels with <3 neighborhood samples: a
             # min_num_disp_invalid-wide band at the GLOBAL MIDPOINT — the
@@ -704,6 +708,13 @@ def match_pair_tsgm(
             # occlusion-heavy scenes (compile churn + wasted DP)
             mid = (glo + ghi) // 2
             fb = (max(glo, mid - mnd_i), min(ghi, mid + mnd_i))
+            if was_first_up and os.environ.get("OMVS_SGM_FB") == "full":
+                # completeness experiment (r5): pixels invalidated at the
+                # coarsest level get ONE full-range chance at the first
+                # upsample — the narrow midpoint band permanently loses
+                # surfaces whose disparity sits outside it (occlusions,
+                # disparity ranges not centered on the midpoint)
+                fb = (glo, ghi)
             lo, hi = disparity_range_map(disp, (hs, ws), mnd, mnd_i,
                                          global_range=fb)
             dR = _flip_disparity(disp)

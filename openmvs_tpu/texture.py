@@ -786,7 +786,7 @@ def generate_texture(
     # faces grouped per component via one argsort; bbox clipping vectorized
     # over ALL components at once (a per-component numpy-scalar loop cost
     # ~40 s at 840k patches), the cheap python loop only builds the objects
-    order = np.argsort(comp, kind="stable")
+    order = np.argsort(comp, kind="stable").astype(np.int32)
     comp_sorted = comp[order]
     starts = np.searchsorted(comp_sorted, np.arange(ncomp))
     ends = np.searchsorted(comp_sorted, np.arange(ncomp) + 1)
@@ -959,16 +959,19 @@ def generate_texture(
     ftc = np.zeros((nf, 3, 2), np.float32)
     face_dx = np.zeros(nf, np.float32)
     face_dy = np.zeros(nf, np.float32)
-    face_view = np.full(nf, -1, np.int64)
+    face_view = np.full(nf, -1, np.int32)
     face_page = np.zeros(nf, np.int32)
     face_x0 = np.zeros(nf, np.float32)
     face_y0 = np.zeros(nf, np.float32)
     face_x1 = np.ones(nf, np.float32)
     face_y1 = np.ones(nf, np.float32)
     counts = np.fromiter((len(p.faces) for p in patches), np.int64, np_)
-    all_f = (np.concatenate([p.faces for p in patches])
-             if np_ else np.zeros(0, np.int64))
-    fpid = np.repeat(np.arange(np_), counts)
+    # int32 index arrays: at 10M faces the int64 versions alone held
+    # ~320 MB (order/all_f/fpid) — face counts fit int32 with headroom
+    all_f = (np.concatenate([p.faces for p in patches]).astype(np.int32,
+                                                               copy=False)
+             if np_ else np.zeros(0, np.int32))
+    fpid = np.repeat(np.arange(np_, dtype=np.int32), counts)
     face_dx[all_f] = (p_ax - p_x0)[fpid]
     face_dy[all_f] = (p_ay - p_y0)[fpid]
     face_view[all_f] = p_view[fpid]
