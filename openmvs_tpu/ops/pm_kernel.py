@@ -124,9 +124,10 @@ def _texel_kernel(
     # 8-row tile — quiescent tiles skip the whole gather/score body (their
     # operand DMAs still run, but those are a small fraction of tile cost)
     # and zero-fill their outputs, so downstream sees inb=0 -> th_robust
-    # for every candidate and the incumbent survives.  Flags are a normal
-    # operand: all-ones compiles and runs the exact default behavior — no
-    # extra jit cache entries per schedule.
+    # for every candidate and the incumbent survives.  When no skipping is
+    # requested the caller compiles _texel_kernel_noact instead — the
+    # per-grid-step branch costs ~3% (battery r5), so the default path
+    # carries no flag machinery at all.
     act = act_ref[0, pl.program_id(1)] > 0.5
     t_step = pl.program_id(3)   # hoisted: program_id inside a pl.when body
     first = t_step == 0         # is unsupported in interpret mode
@@ -148,6 +149,29 @@ def _texel_kernel(
         ssum_ref[...] = zero
         ssq_ref[...] = zero
         inb_ref[...] = zero
+
+
+def _texel_kernel_noact(
+    hl_ref, hm_ref, goff_ref, size_ref, img_ref,
+    depth_ref,
+    nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
+    w_ref, wtm_ref,
+    num_ref, ssum_ref, ssq_ref, inb_ref,
+    *,
+    nearest: bool = False,
+    patch_rows: int = PATCH_ROWS,
+    row_mode: str = "scan",
+    hoist: bool = False,
+):
+    """The flag-free scorer kernel (the production default when no
+    convergence skipping is scheduled)."""
+    _texel_score_body(
+        hl_ref, hm_ref, goff_ref, size_ref, img_ref, depth_ref[0],
+        nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
+        w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
+        nearest=nearest, patch_rows=patch_rows, row_mode=row_mode,
+        hoist=hoist,
+    )
 
 
 def _texel_score_body(
@@ -542,6 +566,46 @@ def _texel_geom_kernel(
         cons_ref[...] = zero
 
 
+def _texel_geom_kernel_noact(
+    hl_ref, hm_ref, tr_ref, tn_ref, goff_ref, size_ref,
+    img_ref, dm_ref, depth_ref,
+    nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
+    uu_ref, vv_ref, w_ref, wtm_ref,
+    num_ref, ssum_ref, ssq_ref, inb_ref, cons_ref,
+    *,
+    nearest: bool = False,
+    patch_rows: int = PATCH_ROWS,
+    geom_rows: int = PATCH_ROWS,
+    geom_cols: int = PATCH_COLS,
+    row_mode: str = "scan",
+    hoist: bool = False,
+):
+    """Flag-free merged scorer+geom kernel (the default when no
+    convergence skipping is scheduled — see _texel_kernel_noact)."""
+    first = pl.program_id(3) == 0
+    raw_depth = depth_ref[0]
+    depth_s = jnp.maximum(raw_depth, 1e-6)
+
+    _texel_score_body(
+        hl_ref, hm_ref, goff_ref, size_ref, img_ref, depth_s,
+        nx_ref, ny_ref, nz_ref, invnd_ref, x0a_ref, x0b_ref, x0c_ref,
+        w_ref, wtm_ref, num_ref, ssum_ref, ssq_ref, inb_ref,
+        nearest=nearest, patch_rows=patch_rows, row_mode=row_mode,
+        hoist=hoist,
+    )
+
+    @pl.when(first)
+    def _():
+        tl = [hl_ref[0, i] for i in range(9)]
+        tm = [hm_ref[0, i] for i in range(3)]
+        tr = [tr_ref[0, i] for i in range(9)]
+        tn = [tn_ref[0, i] for i in range(3)]
+        cons_ref[0] = _geom_body(
+            tl, tm, tr, tn, size_ref[0, 0], size_ref[0, 1], dm_ref,
+            raw_depth, x0a_ref[:], x0b_ref[:], x0c_ref[:],
+            uu_ref[:], vv_ref[:], geom_rows, geom_cols)
+
+
 def _geom_kernel(
     tl_ref,      # (1, 128) SMEM: Tl row-major [0:9]
     tm_ref,      # (1, 128): Tm [0:3]
@@ -700,7 +764,8 @@ def score_view_pallas(*args, row_mode=None, hoist=None, tile_act=None, **kw):
         row_mode = "dynslab" if DYNSLAB else ("slab" if SLAB else "scan")
     if hoist is None:
         hoist = HOIST
-    ta = _tile_act_full(args[4].shape, tile_act)   # args[4] = depth (C,H,W)
+    ta = (None if tile_act is None
+          else _tile_act_full(args[4].shape, tile_act))   # args[4] = depth
     return _score_view_pallas(*args, tile_act=ta, row_mode=row_mode,
                               hoist=hoist, **kw)
 
@@ -784,38 +849,52 @@ def _score_view_pallas(
         return (0, 0)
 
     out_shapes = [jax.ShapeDtypeStruct((C, Hpad, Wpad), jnp.float32)] * 4
+    common_specs = [
+        pl.BlockSpec(hl_s.shape, im_const, memory_space=pltpu.SMEM),
+        pl.BlockSpec(hm_s.shape, im_const, memory_space=pltpu.SMEM),
+        pl.BlockSpec(goff_s.shape, im_const, memory_space=pltpu.SMEM),
+        pl.BlockSpec(size_s.shape, im_const, memory_space=pltpu.SMEM),
+    ]
+    tail_specs = [
+        pl.BlockSpec((Hi, Wi), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
+    ]
+    tail_args = (img_p, depth_p, nx, ny, nz, invnd_p, x0a, x0b, x0c,
+                 w_p, wtm_p)
+    kw = dict(nearest=nearest, patch_rows=patch_rows, row_mode=row_mode,
+              hoist=hoist)
+    if tile_act is None:
+        # flag-free kernel: the per-grid-step act branch costs ~3% even at
+        # all-ones (battery r5), so the default path compiles without it
+        kernel = functools.partial(_texel_kernel_noact, **kw)
+        in_specs = common_specs + tail_specs
+        args = (hl_s, hm_s, goff_s, size_s) + tail_args
+    else:
+        kernel = functools.partial(_texel_kernel, **kw)
+        in_specs = (common_specs
+                    + [pl.BlockSpec(act_s.shape, im_const,
+                                    memory_space=pltpu.SMEM)]
+                    + tail_specs)
+        args = (hl_s, hm_s, goff_s, size_s, act_s) + tail_args
     num, ssum, ssq, inbf = pl.pallas_call(
-        functools.partial(_texel_kernel, nearest=nearest,
-                          patch_rows=patch_rows, row_mode=row_mode,
-                          hoist=hoist),
+        kernel,
         out_shape=out_shapes,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(hl_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(hm_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(goff_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(size_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(act_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((Hi, Wi), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM)
         ] * 4,
         interpret=INTERPRET,
-    )(
-        hl_s, hm_s, goff_s, size_s, act_s, img_p,
-        depth_p, nx, ny, nz, invnd_p, x0a, x0b, x0c, w_p, wtm_p,
-    )
+    )(*args)
 
     num = num[:, :H, :W]
     ssum = ssum[:, :H, :W]
@@ -840,7 +919,8 @@ def score_view_geom_pallas(*args, row_mode=None, hoist=None, tile_act=None,
         row_mode = "dynslab" if DYNSLAB else ("slab" if SLAB else "scan")
     if hoist is None:
         hoist = HOIST
-    ta = _tile_act_full(args[7].shape, tile_act)   # args[7] = depth (C,H,W)
+    ta = (None if tile_act is None
+          else _tile_act_full(args[7].shape, tile_act))   # args[7] = depth
     return _score_view_geom_pallas(*args, tile_act=ta, row_mode=row_mode,
                                    hoist=hoist, **kw)
 
@@ -934,44 +1014,55 @@ def _score_view_geom_pallas(
         return (0, 0)
 
     out_shapes = [jax.ShapeDtypeStruct((C, Hpad, Wpad), jnp.float32)] * 5
+    common_specs = [
+        pl.BlockSpec(hl_s.shape, im_const, memory_space=pltpu.SMEM),
+        pl.BlockSpec(hm_s.shape, im_const, memory_space=pltpu.SMEM),
+        pl.BlockSpec(tr_s.shape, im_const, memory_space=pltpu.SMEM),
+        pl.BlockSpec(tn_s.shape, im_const, memory_space=pltpu.SMEM),
+        pl.BlockSpec(goff_s.shape, im_const, memory_space=pltpu.SMEM),
+        pl.BlockSpec(size_s.shape, im_const, memory_space=pltpu.SMEM),
+    ]
+    tail_specs = [
+        pl.BlockSpec((Hi, Wi), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hg, Wg), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
+    ]
+    tail_args = (img_p, dm_p, depth_p, nx, ny, nz, invnd_p, x0a, x0b, x0c,
+                 uu, vv, w_p, wtm_p)
+    kkw = dict(nearest=nearest, patch_rows=patch_rows, geom_rows=g_rows,
+               geom_cols=g_cols, row_mode=row_mode, hoist=hoist)
+    if tile_act is None:
+        kernel = functools.partial(_texel_geom_kernel_noact, **kkw)
+        in_specs = common_specs + tail_specs
+        args = (hl_s, hm_s, tr_s, tn_s, goff_s, size_s) + tail_args
+    else:
+        kernel = functools.partial(_texel_geom_kernel, **kkw)
+        in_specs = (common_specs
+                    + [pl.BlockSpec(act_s.shape, im_const,
+                                    memory_space=pltpu.SMEM)]
+                    + tail_specs)
+        args = (hl_s, hm_s, tr_s, tn_s, goff_s, size_s, act_s) + tail_args
     num, ssum, ssq, inbf, cons = pl.pallas_call(
-        functools.partial(_texel_geom_kernel, nearest=nearest,
-                          patch_rows=patch_rows,
-                          geom_rows=g_rows, geom_cols=g_cols,
-                          row_mode=row_mode, hoist=hoist),
+        kernel,
         out_shape=out_shapes,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(hl_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(hm_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(tr_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(tn_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(goff_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(size_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(act_s.shape, im_const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((Hi, Wi), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hg, Wg), lambda c, i, j, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), im_hw, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TEXEL_CHUNK, TILE_H, TILE_W), im_wt, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W), im_c, memory_space=pltpu.VMEM)
         ] * 5,
         interpret=INTERPRET,
-    )(
-        hl_s, hm_s, tr_s, tn_s, goff_s, size_s, act_s, img_p, dm_p,
-        depth_p, nx, ny, nz, invnd_p, x0a, x0b, x0c, uu, vv, w_p, wtm_p,
-    )
+    )(*args)
 
     num = num[:, :H, :W]
     ssum = ssum[:, :H, :W]
