@@ -56,9 +56,10 @@ def test_block_exits_early_when_converged():
     assert float(jnp.nanmax(block.conf - state.conf)) <= 1e-6
 
 
-def test_densify_early_exit_env_matches_default(monkeypatch):
-    """estimate_depth_map under OMVS_EARLY_EXIT with an exit bar of 0
-    (never exits) must equal the default eager path exactly."""
+def test_densify_early_exit_default_matches_eager(monkeypatch):
+    """The early-exit block (the r5 PRODUCTION DEFAULT) with an exit bar
+    of 0 (never exits) must equal the eager per-sweep path
+    (OMVS_EARLY_EXIT=0) exactly."""
     from test_sharded_mixed import _mixed_scene
     from openmvs_tpu import densify
     from openmvs_tpu.config import DenseOptions
@@ -68,6 +69,7 @@ def test_densify_early_exit_env_matches_default(monkeypatch):
                         estimation_geometric_iters=0)
     scene = _mixed_scene()
     select_views_for_scene(scene, opts)
+    monkeypatch.setenv("OMVS_EARLY_EXIT", "0")
     r0 = densify.estimate_depth_map(scene, 0, opts)
     monkeypatch.setenv("OMVS_EARLY_EXIT", "1")
     monkeypatch.setenv("OMVS_EE_FRAC", "0.0")
