@@ -986,20 +986,30 @@ def generate_texture(
     for vv in views_used:
         proj_stack[vv] = projs[vv][:, :2]
     mapped = face_view >= 0
-    mi = np.nonzero(mapped)[0]
-    # compute texcoords on the MAPPED subset only (unlabeled faces keep
-    # zeros): at 10M faces with sparse coverage this avoids several
-    # (nf, 3, 2) temporaries
-    uv_f = proj_stack[face_view[mi][:, None], mesh.faces[mi]]   # (m, 3, 2)
-    # clamp projections into the face's patch rect: a vertex projecting
-    # outside the image (border faces) must sample its own patch's edge
-    # texels, not a neighboring patch or empty atlas space
-    uv_f[..., 0] = np.clip(uv_f[..., 0], face_x0[mi, None], face_x1[mi, None])
-    uv_f[..., 1] = np.clip(uv_f[..., 1], face_y0[mi, None], face_y1[mi, None])
-    ftc[mi, :, 0] = np.clip((uv_f[..., 0] + face_dx[mi, None]) / tw, 0.0, 1.0)
-    ftc[mi, :, 1] = np.clip(1.0 - (uv_f[..., 1] + face_dy[mi, None]) / th,
-                            0.0, 1.0)
-    del proj_stack, uv_f, face_dx, face_dy, face_x0, face_y0, face_x1, face_y1
+    mi_all = np.nonzero(mapped)[0].astype(np.int32)
+    # texcoords on the MAPPED subset only, in CHUNKS: at 10M faces the
+    # one-shot (m, 3, 2) uv temporary + clamp intermediates held ~0.5 GB
+    # at exactly the stage that was the whole pipeline's RSS peak
+    for c0 in range(0, len(mi_all), 2_000_000):
+        mi = mi_all[c0:c0 + 2_000_000]
+        uv_f = proj_stack[face_view[mi][:, None], mesh.faces[mi]]  # (m,3,2)
+        # clamp projections into the face's patch rect: a vertex projecting
+        # outside the image (border faces) must sample its own patch's edge
+        # texels, not a neighboring patch or empty atlas space
+        uv_f[..., 0] = np.clip(uv_f[..., 0], face_x0[mi, None],
+                               face_x1[mi, None])
+        uv_f[..., 1] = np.clip(uv_f[..., 1], face_y0[mi, None],
+                               face_y1[mi, None])
+        ftc[mi, :, 0] = np.clip((uv_f[..., 0] + face_dx[mi, None]) / tw,
+                                0.0, 1.0)
+        ftc[mi, :, 1] = np.clip(
+            1.0 - (uv_f[..., 1] + face_dy[mi, None]) / th, 0.0, 1.0)
+    del (proj_stack, uv_f, face_dx, face_dy, face_x0, face_y0, face_x1,
+         face_y1, mi_all, mi, mapped)
+    # index scaffolding dead past this point — free BEFORE the leveling
+    # stages so their own transients ride a lower resident base
+    del all_f, fpid, counts, order, comp_sorted, starts, ends
+    del cx0, cy0, cx1, cy1, Wv, Hv, comp_view, cv_safe, ok_c
     _t_copy.__exit__(None, None, None)
 
     if opts.global_seam_leveling:
@@ -1073,26 +1083,34 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas_pages, tw, th,
     valid_f = fpatch >= 0
     fv = mesh.faces[valid_f].astype(np.int64)          # (m, 3)
     fp = fpatch[valid_f]
+    del fpatch
     keys = fp[:, None] * nv + fv                        # (m, 3)
+    del fv
     uniq_keys, inv = np.unique(keys, return_inverse=True)
-    inv = inv.reshape(keys.shape)
+    del keys
+    inv = inv.reshape(-1, 3).astype(np.int32)   # unknown count << 2^31
     n = len(uniq_keys)
     if n == 0:
         return
     upatch = uniq_keys // nv
-    uvert = uniq_keys % nv
+    uvert = (uniq_keys % nv).astype(np.int32)
+    del uniq_keys
 
-    # sampled color per unknown: the vertex projected into its patch's view
-    c = np.zeros((n, 3))
-    uviews = view_of_patch[upatch]
+    # sampled color per unknown: the vertex projected into its patch's
+    # view.  f32 + per-view projs.pop: each (nv, 3) projection dies as
+    # soon as it is sampled (the caller clears the dict right after this
+    # function anyway) — ~60 MB/view at 5M vertices
+    c = np.zeros((n, 3), np.float32)
+    uviews = view_of_patch[upatch].astype(np.int32)
     for view in np.unique(uviews):
         m = uviews == view
-        pr = projs[int(view)]
+        pr = projs.pop(int(view))
         img = scene.images[int(view)].color
         H, W = img.shape[:2]
         ui = np.clip(pr[uvert[m], 0].astype(np.int64), 0, W - 1)
         wi = np.clip(pr[uvert[m], 1].astype(np.int64), 0, H - 1)
-        c[m] = img[wi, ui].astype(np.float64)
+        c[m] = img[wi, ui]
+        del pr
 
     # seam pairs: chain unknowns sharing a mesh vertex (sorted runs); the
     # chain couples the same connected groups as the reference's all-pairs
@@ -1166,51 +1184,62 @@ def _global_seam_leveling(scene, mesh, patches, projs, atlas_pages, tw, th,
     # per-corner expansion gives each face its own unambiguous uv triple.
     from openmvs_tpu import native
 
-    # per-UNKNOWN offsets; each corner looks up its own (patch, vertex)
-    corner_off = g[inv]                    # (m, 3, 3) via unknown index
-    corner_uv = ftc[valid_f]               # (m, 3, 2)
-    m = len(fv)
-    exp_verts = np.zeros((3 * m, 3))
-    exp_verts[:, 0] = corner_uv[..., 0].ravel() * tw
-    exp_verts[:, 1] = (1.0 - corner_uv[..., 1].ravel()) * th
-    exp_verts[:, 2] = 1.0
-    exp_faces = np.arange(3 * m, dtype=np.int32).reshape(m, 3)
-    exp_off = corner_off.reshape(3 * m, 3)
+    # per-UNKNOWN offsets; each corner looks up its own (patch, vertex).
+    # Rasterization runs over PATCH-ALIGNED FACE CHUNKS x horizontal bands:
+    # the full corner expansion (exp_verts f64 + the rasterizer's own f64
+    # copy) cost ~1.5 GB at 10M faces — the round-5 RSS profile's largest
+    # leveling spike.  Chunks are exact: atlas packing keeps different
+    # patches' rects disjoint (pad >= 2), so faces from different chunks
+    # never touch the same texel and each texel's offset is applied once.
+    m = len(fp)
+    vidx = np.nonzero(valid_f)[0].astype(np.int64)
     if patch_page is None:
-        page_of_valid = np.zeros(m, np.int64)
+        page_of_patch = np.zeros(npatch, np.int64)
     else:
-        page_of_face = np.full(nf, -1, np.int64)
-        _cnt = np.fromiter((len(p.faces) for p in patches), np.int64,
-                           len(patches))
-        page_of_face[np.concatenate([p.faces for p in patches])] = np.repeat(
-            np.asarray(patch_page), _cnt)
-        page_of_valid = page_of_face[valid_f]
-    exp_off = exp_off.astype(np.float32)
-    # rasterize in horizontal BANDS: a full 8k x 8k page materializes
-    # ~1.35 GB of fid/depth/bary buffers per call — the round-4 RSS
-    # profile's largest single spike.  Bands divide that by th/BAND; the
-    # native rasterizer clips triangle bboxes to the viewport, so a pure
-    # y-translation of the corner-split vertices is exact.
+        page_of_patch = np.asarray(patch_page, np.int64)
+    ordp = np.argsort(fp, kind="stable").astype(np.int64)
+    fp_sorted = fp[ordp]
+    CH = int(os.environ.get("OMVS_LEVEL_CHUNK", "2500000"))
     BAND = min(th, 2048)
-    for pg, atlas in enumerate(atlas_pages):
-        fsel = np.nonzero(page_of_valid == pg)[0]
-        if len(fsel) == 0:
-            continue
-        ef = exp_faces[fsel]
-        for y0 in range(0, th, BAND):
-            bh = min(BAND, th - y0)
-            vb = exp_verts if y0 == 0 and bh == th else (
-                exp_verts - np.array([0.0, y0, 0.0]))
-            fid, _, bar = native.rasterize(vb, ef, bh, tw)
-            ys, xs = np.nonzero(fid >= 0)
-            if len(ys) == 0:
+    start = 0
+    while start < m:
+        end = min(start + CH, m)
+        if end < m:
+            pe = fp_sorted[end - 1]
+            while end < m and fp_sorted[end] == pe:
+                end += 1
+        sel = ordp[start:end]
+        mc = len(sel)
+        corner_uv = ftc[vidx[sel]]                      # (mc, 3, 2) f32
+        exp_verts = np.empty((3 * mc, 3))
+        exp_verts[:, 0] = corner_uv[..., 0].ravel() * tw
+        exp_verts[:, 1] = (1.0 - corner_uv[..., 1].ravel()) * th
+        exp_verts[:, 2] = 1.0
+        del corner_uv
+        exp_off = g[inv[sel]].reshape(3 * mc, 3)        # f32
+        exp_faces = np.arange(3 * mc, dtype=np.int32).reshape(mc, 3)
+        pg_sel = page_of_patch[fp[sel]]
+        for pg, atlas in enumerate(atlas_pages):
+            fsel = np.nonzero(pg_sel == pg)[0]
+            if len(fsel) == 0:
                 continue
-            # gather only at covered texels (full-page (H,W,3,3) float64
-            # temporaries measured 10s+ per call)
-            fvp = ef[fid[ys, xs]]                   # (n_hit, 3)
-            o = (exp_off[fvp] * bar[ys, xs][..., None]).sum(axis=1)
-            px = atlas[y0 + ys, xs].astype(np.int16) + np.round(o).astype(np.int16)
-            atlas[y0 + ys, xs] = np.clip(px, 0, 255).astype(np.uint8)
+            ef = exp_faces[fsel]
+            for y0 in range(0, th, BAND):
+                bh = min(BAND, th - y0)
+                vb = exp_verts if y0 == 0 and bh == th else (
+                    exp_verts - np.array([0.0, y0, 0.0]))
+                fid, _, bar = native.rasterize(vb, ef, bh, tw)
+                ys, xs = np.nonzero(fid >= 0)
+                if len(ys) == 0:
+                    continue
+                # gather only at covered texels (full-page (H,W,3,3) f64
+                # temporaries measured 10s+ per call)
+                fvp = ef[fid[ys, xs]]                   # (n_hit, 3)
+                o = (exp_off[fvp] * bar[ys, xs][..., None]).sum(axis=1)
+                px = (atlas[y0 + ys, xs].astype(np.int16)
+                      + np.round(o).astype(np.int16))
+                atlas[y0 + ys, xs] = np.clip(px, 0, 255).astype(np.uint8)
+        start = end
 
 
 def _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc,
@@ -1279,78 +1308,109 @@ def _local_seam_leveling(mesh, patches, adj, atlas, tw, th, ftc,
     half = 0.5 * (ca - cb)
     lin = np.concatenate([la, lb])
     dv = np.concatenate([-half, half])
-    HWt = th * tw
-    corr = np.empty((HWt, 3), np.float32)
-    for ch in range(3):
-        corr[:, ch] = np.bincount(lin, weights=dv[:, ch], minlength=HWt)
-    wgt = np.bincount(lin, minlength=HWt).astype(np.float32)
-    corr = corr.reshape(th, tw, 3)
-    wgt = wgt.reshape(th, tw)
+    del la, lb, ca, cb, half, pa, pb, uva, uvb, eq, sa, e1, e2
+    liny = (lin // np.int32(tw)).astype(np.int32)
 
-    # small patches take the SATURATED limit of the normalized diffusion:
-    # after `iters` 5x5 blurs the kernel support spans the whole rect, and
-    # cc/ww converges to sum(corr)/sum(wgt) — apply that mean directly in
-    # one vectorized pass over every small rect (a per-patch blur loop cost
-    # minutes at ~1M tiny patches); large patches keep the exact diffusion.
+    # the correction/weight fields are built and applied in horizontal
+    # BANDS of whole patch rects (an 8k page's full-page f32 corr+wgt held
+    # 1.07 GB — the round-5 RSS peak); rects never straddle bands, so the
+    # per-patch diffusion is unchanged
+    ordp = sorted(range(len(patches)), key=lambda i: patches[i].atlas_y)
     sat_dim = 2 * iters + 1
-    small = [p for p in patches
-             if 3 <= min(p.h, p.w) and max(p.h, p.w) <= sat_dim]
-    # chunked over patches: the flat texel expansion is ~7 arrays over the
-    # total small-patch area (tens of millions of texels at 1M patches) —
-    # processing ~8M texels at a time bounds the transient to ~300 MB
-    # (round-4 RSS profile: this pass was the largest local-leveling spike)
-    CHUNK_TEXELS = 8_000_000
-    i0 = 0
-    while i0 < len(small):
-        ar_run = 0
-        i1 = i0
-        while i1 < len(small) and ar_run < CHUNK_TEXELS:
-            ar_run += small[i1].w * small[i1].h
-            i1 += 1
-        chunk = small[i0:i1]
-        i0 = i1
-        ns = len(chunk)
-        s_w = np.fromiter((p.w for p in chunk), np.int32, ns)
-        s_h = np.fromiter((p.h for p in chunk), np.int32, ns)
-        s_x = np.fromiter((p.atlas_x for p in chunk), np.int32, ns)
-        s_y = np.fromiter((p.atlas_y for p in chunk), np.int32, ns)
-        ar = s_w * s_h
-        tot = int(ar.sum())
-        off = np.arange(tot, dtype=np.int32) - np.repeat(
-            np.cumsum(ar, dtype=np.int32) - ar, ar)
-        wrep = np.repeat(s_w, ar)
-        ry = off // wrep
-        rx = off - ry * wrep
-        yy = np.repeat(s_y, ar) + ry
-        xx = np.repeat(s_x, ar) + rx
-        pid = np.repeat(np.arange(ns, dtype=np.int32), ar)
-        wsum = np.bincount(pid, weights=wgt[yy, xx], minlength=ns)
-        mean = np.zeros((ns, 3), np.float32)
+    BANDH = 2048
+    bi = 0
+    while bi < len(ordp):
+        y0b = patches[ordp[bi]].atlas_y
+        y1b = y0b + patches[ordp[bi]].h
+        bj = bi + 1
+        while bj < len(ordp):
+            p = patches[ordp[bj]]
+            new_y1 = max(y1b, p.atlas_y + p.h)
+            if new_y1 - y0b > BANDH and y1b > y0b:
+                break
+            y1b = new_y1
+            bj += 1
+        band = [patches[i] for i in ordp[bi:bj]]
+        bi = bj
+        bh = y1b - y0b
+        msk = (liny >= y0b) & (liny < y1b)
+        lin_b = (lin[msk] - np.int64(y0b) * tw).astype(np.int64)
+        dv_b = dv[msk]
+        HWb = bh * tw
+        corr = np.empty((HWb, 3), np.float32)
         for ch in range(3):
-            csum = np.bincount(pid, weights=corr[yy, xx, ch], minlength=ns)
-            mean[:, ch] = np.where(wsum > 0, csum / np.maximum(wsum, 1e-6), 0)
-        upd = atlas[yy, xx].astype(np.float32) + strength * mean[pid]
-        atlas[yy, xx] = np.clip(upd, 0, 255).astype(np.uint8)
+            corr[:, ch] = np.bincount(lin_b, weights=dv_b[:, ch],
+                                      minlength=HWb)
+        wgt = np.bincount(lin_b, minlength=HWb).astype(np.float32)
+        del lin_b, dv_b
+        corr = corr.reshape(bh, tw, 3)
+        wgt = wgt.reshape(bh, tw)
 
-    for p in patches:
-        if 3 <= min(p.h, p.w) and max(p.h, p.w) <= sat_dim:
-            continue          # handled by the saturated-mean pass above
-        cy, cx = p.atlas_y, p.atlas_x
-        ww = wgt[cy : cy + p.h, cx : cx + p.w]
-        if ww.size == 0 or ww.max() <= 0:
-            continue
-        cc = corr[cy : cy + p.h, cx : cx + p.w].copy()
-        ww = ww.copy()
-        if min(p.h, p.w) < 3:
-            continue
-        for _ in range(iters):
-            cc = cv2.blur(cc, (5, 5))
-            ww = cv2.blur(ww, (5, 5))
-        field = cc / np.maximum(ww, 1e-6)[..., None]
-        field[ww < 1e-4] = 0
-        crop = atlas[cy : cy + p.h, cx : cx + p.w].astype(np.float32) \
-            + strength * field
-        atlas[cy : cy + p.h, cx : cx + p.w] = np.clip(crop, 0, 255).astype(np.uint8)
+        # small patches take the SATURATED limit of the normalized
+        # diffusion: after `iters` 5x5 blurs the kernel support spans the
+        # whole rect, and cc/ww converges to sum(corr)/sum(wgt) — apply
+        # that mean directly in one vectorized pass over every small rect
+        # (a per-patch blur loop cost minutes at ~1M tiny patches); large
+        # patches keep the exact diffusion.
+        small = [p for p in band
+                 if 3 <= min(p.h, p.w) and max(p.h, p.w) <= sat_dim]
+        CHUNK_TEXELS = 8_000_000
+        i0 = 0
+        while i0 < len(small):
+            ar_run = 0
+            i1 = i0
+            while i1 < len(small) and ar_run < CHUNK_TEXELS:
+                ar_run += small[i1].w * small[i1].h
+                i1 += 1
+            chunk = small[i0:i1]
+            i0 = i1
+            ns = len(chunk)
+            s_w = np.fromiter((p.w for p in chunk), np.int32, ns)
+            s_h = np.fromiter((p.h for p in chunk), np.int32, ns)
+            s_x = np.fromiter((p.atlas_x for p in chunk), np.int32, ns)
+            s_y = np.fromiter((p.atlas_y for p in chunk), np.int32, ns) - y0b
+            ar = s_w * s_h
+            tot = int(ar.sum())
+            off = np.arange(tot, dtype=np.int32) - np.repeat(
+                np.cumsum(ar, dtype=np.int32) - ar, ar)
+            wrep = np.repeat(s_w, ar)
+            ry = off // wrep
+            rx = off - ry * wrep
+            yy = np.repeat(s_y, ar) + ry
+            xx = np.repeat(s_x, ar) + rx
+            pid = np.repeat(np.arange(ns, dtype=np.int32), ar)
+            wsum = np.bincount(pid, weights=wgt[yy, xx], minlength=ns)
+            mean = np.zeros((ns, 3), np.float32)
+            for ch in range(3):
+                csum = np.bincount(pid, weights=corr[yy, xx, ch],
+                                   minlength=ns)
+                mean[:, ch] = np.where(wsum > 0,
+                                       csum / np.maximum(wsum, 1e-6), 0)
+            upd = (atlas[yy + y0b, xx].astype(np.float32)
+                   + strength * mean[pid])
+            atlas[yy + y0b, xx] = np.clip(upd, 0, 255).astype(np.uint8)
+
+        for p in band:
+            if 3 <= min(p.h, p.w) and max(p.h, p.w) <= sat_dim:
+                continue      # handled by the saturated-mean pass above
+            cy, cx = p.atlas_y - y0b, p.atlas_x
+            ww = wgt[cy : cy + p.h, cx : cx + p.w]
+            if ww.size == 0 or ww.max() <= 0:
+                continue
+            cc = corr[cy : cy + p.h, cx : cx + p.w].copy()
+            ww = ww.copy()
+            if min(p.h, p.w) < 3:
+                continue
+            for _ in range(iters):
+                cc = cv2.blur(cc, (5, 5))
+                ww = cv2.blur(ww, (5, 5))
+            field = cc / np.maximum(ww, 1e-6)[..., None]
+            field[ww < 1e-4] = 0
+            ay = p.atlas_y      # atlas coords are absolute; cy is band-rel
+            crop = (atlas[ay : ay + p.h, cx : cx + p.w].astype(np.float32)
+                    + strength * field)
+            atlas[ay : ay + p.h, cx : cx + p.w] = np.clip(
+                crop, 0, 255).astype(np.uint8)
 
 
 def texture_mesh(

@@ -34,7 +34,7 @@ def make_scene(n_faces=2_000_000, n_views=5, W=640, H=480, seed=0):
     q = (ii[:-1, None] * (g + 1) + ii[None, :-1]).reshape(-1)   # cell corners
     f1 = np.stack([q, q + 1, q + g + 1], -1)
     f2 = np.stack([q + 1, q + g + 2, q + g + 1], -1)
-    faces = np.concatenate([f1, f2], 0).astype(np.int64)
+    faces = np.concatenate([f1, f2], 0).astype(np.int32)
 
     scene = Scene()
     for i in range(n_views):

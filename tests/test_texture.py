@@ -151,6 +151,44 @@ def test_virtual_faces_coherence(plane_scene):
     assert len(np.unique(seen)) == 1
 
 
+def test_global_seam_leveling_runs_and_smooths(plane_scene):
+    """GLOBAL leveling end-to-end through the corner-split rasterization
+    (the 10M stress caught an UnboundLocal in the chunked path that the
+    suite previously never reached): a brightness step between the views
+    must not grow, and the atlas must stay a valid uint8 image."""
+    from openmvs_tpu.texture import texture_mesh
+
+    scene, mesh = plane_scene
+    bright = [im.color.copy() for im in scene.images]
+    try:
+        scene.images[1].color = np.clip(
+            scene.images[1].color.astype(np.int32) + 40, 0, 255
+        ).astype(np.uint8)
+        opts_off = TextureOptions(global_seam_leveling=False,
+                                  local_seam_leveling=False,
+                                  ratio_data_smoothness=0.001)
+        opts_on = TextureOptions(global_seam_leveling=True,
+                                 local_seam_leveling=False,
+                                 ratio_data_smoothness=0.001)
+        t0 = texture_mesh(scene, mesh, opts_off)
+        t1 = texture_mesh(scene, mesh, opts_on)
+        assert t1.texture.dtype == np.uint8
+        assert t1.texture.shape == t0.texture.shape
+
+        def spread(tex):
+            tw = tex.texture.shape[1]
+            th = tex.texture.shape[0]
+            uv = tex.face_tex_coords.mean(axis=1)
+            x = np.clip((uv[:, 0] * tw).astype(int), 0, tw - 1)
+            y = np.clip(((1 - uv[:, 1]) * th).astype(int), 0, th - 1)
+            return tex.texture[y, x].astype(float).mean(axis=1).std()
+
+        assert spread(t1) <= spread(t0) + 1e-6
+    finally:
+        for im, c in zip(scene.images, bright):
+            im.color = c
+
+
 def test_local_seam_leveling_smooths(plane_scene):
     """A brightness step between the two views must shrink after leveling."""
     from openmvs_tpu.texture import texture_mesh
