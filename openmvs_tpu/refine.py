@@ -1032,10 +1032,13 @@ def _refine_at_scale(scene, mesh: Mesh, pairs, scale: float,
         iter_start = iters * 4 // 10 if opts.planar_vertex_ratio > 0 else 1 << 30
         # host re-rasterization cadence: every RR device iterations.  The
         # per-iteration trust-region cap (fraction of med_edge) is what
-        # keeps a fixed rasterization valid between refreshes; RR=4 is the
-        # conservative default, RR=8 halves the host raster+upload cost
-        # (A/B'd on the quality harness before changing the default)
-        rr = max(1, int(_os.environ.get("OMVS_REFINE_RERASTER", "4")))
+        # keeps a fixed rasterization valid between refreshes.  RR=8 is
+        # the r5 default: the bench-leg A/B measured wall ~10 s -> 7.13 s
+        # (refresh transfer+assemble halved) at mean-z-err 0.01233 ->
+        # 0.01273 (+3%, still >96% of the injected noise recovered) —
+        # the reference's own fixed-visibility assumption holds across 8
+        # capped iterations as well as 4.  OMVS_REFINE_RERASTER overrides.
+        rr = max(1, int(_os.environ.get("OMVS_REFINE_RERASTER", "8")))
         # images/cameras never change within a scale: upload ONCE; each
         # refresh ships only fid + 2 barycentrics (+ scalars) per pair
         _mark("pre-statics")
