@@ -333,25 +333,14 @@ def estimate_depth_map(
         it0 = 0
         if (os.environ.get("OMVS_EARLY_EXIT", "1") not in ("0", "")
                 and n_nn >= 3):
-            # OMVS_ANNEAL=1 additionally shrinks the candidate set for the
-            # LATE search sweeps (the reference's shrinking scaleRanges make
-            # late random probes near-no-ops, DepthMap.cpp:800-852): the
-            # first two sweeps keep the full perturbation set, the adaptive
-            # tail runs with a single perturbation candidate.  Static
-            # schedule = one extra compile, no trace-cache hazards.
-            n_head = 2 if os.environ.get("OMVS_ANNEAL") else 0
-            n_pert_tail = 1 if n_head else n_pert
-            for it in range(n_head):
-                state = patchmatch.sweep(
-                    state, data, opts, key, nV, is_geometric,
-                    mode="nn", n_perturb=n_pert, n_prop=8, fold=it + 1,
-                )
+            # (candidate annealing in the EE tail — fewer perturbations for
+            # late sweeps — was DELETED in r5: it measurably fails the
+            # bundled-scene gate, raw faces 72.6k < 75k window.)
             state, _ = patchmatch.sweep_block_adaptive(
                 state, data, opts, key, nV, is_geometric,
-                n_perturb=n_pert_tail, mode="nn", n_prop=8,
-                first_fold=1 + n_head, n_sweeps=n_nn - n_head,
-                min_sweeps=max(0, int(os.environ.get("OMVS_EE_MIN", "2"))
-                               - n_head),
+                n_perturb=n_pert, mode="nn", n_prop=8,
+                first_fold=1, n_sweeps=n_nn,
+                min_sweeps=max(0, int(os.environ.get("OMVS_EE_MIN", "2"))),
                 eps=float(os.environ.get("OMVS_EE_EPS", "5e-3")),
                 min_frac=float(os.environ.get("OMVS_EE_FRAC", "0.01")),
             )

@@ -88,8 +88,10 @@ import os as _os
 import functools as _functools
 
 
-@_functools.lru_cache(maxsize=1)
 def _compact_default() -> bool:
+    # env read EVERY call (an lru_cache here made the first caller's env
+    # stick for the whole process — an order-dependent trap for tests and
+    # in-process A/Bs); _use_pallas itself is cheap (attr reads)
     env = _os.environ.get("OMVS_COMPACT")
     if env is not None:
         return env not in ("0", "")
