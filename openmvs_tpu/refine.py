@@ -354,7 +354,7 @@ def _warp_coords(verts: jnp.ndarray, pd: PairData):
 
 import os as _os_box
 
-_BOX_MODE = _os_box.environ.get("OMVS_REFINE_BOX", "shift")
+_BOX_MODE = _os_box.environ.get("OMVS_REFINE_BOX", "cumsum")
 
 
 def _box_zncc_energy(A: jnp.ndarray, B: jnp.ndarray, M: jnp.ndarray,
@@ -364,9 +364,11 @@ def _box_zncc_energy(A: jnp.ndarray, B: jnp.ndarray, M: jnp.ndarray,
 
     Two gather-free, autodiff-safe box implementations (identical values:
     zero-padded shifted-slice sums == border-clipped prefix sums):
-    "shift" (default) — 2*(2*half+1) static slice adds, pure VPU adds that
-    XLA fuses; "cumsum" (OMVS_REFINE_BOX=cumsum) — prefix sums + static
-    takes, the r1-r4 path (log-pass cumsums cost more on this TPU)."""
+    "cumsum" (default) — prefix sums + static takes;
+    "shift" (OMVS_REFINE_BOX=shift) — 2*(2*half+1) static slice adds.
+    A/B on chip at the bench-leg shapes (round 5): cumsum 134.6 vs shift
+    154.9 ms/iter — the log-pass cumsum beats the 14-slice add chain here,
+    the opposite of the pre-measurement guess."""
     if _BOX_MODE == "shift":
         def box(x):
             for axis in (0, 1):
