@@ -189,11 +189,34 @@ def run_estimator(scene, gt_depth, gt_mesh, estimator, tmpdir):
     # cloud F-score vs dense GT surface samples at 1% of scene depth
     gv = gt_mesh.vertices
     fs = ev.point_cloud_fscore(np.asarray(pc.points), gv, threshold=0.06)
+    # OBSERVABLE variant: GT vertices seen by >= 2 cameras (z within 1% of
+    # the GT depth map at their projection).  The raw completeness counts
+    # surface no camera ever sees (e.g. slant-scene back-slopes) against
+    # the estimator; this variant is the true estimator metric.  The
+    # battery keeps gating on the RAW key for round-over-round
+    # comparability; both are recorded.
+    cnt = np.zeros(len(gv), np.int32)
+    for img in scene.images:
+        pr = project(img.camera, gv.astype(np.float64))
+        gt = gt_depth(img.meta.id)
+        Hg, Wg = gt.shape
+        x = np.round(pr[:, 0]).astype(np.int64)
+        y = np.round(pr[:, 1]).astype(np.int64)
+        z = pr[:, 2]
+        inb = (z > 0) & (x >= 0) & (x < Wg) & (y >= 0) & (y < Hg)
+        d = gt[np.clip(y, 0, Hg - 1), np.clip(x, 0, Wg - 1)]
+        cnt += (inb & (d > 0) & (z <= d * 1.01 + 1e-6)).astype(np.int32)
+    vis = cnt >= 2
+    fs_obs = ev.point_cloud_fscore(np.asarray(pc.points), gv[vis],
+                                   threshold=0.06)
     return {
         "points": len(pc),
         "wall_s": round(wall, 1),
         "depth_vs_gt": depth_metrics,
         "cloud_fscore@0.06": {k: round(float(v), 4) for k, v in fs.items()},
+        "cloud_fscore_observable@0.06": {
+            k: round(float(v), 4) for k, v in fs_obs.items()},
+        "gt_observable_frac": round(float(vis.mean()), 4),
     }, pc
 
 
