@@ -94,6 +94,18 @@ DYNSLAB_BAND = int(_os.environ.get("OMVS_DYNSLAB_BAND", "16"))
 HOIST = bool(int(_os.environ.get("OMVS_HOIST", "1")))
 HOIST_ROWS = int(_os.environ.get("OMVS_HOIST_ROWS", "32"))
 HOIST_COLS = int(_os.environ.get("OMVS_HOIST_COLS", "512"))
+# bfloat16 neighbor-image storage — PRODUCTION DEFAULT since round 5:
+# the image slab reads are the scorer's per-candidate floor
+# (scripts/dev_kernel_cand_scaling.py: 2.06 -> 1.21 ms/candidate at C=16,
+# a 1.70x kernel speedup; bench end-to-end 1.02 -> 1.4177 dm/s = 8.34x
+# the CPU anchor).  Slabs convert to f32 in-register right after the
+# slice (Mosaic cannot lane-gather 16-bit with i32 indices), so only the
+# IMAGE VALUES carry bf16's ~0.4% quantization into the ZNCC; validated:
+# bundled-scene gates 219110/80979/40498 in-window and 4-scene corpus F
+# within 0.3% of f32 on every scene, interpret-mode contract mean score
+# diff 5e-4 with ZERO extra invalidation.  Opt out with OMVS_BF16_IMG=0.
+# The operand dtype rides the jit cache key, so no static arg is needed.
+BF16_IMG = bool(int(_os.environ.get("OMVS_BF16_IMG", "1")))
 
 
 def _texel_kernel(
@@ -239,7 +251,10 @@ def _texel_score_body(
         hc0 = pl.multiple_of(hc0 & ~127, 128)
         hr0 = jnp.clip(jnp.min(py_vc).astype(jnp.int32) - 8, 0, Hp - p_rows)
         hr0 = pl.multiple_of(hr0 & ~7, 8)
-        band = img_ref[pl.ds(hr0, p_rows), pl.ds(hc0, p_cols)]
+        # f32 immediately after the slice: the VMEM read is bf16 when
+        # OMVS_BF16_IMG=1 (Mosaic cannot gather 16-bit with i32 indices)
+        band = img_ref[pl.ds(hr0, p_rows),
+                       pl.ds(hc0, p_cols)].astype(jnp.float32)
     n_blk = p_cols // 128
 
     for kk in range(TEXEL_CHUNK):
@@ -279,7 +294,8 @@ def _texel_score_body(
             c0 = pl.multiple_of(c0 & ~127, 128)
             r0 = jnp.clip(jnp.min(py_v).astype(jnp.int32) - 4, 0, Hp - p_rows)
             r0 = pl.multiple_of(r0 & ~7, 8)
-            patch = img_ref[pl.ds(r0, p_rows), pl.ds(c0, p_cols)]
+            patch = img_ref[pl.ds(r0, p_rows),
+                            pl.ds(c0, p_cols)].astype(jnp.float32)
 
         lxf = px - c0.astype(jnp.float32)
         lyf = py - r0.astype(jnp.float32)
@@ -306,7 +322,8 @@ def _texel_score_body(
             k0 = jnp.clip(jnp.min(d_v), 0, p_rows - band_rows)
             # re-slice the REF at the dynamic row base (Mosaic has no
             # dynamic_slice on values): dband[k] == patch[k0 + k]
-            dband = img_ref[pl.ds(r0 + k0, band_rows), pl.ds(c0, p_cols)]
+            dband = img_ref[pl.ds(r0 + k0, band_rows),
+                            pl.ds(c0, p_cols)].astype(jnp.float32)
             rel = d_top - k0
             n_slab = band_rows - TILE_H + 1
             # rows rel and rel+1 must both sit on the covered band
@@ -321,13 +338,16 @@ def _texel_score_body(
                 g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
                 for b in range(n_blk):
                     t = slab[:, 128 * b : 128 * (b + 1)]
-                    g_l = jnp.where(blk == b,
-                                    jnp.take_along_axis(t, loc, axis=1), g_l)
+                    g_l = jnp.where(
+                        blk == b,
+                        jnp.take_along_axis(t, loc, axis=1)
+                        .astype(jnp.float32), g_l)
                     if not nearest:
                         tr = slab_r[:, 128 * b : 128 * (b + 1)]
-                        g_r = jnp.where(blk == b,
-                                        jnp.take_along_axis(tr, loc, axis=1),
-                                        g_r)
+                        g_r = jnp.where(
+                            blk == b,
+                            jnp.take_along_axis(tr, loc, axis=1)
+                            .astype(jnp.float32), g_r)
                 g = g_l if nearest else g_l * (1.0 - fx) + g_r * fx
                 v_top = jnp.where(rel == k, g, v_top)
                 v_bot = jnp.where(rel == k - 1, g, v_bot)
@@ -343,12 +363,15 @@ def _texel_score_body(
                 g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
                 for b in range(n_blk):
                     t = slab[:, 128 * b : 128 * (b + 1)]
-                    g_l = jnp.where(blk == b,
-                                    jnp.take_along_axis(t, loc, axis=1), g_l)
+                    g_l = jnp.where(
+                        blk == b,
+                        jnp.take_along_axis(t, loc, axis=1)
+                        .astype(jnp.float32), g_l)
                     if not nearest:
-                        g_r = jnp.where(blk1 == b,
-                                        jnp.take_along_axis(t, loc1, axis=1),
-                                        g_r)
+                        g_r = jnp.where(
+                            blk1 == b,
+                            jnp.take_along_axis(t, loc1, axis=1)
+                            .astype(jnp.float32), g_r)
                 g = g_l if nearest else g_l * (1.0 - fx) + g_r * fx
                 v_top = jnp.where(d_top == k, g, v_top)
                 v_bot = jnp.where(d_top == k - 1, g, v_bot)
@@ -359,9 +382,15 @@ def _texel_score_body(
                 g_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
                 for b in range(n_blk):
                     t = jnp.broadcast_to(row[:, 128 * b : 128 * (b + 1)], (TILE_H, TILE_W))
-                    g_l = jnp.where(blk == b, jnp.take_along_axis(t, loc, axis=1), g_l)
+                    g_l = jnp.where(
+                        blk == b,
+                        jnp.take_along_axis(t, loc, axis=1)
+                        .astype(jnp.float32), g_l)
                     if not nearest:
-                        g_r = jnp.where(blk1 == b, jnp.take_along_axis(t, loc1, axis=1), g_r)
+                        g_r = jnp.where(
+                            blk1 == b,
+                            jnp.take_along_axis(t, loc1, axis=1)
+                            .astype(jnp.float32), g_r)
                 g = g_l if nearest else g_l * (1.0 - fx) + g_r * fx
                 v_top = jnp.where(ly == r, g, v_top)
                 v_bot = jnp.where(ly == r - 1, g, v_bot)
@@ -764,6 +793,10 @@ def score_view_pallas(*args, row_mode=None, hoist=None, tile_act=None, **kw):
         row_mode = "dynslab" if DYNSLAB else ("slab" if SLAB else "scan")
     if hoist is None:
         hoist = HOIST
+    if BF16_IMG:
+        # convert OUTSIDE the jit: the input aval carries the dtype into
+        # the cache key (an in-trace flag read is the r3 stale-trace trap)
+        args = (args[0].astype(jnp.bfloat16),) + args[1:]
     ta = (None if tile_act is None
           else _tile_act_full(args[4].shape, tile_act))   # args[4] = depth
     return _score_view_pallas(*args, tile_act=ta, row_mode=row_mode,
@@ -919,6 +952,8 @@ def score_view_geom_pallas(*args, row_mode=None, hoist=None, tile_act=None,
         row_mode = "dynslab" if DYNSLAB else ("slab" if SLAB else "scan")
     if hoist is None:
         hoist = HOIST
+    if BF16_IMG:
+        args = (args[0].astype(jnp.bfloat16),) + args[1:]
     ta = (None if tile_act is None
           else _tile_act_full(args[7].shape, tile_act))   # args[7] = depth
     return _score_view_geom_pallas(*args, tile_act=ta, row_mode=row_mode,

@@ -133,6 +133,41 @@ def test_kernel_tile_skip_interpret(monkeypatch):
         pm_kernel._score_view_pallas._clear_cache()
 
 
+def test_bf16_image_contract(monkeypatch):
+    """bfloat16 neighbor-image storage (the r5 production default): score
+    deviation vs f32 images stays at quantization level and NO pixel is
+    extra-invalidated — the precision policy's own contract (the variant
+    contract corpus pins f32 and does not cover this)."""
+    import numpy as np
+    from openmvs_tpu.ops import pm_kernel
+    import __graft_entry__ as ge
+
+    monkeypatch.setattr(pm_kernel, "INTERPRET", True)
+    data, state, opts, v = ge._make_example(h=48, w=128, v=2)
+    cd = jnp.tile(state.depth[None], (2, 1, 1)) \
+        * jnp.asarray([0.97, 1.03])[:, None, None]
+    cn = jnp.tile(state.normal[None], (2, 1, 1, 1))
+    den = jnp.einsum("chwk,hwk->chw", cn, data.X0) * cd
+    safe = jnp.abs(den) > 1e-12
+    inv_nd = jnp.where(safe, 1.0 / jnp.where(safe, den, 1.0), 0.0)
+    j = 0
+    args = (data.views.image[j], data.views.size[j], data.views.Hl[j],
+            data.views.Hm[j], cd, cn, inv_nd, data.X0, data.goff,
+            data.w, data.wtm, data.sum_w, data.norm_sq0)
+    kw = dict(n_texels=int(data.goff.shape[0]),
+              th_robust=float(opts.th_robust))
+    monkeypatch.setattr(pm_kernel, "BF16_IMG", False)
+    s32 = np.asarray(pm_kernel.score_view_pallas(*args, **kw))
+    monkeypatch.setattr(pm_kernel, "BF16_IMG", True)
+    s16 = np.asarray(pm_kernel.score_view_pallas(*args, **kw))
+    th = float(opts.th_robust)
+    d = np.abs(s16 - s32)
+    assert d.mean() < 5e-3, d.mean()
+    inval32 = s32 == th
+    inval16 = s16 == th
+    assert (inval16 & ~inval32).mean() < 1e-3
+
+
 def test_full_run_with_schedule_still_converges(monkeypatch):
     """End-to-end sanity with the production schedule knob: skipping
     quiescent tiles may only cost a little mean confidence."""
