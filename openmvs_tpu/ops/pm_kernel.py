@@ -106,6 +106,12 @@ HOIST_COLS = int(_os.environ.get("OMVS_HOIST_COLS", "512"))
 # diff 5e-4 with ZERO extra invalidation.  Opt out with OMVS_BF16_IMG=0.
 # The operand dtype rides the jit cache key, so no static arg is needed.
 BF16_IMG = bool(int(_os.environ.get("OMVS_BF16_IMG", "1")))
+# OMVS_BF16_W=1: ALSO store the per-texel weight stacks (w, wtm) as bf16 —
+# they are the two largest per-grid-step operand blocks
+# ((TEXEL_CHUNK, 8, 128) each).  Env-gated experiment; weights carry
+# bf16's ~0.4% into the ZNCC weighting directly, so it needs its own
+# gates+corpus pass before any default change.
+BF16_W = bool(int(_os.environ.get("OMVS_BF16_W", "0")))
 
 
 def _texel_kernel(
@@ -399,8 +405,11 @@ def _texel_score_body(
         else:
             val = v_top * (1.0 - fy) + v_bot * fy
 
-        w_k = w_ref[kk]
-        wtm_k = wtm_ref[kk]
+        # f32 at the read: the stacks may ride VMEM as bf16
+        # (OMVS_BF16_W experiment; elementwise reads, no gather-bitwidth
+        # constraint)
+        w_k = w_ref[kk].astype(jnp.float32)
+        wtm_k = wtm_ref[kk].astype(jnp.float32)
         num_acc = num_acc + val * wtm_k
         ssum_acc = ssum_acc + val * w_k
         ssq_acc = ssq_acc + val * val * w_k
@@ -797,6 +806,9 @@ def score_view_pallas(*args, row_mode=None, hoist=None, tile_act=None, **kw):
         # convert OUTSIDE the jit: the input aval carries the dtype into
         # the cache key (an in-trace flag read is the r3 stale-trace trap)
         args = (args[0].astype(jnp.bfloat16),) + args[1:]
+    if BF16_W:
+        args = (args[:9] + (args[9].astype(jnp.bfloat16),
+                            args[10].astype(jnp.bfloat16)) + args[11:])
     ta = (None if tile_act is None
           else _tile_act_full(args[4].shape, tile_act))   # args[4] = depth
     return _score_view_pallas(*args, tile_act=ta, row_mode=row_mode,
@@ -954,6 +966,9 @@ def score_view_geom_pallas(*args, row_mode=None, hoist=None, tile_act=None,
         hoist = HOIST
     if BF16_IMG:
         args = (args[0].astype(jnp.bfloat16),) + args[1:]
+    if BF16_W:
+        args = (args[:13] + (args[13].astype(jnp.bfloat16),
+                             args[14].astype(jnp.bfloat16)) + args[15:])
     ta = (None if tile_act is None
           else _tile_act_full(args[7].shape, tile_act))   # args[7] = depth
     return _score_view_geom_pallas(*args, tile_act=ta, row_mode=row_mode,
